@@ -1,0 +1,112 @@
+"""CDS location-descriptor expressions (operators P3, O5, A3, A4).
+
+Pure Catalyst column expressions — no UDFs — so the whole location
+pipeline stays inside whole-stage codegen and scales linearly with rows.
+
+Semantics pinned against the reference:
+
+* range extraction: only ``x..y`` / ``x..>y`` forms contribute ranges;
+  single-base (``467``), site (``102.110``) and between-base (``123^124``)
+  forms are dropped (reference ena_build/parse_embl.py:40-43, goldens
+  tests/regex_test.py:59-95).
+* linear span: min/max over the flattened range endpoints
+  (ena_build/parse_embl.py:392-396).
+* circular span: sort ranges by start, compute inter-range gaps and the
+  wrap-around gap; the *first* inner gap strictly greater than every gap
+  before it and the wrap gap marks the origin-crossing point, in which
+  case ``end < start`` is a legal output (ena_build/parse_embl.py:397-441;
+  26 goldens at tests/location_parsing_test.py:17-119).  Ties go to the
+  wrap gap (strict ``>`` — quirk SURVEY.md §2.10.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Full-match form of the reference pattern r"(\d+)\.\.\>?(\d+)"
+# (ena_build/parse_embl.py:43).  Spark's regexp_extract_all pulls a single
+# group, so we match the whole token and split endpoints afterwards.
+_RANGE_PATTERN = r"(\d+\.\.\>?\d+)"
+
+
+def location_ranges(loc_str: Column) -> Column:
+    """P3: extract all ``x..y`` ranges -> ARRAY<STRUCT<start LONG, end LONG>>.
+
+    Overlap semantics match ``re.findall`` (non-overlapping, left to
+    right).  ``1..>888`` yields (1, 888) — the partial marker ``>`` is
+    ignored (reference tests/regex_test.py:66,81).
+    """
+    matches = F.regexp_extract_all(loc_str, F.lit(_RANGE_PATTERN), 1)
+    return F.transform(
+        matches,
+        lambda m: F.struct(
+            F.substring_index(m, "..", 1).cast("long").alias("start"),
+            F.regexp_replace(F.substring_index(m, "..", -1), ">", "")
+            .cast("long")
+            .alias("end"),
+        ),
+    )
+
+
+def resolved_span(ranges: Column, chr_struct: Column, chr_len: Column) -> Column:
+    """A3+A4: resolve ranges to a single STRUCT<start LONG, end LONG>.
+
+    ``chr_struct`` follows the reference encoding 1=linear, 0=circular
+    (the *code's* behavior, not the docstring's — SURVEY.md §2.10.1); any
+    nonzero value takes the linear path, mirroring Python truthiness of
+    the reference's ``if linear_chromosome:`` branch
+    (ena_build/parse_embl.py:392).
+
+    Returns NULL for an empty/null ranges array (callers drop those rows
+    first — operator F7).
+    """
+    chr_len = chr_len.cast("long")
+    # array_sort on structs orders by (start, end) — the reference sorts by
+    # start only with a stable sort; equal-start ties never occur in the
+    # golden corpus and either order yields identical gap analysis unless
+    # ranges are degenerate.
+    r = F.array_sort(ranges)
+    n = F.size(r)
+    starts = F.transform(r, lambda x: x["start"])
+    ends = F.transform(r, lambda x: x["end"])
+
+    # Linear: min/max over every endpoint of the *flattened* tuple list —
+    # not first-start/last-end — so malformed descending ranges behave
+    # exactly like the reference's min()/max() (parse_embl.py:395-396).
+    lin_start = F.least(F.array_min(starts), F.array_min(ends))
+    lin_end = F.greatest(F.array_max(starts), F.array_max(ends))
+
+    # Circular: gaps[j] = r[j+1].start - r[j].end - 1 for consecutive
+    # sorted ranges (1-based element_at).
+    gaps = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda j: (
+            F.element_at(r, (j + 1).cast("int"))["start"]
+            - F.element_at(r, j.cast("int"))["end"]
+            - F.lit(1)
+        ).cast("long"),
+    )
+    wrap_gap = (chr_len - F.element_at(r, n)["end"]) + (
+        F.element_at(r, F.lit(1))["start"] - F.lit(1)
+    )
+    max_inner = F.array_max(gaps)
+    # First index (1-based) whose gap equals the max — matches the
+    # reference's strict-> scan keeping the first occurrence of the
+    # maximum (parse_embl.py:420-427).
+    gap_idx = F.array_position(gaps, max_inner).cast("int")
+
+    wrap_like = (n == F.lit(1)) | max_inner.isNull() | (max_inner <= wrap_gap)
+    circ_start = F.when(wrap_like, F.element_at(r, F.lit(1))["start"]).otherwise(
+        F.element_at(r, gap_idx + 1)["start"]
+    )
+    circ_end = F.when(wrap_like, F.element_at(r, n)["end"]).otherwise(
+        F.element_at(r, gap_idx)["end"]
+    )
+
+    linear = chr_struct.cast("int") != F.lit(0)
+    span = F.struct(
+        F.when(linear, lin_start).otherwise(circ_start).cast("long").alias("start"),
+        F.when(linear, lin_end).otherwise(circ_end).cast("long").alias("end"),
+    )
+    return F.when(ranges.isNull() | (F.size(ranges) == 0), F.lit(None)).otherwise(span)

@@ -1,0 +1,221 @@
+"""The end-to-end ENA build pipeline as one lazy DataFrame lineage.
+
+Reference semantics (ena_build/parse_embl.py:444-570 +
+mysql_database.py:50-134) re-expressed Spark-first:
+
+    embl_lines ─ G1/G2 windows ─┬─ records  (P1, F3-F6)
+                                └─ cds blocks (P5/P6) ─ P7/P3/P8 ─ F7
+                                        │
+                 records ⋈ blocks ─ A3/A4 span ─ G4 ordinals ─ A1 sets
+                                        │
+                 explode protein_ids ⋈ idmapping (J1) ─ A-collect
+                                        │
+                 J3 fallback-coalesce ─ O1 explode ─ O2 project → ena_tab
+
+Pinned quirks (SURVEY.md §2.10): 1=linear encoding, strict-> circular
+gap tie-break, end<start legal, ordinals skip failed blocks, lenient
+range regex, same-line Fungi gate, mapping-hit-wins fallback, **no**
+global dedup of output rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ena_database_build_spark.functions import embl as E
+from ena_database_build_spark.functions.locations import location_ranges, resolved_span
+from ena_database_build_spark.operators import segmentation as S
+
+ENA_TAB_COLUMNS = [
+    "ena_id",
+    "uniprot_id",
+    "locus_num",
+    "chr_struct",
+    "direction",
+    "start",
+    "end",
+]
+
+
+@dataclass
+class EnaBuildResult:
+    """All materialized channels of the pipeline (each still lazy)."""
+
+    records: DataFrame
+    loci: DataFrame
+    ena_tab: DataFrame
+    rejected_records: DataFrame
+    rejected_blocks: DataFrame
+
+
+def parse_records(embl_lines: DataFrame) -> DataFrame:
+    segmented = S.segment_lines(embl_lines)
+    return S.extract_records(segmented)
+
+
+def parse_loci(embl_lines: DataFrame) -> DataFrame:
+    """records+blocks -> loci with resolved spans and per-locus id sets."""
+    segmented = S.segment_lines(embl_lines)
+    records = S.extract_records(segmented)
+    blocks = S.extract_cds_blocks(segmented)
+
+    live_records = records.where(
+        F.col("reject_reason").isNull() & (F.col("ena_id") != "")
+    )
+
+    parsed = blocks.withColumn(
+        "loc_str", E.cds_location_string(F.col("block_lines"))
+    ).withColumn("loc_ranges", location_ranges(F.col("loc_str")))
+
+    # F7: blocks with no x..y range are dropped *before* ordinal
+    # assignment (quirk §2.10.4) and contribute no xrefs at all.
+    good = parsed.where(F.size("loc_ranges") > 0)
+    numbered = S.number_loci(good)
+
+    # A1: per-locus xref sets from the block's own qualifier lines.
+    with_ids = numbered.select(
+        "file",
+        "record_idx",
+        "locus_num",
+        "first_line_no",
+        "loc_str",
+        "loc_ranges",
+        E.strand_direction(F.col("loc_str")).alias("direction"),
+        F.array_compact(
+            F.array_distinct(
+                F.transform(F.col("block_lines"), E.uniprot_id)
+            )
+        ).alias("uniprot_ids"),
+        F.array_compact(
+            F.array_distinct(
+                F.transform(F.col("block_lines"), E.protein_id)
+            )
+        ).alias("protein_ids"),
+    )
+
+    # Record join is 1:N on (file, record_idx); records are tiny relative
+    # to loci — shuffle join on the same keys the aggregations used.
+    joined = with_ids.join(live_records, ["file", "record_idx"])
+
+    return joined.select(
+        "file",
+        "record_idx",
+        "ena_id",
+        "chr_struct",
+        "chr_len",
+        "locus_num",
+        "direction",
+        resolved_span(
+            F.col("loc_ranges"), F.col("chr_struct"), F.col("chr_len")
+        ).alias("span"),
+        "uniprot_ids",
+        "protein_ids",
+    ).select(
+        "file",
+        "record_idx",
+        "ena_id",
+        "chr_struct",
+        "chr_len",
+        "locus_num",
+        "direction",
+        F.col("span.start").alias("start"),
+        F.col("span.end").alias("end"),
+        "uniprot_ids",
+        "protein_ids",
+    )
+
+
+def resolve_uniprot_ids(
+    loci: DataFrame, idmapping: DataFrame, broadcast_mapping: bool = False
+) -> DataFrame:
+    """J1 + J2 + J3: reverse-map protein ids, falling back to parsed ids.
+
+    * J1 — explode the per-locus ``protein_ids`` set and inner-join the
+      deduplicated idmapping on ``foreign_id`` (replaces the per-record
+      ``IN (...)`` round-trip, mysql_database.py:92-93).
+    * J2 — the anti-join/no-match bookkeeping vanishes: unmatched ids
+      simply produce no join rows (the reference's ``not in no_match``
+      check is provably redundant — SURVEY.md §2.6 J2).
+    * J3 — a locus whose protein ids found *any* mapping uses exactly the
+      mapped ids (duplicates across protein ids preserved, the reference
+      emits one row per list element — parse_embl.py:236-255); otherwise
+      it falls back to its parsed ``uniprot_ids``; loci with neither emit
+      nothing.
+    """
+    mapping = idmapping.dropDuplicates(["foreign_id", "uniprot_id"])
+    if broadcast_mapping:
+        mapping = F.broadcast(mapping)
+
+    locus_key = ["file", "record_idx", "locus_num"]
+    exploded = loci.select(
+        *locus_key, F.explode("protein_ids").alias("foreign_id")
+    )
+    mapped = (
+        exploded.join(mapping, "foreign_id")
+        .groupBy(*locus_key)
+        .agg(F.collect_list("uniprot_id").alias("mapped_uniprot_ids"))
+    )
+
+    resolved = loci.join(mapped, locus_key, "left").withColumn(
+        "resolved_uniprot_ids",
+        F.when(
+            F.size(F.coalesce(F.col("mapped_uniprot_ids"), F.array())) > 0,
+            F.col("mapped_uniprot_ids"),
+        ).otherwise(F.col("uniprot_ids")),
+    )
+    return resolved.where(F.size("resolved_uniprot_ids") > 0)
+
+
+def build_ena_tab(
+    embl_lines: DataFrame, idmapping: DataFrame, broadcast_mapping: bool = False
+) -> DataFrame:
+    """Full pipeline: ordered lines + idmapping -> the 7-column table.
+
+    Output grain: one row per (locus, resolved uniprot id list element);
+    duplicates across overlapping input files are preserved (quirk
+    §2.10.8 — the reference never dedups globally).
+    """
+    loci = parse_loci(embl_lines)
+    resolved = resolve_uniprot_ids(loci, idmapping, broadcast_mapping)
+    return resolved.select(
+        "file",
+        "ena_id",
+        F.explode("resolved_uniprot_ids").alias("uniprot_id"),
+        "locus_num",
+        "chr_struct",
+        "direction",
+        "start",
+        "end",
+    ).select("file", *ENA_TAB_COLUMNS)
+
+
+def build_all(
+    embl_lines: DataFrame, idmapping: DataFrame, broadcast_mapping: bool = False
+) -> EnaBuildResult:
+    """Run the pipeline and expose dead-letter channels (SURVEY.md §4.3:
+    the reference print-and-skips malformed rows; we surface them as
+    filterable DataFrames instead)."""
+    segmented = S.segment_lines(embl_lines)
+    records = S.extract_records(segmented)
+    loci = parse_loci(embl_lines)
+    ena_tab = build_ena_tab(embl_lines, idmapping, broadcast_mapping)
+
+    rejected_records = records.where(F.col("reject_reason").isNotNull()).select(
+        "file", "record_idx", "reject_reason"
+    )
+    blocks = S.extract_cds_blocks(segmented)
+    rejected_blocks = (
+        blocks.withColumn("loc_str", E.cds_location_string(F.col("block_lines")))
+        .withColumn("loc_ranges", location_ranges(F.col("loc_str")))
+        .where(F.size("loc_ranges") == 0)
+        .select(
+            "file",
+            "record_idx",
+            "block_idx",
+            F.lit("unparseable_cds_location").alias("reject_reason"),
+        )
+    )
+    return EnaBuildResult(records, loci, ena_tab, rejected_records, rejected_blocks)

@@ -1,0 +1,70 @@
+"""Ordered ingest of gzipped EMBL flat files (operators S1-S3, F1, X2).
+
+The reference walks the directory tree with dynamically scheduled Dask
+tasks (ena_build/dask_tasks.py:16-87) and streams each ``*.dat.gz`` line
+by line (ena_build/parse_embl.py:482-484).  In Spark the walk is the
+driver's parallel ``InMemoryFileIndex`` (``recursiveFileLookup``), the
+suffix filter is ``pathGlobFilter`` (prunes at *listing* time — files
+are never opened), and gzip decoding is the built-in codec.
+
+Line order is semantic for the parser, so we ingest with
+``wholetext=true`` (one row per file — gzip is non-splittable anyway, so
+this costs no parallelism versus line mode) and pin order with
+``posexplode``.  One file = one row = one unit of parallelism, exactly
+the reference's granularity; ``repartition`` spreads millions of small
+files evenly across executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ena_database_build_spark.functions import embl as E
+
+EMBL_GLOB = "*.dat.gz"
+
+
+def read_embl_lines(
+    spark: SparkSession,
+    paths: list[str] | str,
+    apply_division_filter: bool = True,
+    target_partitions: int | None = None,
+) -> DataFrame:
+    """Read EMBL flat files under ``paths`` into the ordered-line schema
+    ``file STRING, line_no LONG, line STRING``.
+
+    ``apply_division_filter`` reproduces F1: in ``sequence/`` trees only
+    ``_(ENV|PRO|FUN|PHG)_`` division files are kept
+    (ena_build/dask_tasks.py:78-85).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    raw = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", EMBL_GLOB)
+        # NB: must be the reader kwarg — the string option key is not
+        # picked up by the text source in Spark 4.x.
+        .text(paths, wholetext=True)
+        .select(
+            F.input_file_name().alias("file"),
+            F.col("value"),
+        )
+    )
+    if apply_division_filter:
+        raw = raw.where(E.matches_sequence_division(F.col("file")))
+    if target_partitions:
+        raw = raw.repartition(target_partitions, "file")
+    # universal-newline split — the reference reads with text-mode
+    # gzip.open (newline=None), so \r\n and \r collapse to \n
+    return raw.select(
+        "file",
+        F.posexplode(F.split(F.col("value"), "\r\n|\r|\n")).alias(
+            "line_no", "line"
+        ),
+    )
+
+
+def embl_lines_from_rows(spark: SparkSession, rows, schema="file string, line_no long, line string") -> DataFrame:
+    """Build the ordered-line DataFrame from in-memory rows (tests)."""
+    return spark.createDataFrame(rows, schema)
