@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline catalog queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall seconds across the headline set (lower is
+better).  Each query is materialized via a count/collect-free
+``write.format("noop")`` so measured time is plan execution, not
+driver-side row transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from ena_database_build_spark.plans.catalog import CATALOG  # noqa: E402
+from ena_database_build_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "ena_context_analog",
+    "a4_circular_resolution",
+    "g1_sessionize",
+    "j1_lookup_join",
+    "o4_topk",
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash",
+    "cosine_topk",
+    "lang_id",
+    "token_counts",
+    "events_sessions",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("ena-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # execution, not first-touch setup
+    CATALOG["s3_scan_projection"].spark(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = CATALOG[name]
+        st = time.perf_counter()
+        qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - st, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

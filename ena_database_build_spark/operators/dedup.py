@@ -1,0 +1,192 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.11).
+
+All operators are pure column expressions (JVM-side, codegen-friendly)
+so they scale to 100 TB: no Python UDFs, no driver-side loops.  The
+only shuffles are the groupBys/joins inherent to the semantics.
+
+Design at scale:
+
+* exact dedup — hash-groupBy on a fingerprint, one shuffle; with AQE
+  the reducer count adapts to the observed fingerprint cardinality.
+* MinHash+LSH — per-doc signature computation is embarrassingly
+  parallel (map-side); candidate generation is an equi-join on
+  ``(band_idx, band_signature)`` — ONE shuffle keyed by band bucket —
+  instead of the O(n^2) cross join a naive near-dup would need.
+  Banding parameters trade recall vs join fan-in; skewed buckets
+  (e.g. boilerplate) are handled by AQE skew-join splitting.
+* SimHash — 16-bit signature via md5-nibble voting: deterministic and
+  reproducible in any engine that has md5 (the DuckDB oracle computes
+  the identical value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form used for exact dedup: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit content fingerprint (hex md5 of the
+    normalized text)."""
+    return F.md5(normalized_text(text))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one deterministic representative (min id) per normalized
+    text.  Equivalent to ``dropDuplicates`` but with a *stable* winner,
+    which a distributed engine needs for reproducible pipelines."""
+    fp = fingerprint(F.col(text_col)).alias("fp")
+    winners = df.select(fp, F.col(id_col)).groupBy("fp").agg(
+        F.min(id_col).alias(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalized_text(text), " ")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """ARRAY<STRING> of word ``k``-shingles (distinct, order-free)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+            ),
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 8) -> list[Column]:
+    """``num_hashes`` MinHash values per document.
+
+    Hash family h_i(s) = md5(i || '|' || s); the min is taken over the
+    lexicographic order of the hex digest — deterministic, engine
+    portable (any md5 implementation agrees), and uniform enough for
+    Jaccard estimation.  Returns columns aliased ``mh0..mh{n-1}``.
+    """
+    def hasher(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    return [
+        F.array_min(F.transform(shingle_col, hasher(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    sh = shingles(F.col(text_col), k).alias("_sh")
+    return df.select(F.col(id_col), sh).select(
+        id_col, *minhash_signature(F.col("_sh"), num_hashes)
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs: docs agreeing on >=1 LSH band.
+
+    bands = num_hashes / band_size; band signature = concat of its
+    MinHash values.  The candidate join is an equi-join on
+    ``(band_idx, band_sig)`` — one shuffle, no cross product.
+    """
+    assert num_hashes % band_size == 0
+    nbands = num_hashes // band_size
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    bands = sigs.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact k-shingle Jaccard for given candidate (left_id, right_id)
+    pairs — verify step after LSH candidate generation."""
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("sh")
+    )
+    return (
+        pairs.join(sh.withColumnRenamed(id_col, "left_id").withColumnRenamed("sh", "lsh"), "left_id")
+        .join(sh.withColumnRenamed(id_col, "right_id").withColumnRenamed("sh", "rsh"), "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            (
+                F.size(F.array_intersect("lsh", "rsh"))
+                / F.size(F.array_union("lsh", "rsh"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash as a bit string (e.g. ``'1010...'``).
+
+    Per token t, md5(t) supplies 16 hex nibbles; nibble i votes +1 for
+    bit i if >= 8 else -1; bit i is 1 when the vote sum is positive.
+    Fully deterministic and portable (the DuckDB oracle reproduces it
+    nibble for nibble).
+    """
+    toks = tokens(text)
+
+    def voter(i: int):
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(t), i, 1) >= "8", 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for i in range(1, 17):
+        vote = F.aggregate(toks, F.lit(0), voter(i))
+        bit_cols.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_cols)

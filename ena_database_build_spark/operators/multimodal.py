@@ -1,0 +1,99 @@
+"""Multimodal column plumbing (SURVEY.md §2.11).
+
+Images/audio/video ride in the DataFrame as opaque ``BINARY`` payloads
+with typed metadata columns.  Decode / feature-extract runs as
+Arrow-batched ``mapInPandas`` — the Spark-side contract (schema,
+batching, partitioning) is real and tested; the *codec* itself is
+stubbed behind ``try: import`` because media libraries are not part of
+this environment.  Swapping the stub for PIL/torchaudio changes only
+the inner function body, not the plan.
+
+Scale notes: payloads stay columnar (Arrow) end-to-end; decode
+parallelism = partition count; ``spark.sql.files.maxPartitionBytes``
+and ``maxRecordsPerBatch`` bound executor memory per batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id long, media_type string, payload_bytes long, "
+    "payload_digest string, width int, height int"
+)
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake decode: derives a (width, height) from the
+    payload length so the plumbing is testable without a codec.
+
+    Real implementation:
+
+        try:
+            from PIL import Image
+        except ImportError:
+            raise NotImplementedError("image codec not available here")
+        im = Image.open(io.BytesIO(payload)); return im.size
+    """
+    if not payload:
+        return 0, 0
+    n = len(payload)
+    return 64 + n % 64, 64 + (n // 64) % 64
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Test helper: fabricate a BINARY payload column from text so the
+    multimodal path can run on the synthetic ``documents`` table."""
+    return df.select(
+        F.col(id_col),
+        F.lit("image/fake").alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+
+
+def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas decode: BINARY payload -> typed metadata row.
+
+    One Arrow batch in, one out; constant memory per batch regardless of
+    corpus size.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [_decode_image_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": pdf["media_type"],
+                    "payload_bytes": [len(p) for p in pdf["payload"]],
+                    "payload_digest": [
+                        hashlib.md5(p).hexdigest() for p in pdf["payload"]
+                    ],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video-style frame sampling skeleton: explode a (stubbed) frame
+    index list and keep every ``every_n``-th.  With a real decoder the
+    ``n_frames`` column comes from the container header."""
+    with_frames = df.withColumn(
+        "n_frames", (F.length("payload") % 300 + 1).cast("int")
+    )
+    return with_frames.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11).
+
+The embedding column is ``ARRAY<FLOAT>``; all math happens in JVM
+higher-order functions (``aggregate``/``zip_with``) — no Python in the
+hot path.
+
+Scale path:
+
+* ``cosine_topk`` — brute force: one map-side pass + a global top-k
+  (``orderBy ... limit k`` compiles to TakeOrderedAndProject: per
+  partition heap + driver merge of k rows per partition, never a full
+  sort/shuffle of the corpus).
+* ``srp_bucket_topk`` — signed-random-projection LSH: each vector maps
+  to a small bit-bucket; the query probes only its own bucket, so the
+  scan cost drops by ~2^bits.  Hyperplanes are derived deterministically
+  from md5 so results are reproducible run to run and across engines.
+* For repeated query workloads, materialize ``srp_buckets`` once
+  (bucketed/partitioned by ``bucket``) and every probe becomes a
+  partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k against a constant query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
+def _srp_plane(plane_idx: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component d is +1/-1 by
+    the parity of the first byte of md5('{plane}|{d}')."""
+    comps = []
+    for d in range(dim):
+        h = hashlib.md5(f"{plane_idx}|{d}".encode()).digest()[0]
+        comps.append(1.0 if h % 2 == 0 else -1.0)
+    return comps
+
+
+def srp_buckets(
+    df: DataFrame,
+    dim: int,
+    bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector a ``bits``-char sign bucket (e.g. ``'1010'``)."""
+    v = F.col(vec_col).cast("array<double>")
+    bit_cols = []
+    for p in range(bits):
+        plane = F.array(*[F.lit(c) for c in _srp_plane(p, dim)])
+        bit_cols.append(F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(F.col(id_col), F.col(vec_col), F.concat(*bit_cols).alias("bucket"))
+
+
+def srp_bucket_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's SRP bucket."""
+    q_bucket = "".join(
+        "1" if sum(q * c for q, c in zip(query_vec, _srp_plane(p, dim))) >= 0 else "0"
+        for p in range(bits)
+    )
+    bucketed = srp_buckets(df, dim, bits, vec_col, id_col)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        bucketed.where(F.col("bucket") == q_bucket)
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def knn_join_bruteforce(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k nearest right-rows for every left-row (cross join + window).
+    Quadratic — only for small/filtered inputs; the scale path is
+    bucketing both sides with ``srp_buckets`` and joining on bucket."""
+    from pyspark.sql import Window
+
+    l = left.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("lv"))
+    r = right.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("rv"))
+    scored = l.crossJoin(r).select(
+        "left_id",
+        "right_id",
+        cosine(F.col("lv").cast("array<double>"), F.col("rv").cast("array<double>")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("left_id").orderBy(F.desc("cos_sim"), "right_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("left_id", "right_id", "cos_sim", "rank")
+    )

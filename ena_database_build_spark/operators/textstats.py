@@ -1,0 +1,100 @@
+"""Text analysis operators for LLM-data pipelines (SURVEY.md §2.11):
+language id, quality scoring, token counting, fingerprinting.
+
+All pure column expressions — scale is one map-side pass over the
+corpus; the only shuffles are caller-chosen aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ena_database_build_spark.operators.dedup import normalized_text, tokens
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# (A production lang-id would plug a real model in via pandas_udf; the
+# operator contract — argmax over per-language evidence scores — stays
+# identical.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "los"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "une", "est"],
+    "zh": ["的", "是", "了", "在", "我", "有", "他"],
+}
+
+# BPE-ish token pattern: word pieces or single non-space symbols.
+TOKEN_PATTERN = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language evidence score = number of tokens that are marker
+    words for that language."""
+    toks = tokens(text)
+
+    def matcher(markers: list[str]):
+        return lambda t: t.isin(*markers)
+
+    return {
+        lang: F.size(F.filter(toks, matcher(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def detect_lang(text: Column) -> Column:
+    """Argmax language (ties broken by language code order); 'und' when
+    no marker hits at all."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+            for lang, score in sorted(scores.items())
+        ]
+    )
+    best = F.array_max(F.filter(pairs, lambda p: p["score"] > 0))
+    return F.coalesce(best["lang"], F.lit("und"))
+
+
+def regexp_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(f"({TOKEN_PATTERN})"), 1))
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\w\s]", "")
+    return (F.length(text) - F.length(stripped)) / F.greatest(
+        F.length(text), F.lit(1)
+    )
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or LANG_MARKERS["en"]
+    toks = tokens(text)
+    return F.size(F.filter(toks, lambda t: t.isin(*sw))) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+
+
+def mean_word_len(text: Column) -> Column:
+    toks = tokens(text)
+    return F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length sweet-spot, low punct
+    density, reasonable stopword rate, sane word lengths."""
+    n = F.length(text)
+    length_term = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    sw = stopword_ratio(text)
+    sw_term = F.lit(1.0) - F.least(F.abs(sw - F.lit(0.4)) * 2, F.lit(1.0))
+    mwl = mean_word_len(text)
+    mwl_term = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (length_term + punct_term + sw_term + mwl_term) / 4

@@ -1,0 +1,1040 @@
+"""Query catalog: one named query per SURVEY.md §2 operator (plus the
+§2.11 LLM-pipeline extensions), each expressed twice:
+
+* ``spark`` — the engine's DataFrame implementation (the thing being
+  graded), built from the operator library in this package;
+* ``oracle`` — an equivalent ANSI-SQL string DuckDB runs on the same
+  parquet tables (the correctness gate).  ``None`` marks genuinely
+  non-SQL-expressible or approximate operators (rows-only check).
+
+Naming contract: every computed column is aliased identically on both
+sides; floats are rounded before comparison; arrays are rendered as
+'|'-joined sorted strings so value hashing is stable across engines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ena_database_build_spark.functions.locations import location_ranges, resolved_span
+from ena_database_build_spark.operators import dedup as D
+from ena_database_build_spark.operators import multimodal as M
+from ena_database_build_spark.operators import similarity as SIM
+from ena_database_build_spark.operators import textstats as T
+from ena_database_build_spark.streaming import events as STR
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) parquet arrives as long via nanosAsLong;
+        # normalize to a microsecond timestamp column
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+@dataclass
+class QueryDef:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+# --------------------------------------------------------------------------
+# Reference-surface operators (SURVEY.md §2.1-§2.7) over the TPC-H tables
+# --------------------------------------------------------------------------
+
+
+def q_s3_scan_projection(spark, sf_dir):
+    """S3/O2: scan + filter + narrow projection; the predicate and the
+    2-column ReadSchema must reach the parquet scan."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+SQL_S3 = """
+SELECT l_orderkey, l_partkey, l_quantity
+FROM lineitem WHERE l_quantity >= 45
+"""
+
+
+def q_f2_prefix_filter(spark, sf_dir):
+    """F2: cheap prefix predicate before anything heavy
+    (parse_embl.py:488-489 analog)."""
+    return (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").startswith("p"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_F2 = """
+SELECT event_type, count(*) AS n
+FROM events WHERE event_type LIKE 'p%'
+GROUP BY event_type
+"""
+
+
+def q_f4_whitelist_deadletter(spark, sf_dir):
+    """F4/F5: whitelist + dead-letter bucketing (topology whitelist
+    analog, parse_embl.py:339-350)."""
+    status_class = (
+        F.when(F.col("o_orderstatus").isin("O", "F"), F.col("o_orderstatus"))
+        .otherwise(F.lit("_rejected"))
+        .alias("status_class")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(status_class)
+        .groupBy("status_class")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_F4 = """
+SELECT CASE WHEN o_orderstatus IN ('O','F') THEN o_orderstatus
+            ELSE '_rejected' END AS status_class,
+       count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_p1_regex_extract(spark, sf_dir):
+    """P1: rigid regex extraction with cast (ID-line analog,
+    parse_embl.py:16)."""
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"^Customer#(\d+)$", 1)
+        .cast("long")
+        .alias("cust_num"),
+    )
+
+
+SQL_P1 = r"""
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, '^Customer#(\d+)$', 1) AS BIGINT) AS cust_num
+FROM customer
+"""
+
+
+def q_p2_alternation_extract(spark, sf_dir):
+    """P2: two-alternative extraction with empty->null (xref analog,
+    parse_embl.py:21-32)."""
+    code = F.nullif(
+        F.regexp_extract("o_orderpriority", r"^(\d)-", 1), F.lit("")
+    ).alias("prio_code")
+    word = F.nullif(
+        F.regexp_extract("o_orderpriority", r"-(\w+)$", 1), F.lit("")
+    ).alias("prio_word")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(code, word)
+        .groupBy("prio_code", "prio_word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_P2 = r"""
+SELECT nullif(regexp_extract(o_orderpriority, '^(\d)-', 1), '') AS prio_code,
+       nullif(regexp_extract(o_orderpriority, '-(\w+)$', 1), '') AS prio_word,
+       count(*) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_p3_range_extract(spark, sf_dir):
+    """P3: x..y / x..>y range extraction — the engine parses a
+    *constructed* location string; the oracle emits the ground-truth
+    numbers directly, so the regex path is validated against truth
+    (parse_embl.py:43)."""
+    li = t(spark, sf_dir, "lineitem")
+    loc = F.concat_ws(
+        "",
+        F.col("l_partkey").cast("string"),
+        F.lit(".."),
+        F.col("l_suppkey").cast("string"),
+        F.lit(",x,"),
+        (F.col("l_linenumber") * 100).cast("string"),
+        F.lit("..>"),
+        (F.col("l_linenumber") * 100 + 50).cast("string"),
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.explode(location_ranges(loc)).alias("r"),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("r.start").alias("range_start"),
+            F.col("r.end").alias("range_end"),
+        )
+    )
+
+
+SQL_P3 = """
+SELECT l_orderkey, l_linenumber,
+       l_partkey AS range_start, l_suppkey AS range_end
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber,
+       l_linenumber * 100 AS range_start,
+       l_linenumber * 100 + 50 AS range_end
+FROM lineitem
+"""
+
+
+def q_g1_sessionize(spark, sf_dir):
+    """G1: gap-based sessionization as a conditional running sum over an
+    ordered stream (the record-segmentation pattern,
+    parse_embl.py:494-520)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("ts_s"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 600), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_s").alias("session_start"),
+        F.max("ts_s").alias("session_end"),
+    )
+
+
+SQL_G1 = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id
+  FROM events
+), flagged AS (
+  SELECT user_id, ts_s, event_id,
+         CASE WHEN lag(ts_s) OVER w IS NULL
+                   OR ts_s - lag(ts_s) OVER w > 600
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+), sess AS (
+  SELECT user_id, ts_s,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts_s) AS session_start, max(ts_s) AS session_end
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_g4_ordinals(spark, sf_dir):
+    """G4: ordinal assignment within an ordered group
+    (row_number locus numbering, parse_embl.py:181-190)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("ordinal", F.row_number().over(w))
+        .where(F.col("ordinal") <= 3)
+        .select("user_id", "event_type", "event_id", "ordinal")
+    )
+
+
+SQL_G4 = """
+SELECT user_id, event_type, event_id, ordinal FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS ordinal
+  FROM events
+) WHERE ordinal <= 3
+"""
+
+
+def q_a1_collect_set(spark, sf_dir):
+    """A1/A2: set-collect with stable rendering (uniprot/protein id
+    sets, parse_embl.py:156-177)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws(
+                "|", F.sort_array(F.collect_set("o_orderpriority"))
+            ).alias("priorities"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_A1 = """
+SELECT o_custkey,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_a3_flat_minmax(spark, sf_dir):
+    """A3: min/max over flattened range endpoints
+    (parse_embl.py:392-396)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.least(F.min("l_partkey"), F.min("l_suppkey")).alias("flat_min"),
+            F.greatest(F.max("l_partkey"), F.max("l_suppkey")).alias("flat_max"),
+        )
+    )
+
+
+SQL_A3 = """
+SELECT l_orderkey,
+       least(min(l_partkey), min(l_suppkey)) AS flat_min,
+       greatest(max(l_partkey), max(l_suppkey)) AS flat_max
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_a4_circular_resolution(spark, sf_dir):
+    """A4: the full linear/circular span resolver on synthetic ranges —
+    the engine runs the pure-expression resolver
+    (functions/locations.py); the oracle re-derives the algorithm
+    relationally with window functions (parse_embl.py:364-441)."""
+    li = t(spark, sf_dir, "lineitem")
+    ranges = li.select(
+        F.col("l_orderkey"),
+        (F.col("l_orderkey") % 2).cast("int").alias("chr_struct"),
+        F.struct(
+            (F.col("l_partkey") % 800 + 1).cast("long").alias("start"),
+            (F.col("l_partkey") % 800 + 1 + F.col("l_suppkey") % 120)
+            .cast("long")
+            .alias("end"),
+        ).alias("r"),
+    )
+    grouped = ranges.groupBy("l_orderkey", "chr_struct").agg(
+        F.collect_list("r").alias("loc_ranges")
+    )
+    return grouped.select(
+        "l_orderkey",
+        "chr_struct",
+        resolved_span(
+            F.col("loc_ranges"), F.col("chr_struct"), F.lit(1000)
+        ).alias("span"),
+    ).select(
+        "l_orderkey",
+        "chr_struct",
+        F.col("span.start").alias("start_pos"),
+        F.col("span.end").alias("end_pos"),
+    )
+
+
+SQL_A4 = """
+WITH ranges AS (
+  SELECT l_orderkey AS k,
+         CAST(l_orderkey % 2 AS INTEGER) AS chr_struct,
+         CAST(l_partkey % 800 + 1 AS BIGINT) AS s,
+         CAST(l_partkey % 800 + 1 + l_suppkey % 120 AS BIGINT) AS e
+  FROM lineitem
+), sorted AS (
+  SELECT k, chr_struct, s, e,
+         row_number() OVER w AS rn,
+         lag(e) OVER w AS prev_e,
+         s - lag(e) OVER w - 1 AS gap
+  FROM ranges
+  WINDOW w AS (PARTITION BY k ORDER BY s, e)
+), stats AS (
+  SELECT k,
+         max(chr_struct) AS chr_struct,
+         count(*) AS n,
+         min(least(s, e)) AS flat_min,
+         max(greatest(s, e)) AS flat_max,
+         min(s) AS first_s,
+         max(e) FILTER (WHERE rn = (SELECT max(rn) FROM sorted s2 WHERE s2.k = sorted.k)) AS last_e,
+         max(gap) AS max_inner
+  FROM sorted GROUP BY k
+), stats2 AS (
+  SELECT *, (1000 - last_e) + (first_s - 1) AS wrap_gap FROM stats
+), pick AS (
+  SELECT g.k, min(g.rn) AS pick_rn
+  FROM sorted g JOIN stats2 t ON g.k = t.k AND g.gap = t.max_inner
+  GROUP BY g.k
+), picked AS (
+  SELECT p.k, g.s AS pick_s, g.prev_e AS pick_prev_e
+  FROM pick p JOIN sorted g ON g.k = p.k AND g.rn = p.pick_rn
+)
+SELECT t.k AS l_orderkey, t.chr_struct,
+       CASE WHEN t.chr_struct <> 0 THEN t.flat_min
+            WHEN t.n = 1 OR t.max_inner IS NULL OR t.max_inner <= t.wrap_gap
+              THEN t.first_s
+            ELSE p.pick_s END AS start_pos,
+       CASE WHEN t.chr_struct <> 0 THEN t.flat_max
+            WHEN t.n = 1 OR t.max_inner IS NULL OR t.max_inner <= t.wrap_gap
+              THEN t.last_e
+            ELSE p.pick_prev_e END AS end_pos
+FROM stats2 t LEFT JOIN picked p ON p.k = t.k
+"""
+
+
+def q_j1_lookup_join(spark, sf_dir):
+    """J1: the idmapping lookup join re-shaped as lineitem x part with
+    an explicit broadcast of the small side
+    (mysql_database.py:50-134)."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_J1 = """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_j2_anti_join(spark, sf_dir):
+    """J2: no-match set via left_anti (mysql_database.py:84,129)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_J2 = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_j3_fallback_coalesce(spark, sf_dir):
+    """J3: join-or-parsed fallback — mapped ids win when any exist,
+    else the fallback value (parse_embl.py:233-249)."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    mapped = (
+        li.where(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_set("l_suppkey")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("mapped_ids")
+        )
+    )
+    return (
+        orders.join(mapped, orders.o_orderkey == mapped.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("mapped_ids").isNotNull() & (F.col("mapped_ids") != ""),
+                F.col("mapped_ids"),
+            )
+            .otherwise(F.lit("fallback:" ) )
+            .alias("resolved_ids"),
+        )
+    )
+
+
+SQL_J3 = """
+WITH mapped AS (
+  SELECT l_orderkey,
+         array_to_string(list_sort(list(DISTINCT l_suppkey)), '|') AS mapped_ids
+  FROM lineitem WHERE l_returnflag = 'R'
+  GROUP BY l_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN mapped_ids IS NOT NULL AND mapped_ids <> ''
+            THEN mapped_ids ELSE 'fallback:' END AS resolved_ids
+FROM orders LEFT JOIN mapped ON o_orderkey = l_orderkey
+"""
+
+
+def q_o1_explode(spark, sf_dir):
+    """O1: explode 1 row -> N (parse_embl.py:252-255)."""
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.explode(F.split("o_orderpriority", "-")).alias("prio_part"),
+    )
+
+
+SQL_O1 = """
+SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS prio_part
+FROM orders
+"""
+
+
+def q_o3_union(spark, sf_dir):
+    """O3: union-all of branch outputs (dask_tskmgr.py:227)."""
+    li = t(spark, sf_dir, "lineitem")
+    lo = li.where(F.col("l_quantity") < 5)
+    hi = li.where(F.col("l_quantity") > 45)
+    return (
+        lo.unionByName(hi)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+SQL_O3 = """
+WITH u AS (
+  SELECT * FROM lineitem WHERE l_quantity < 5
+  UNION ALL
+  SELECT * FROM lineitem WHERE l_quantity > 45
+)
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM u GROUP BY l_returnflag
+"""
+
+
+def q_o4_topk(spark, sf_dir):
+    """O4: deterministic global top-k (TakeOrderedAndProject — no full
+    sort at scale)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+SQL_O4 = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
+def q_ena_context_analog(spark, sf_dir):
+    """Flagship: the reference's 'chromosome neighborhood context' shape
+    on TPC-H — customers as chromosomes, orders as ordered loci
+    (G4 ordinal), lineitem suppliers as mapped ids (J1), with the J3
+    fallback and O1-style output grain (dask_tskmgr.py:236-241)."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordered = orders.withColumn("locus_num", F.row_number().over(w))
+    mapped = li.groupBy("l_orderkey").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.sort_array(F.collect_set("l_suppkey")), lambda x: x.cast("string")
+            ),
+        ).alias("supplier_ids")
+    )
+    return (
+        ordered.join(mapped, ordered.o_orderkey == mapped.l_orderkey, "left")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "locus_num",
+            F.coalesce(
+                F.nullif(F.col("supplier_ids"), F.lit("")), F.lit("unmapped")
+            ).alias("supplier_ids"),
+        )
+    )
+
+
+SQL_ENA_CONTEXT = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS locus_num
+  FROM orders
+), mapped AS (
+  SELECT l_orderkey,
+         array_to_string(list_sort(list(DISTINCT l_suppkey)), '|') AS supplier_ids
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_custkey, o_orderkey, locus_num,
+       coalesce(nullif(supplier_ids, ''), 'unmapped') AS supplier_ids
+FROM ordered LEFT JOIN mapped ON o_orderkey = l_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline extensions (SURVEY.md §2.11)
+# --------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: stable-winner dedup on the content fingerprint."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", D.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5({_NORM_SQL})) AS n_unique
+FROM documents GROUP BY source
+"""
+
+
+def _shingle_sql(k: int = 3) -> str:
+    parts = ", ".join(f"w[i+{j}]" for j in range(k))
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(w)-{k-1},1)+1), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (4 hashes over 3-shingles) per document."""
+    return D.minhash_signatures(
+        t(spark, sf_dir, "documents"), num_hashes=4, k=3
+    )
+
+
+SQL_MINHASH = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), sh AS (
+  SELECT doc_id, {_shingle_sql(3)} AS sh FROM toks
+)
+SELECT doc_id,
+       list_min(list_transform(sh, s -> md5('0|' || s))) AS mh0,
+       list_min(list_transform(sh, s -> md5('1|' || s))) AS mh1,
+       list_min(list_transform(sh, s -> md5('2|' || s))) AS mh2,
+       list_min(list_transform(sh, s -> md5('3|' || s))) AS mh3
+FROM sh
+"""
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    """LSH near-dup candidates: 4 bands of 1 minhash over 2-shingles —
+    one equi-join on (band, signature), no cross product."""
+    return D.lsh_candidate_pairs(
+        t(spark, sf_dir, "documents"), num_hashes=4, band_size=1, k=2
+    )
+
+
+SQL_LSH_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), sh AS (
+  SELECT doc_id, {_shingle_sql(2)} AS sh FROM toks
+), sig AS (
+  SELECT doc_id, b.band_idx,
+         list_min(list_transform(sh, s -> md5(b.band_idx || '|' || s))) AS band_sig
+  FROM sh, (SELECT unnest(['0','1','2','3']) AS band_idx) b
+)
+SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+FROM sig l JOIN sig r
+  ON l.band_idx = r.band_idx AND l.band_sig = r.band_sig
+ AND l.doc_id < r.doc_id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash bit-string per document."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash16(F.col("text")).alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    bits = []
+    for i in range(1, 17):
+        bits.append(
+            "CASE WHEN list_sum(list_transform(tk, "
+            f"x -> CASE WHEN substr(md5(x), {i}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+SQL_SIMHASH = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents)
+SELECT doc_id, {_simhash_sql()} AS simhash FROM toks
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact 2-shingle Jaccard on the LSH candidate pairs (verify step
+    of near-dedup)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs, num_hashes=4, band_size=1, k=2)
+    return D.jaccard_pairs(docs, pairs, k=2).select(
+        "left_id", "right_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+), sh AS (
+  SELECT doc_id, {_shingle_sql(2)} AS sh FROM toks
+), sig AS (
+  SELECT doc_id, b.band_idx,
+         list_min(list_transform(sh, s -> md5(b.band_idx || '|' || s))) AS band_sig
+  FROM sh, (SELECT unnest(['0','1','2','3']) AS band_idx) b
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM sig l JOIN sig r
+    ON l.band_idx = r.band_idx AND l.band_sig = r.band_sig
+   AND l.doc_id < r.doc_id
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh
+), inter AS (
+  SELECT p.left_id, p.right_id, count(*) AS n_inter
+  FROM pairs p
+  JOIN ex a ON a.doc_id = p.left_id
+  JOIN ex b ON b.doc_id = p.right_id AND b.s = a.s
+  GROUP BY p.left_id, p.right_id
+), sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+SELECT p.left_id, p.right_id,
+       round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM pairs p
+JOIN inter i ON i.left_id = p.left_id AND i.right_id = p.right_id
+JOIN sizes sa ON sa.doc_id = p.left_id
+JOIN sizes sb ON sb.doc_id = p.right_id
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force ANN baseline: cosine top-20 to the vec_id=0 vector."""
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = SIM.cosine_topk(emb, list(qvec), k=20)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(
+         list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+         / (sqrt(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                    list_transform(embedding, x -> CAST(x AS DOUBLE))))
+            * sqrt(list_inner_product(qv, qv))),
+         6) AS cos_sim
+FROM embeddings, q
+ORDER BY cos_sim DESC, vec_id LIMIT 20
+"""
+
+
+def q_srp_buckets(spark, sf_dir):
+    """SRP-LSH bucket assignment (the ANN scale path); hyperplanes are
+    deterministic, so the oracle recomputes identical buckets."""
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        SIM.srp_buckets(emb, dim=64, bits=4)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+def _srp_sql() -> str:
+    from ena_database_build_spark.operators.similarity import _srp_plane
+
+    exprs = []
+    for p in range(4):
+        plane = _srp_plane(p, 64)
+        arr = "[" + ", ".join(str(c) for c in plane) + "]"
+        exprs.append(
+            "CASE WHEN list_inner_product("
+            f"list_transform(embedding, x -> CAST(x AS DOUBLE)), {arr}) >= 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    return " || ".join(exprs)
+
+
+SQL_SRP_BUCKETS = f"""
+SELECT {_srp_sql()} AS bucket, count(*) AS n_vectors
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """n-gram/stopword language id vs the labeled lang column
+    (confusion counts)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.detect_lang(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _lang_sql() -> str:
+    score_cols = []
+    langs = sorted(T.LANG_MARKERS)
+    for lang in langs:
+        markers = ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(tk, t -> t IN ({markers}))) AS s_{lang}"
+        )
+    # key = score*8 + idx; ties -> higher idx, matching Spark's
+    # array_max over (score, lang) structs with langs in sorted order
+    keys = ", ".join(
+        f"s_{lang} * 8 + {idx}" for idx, lang in enumerate(langs)
+    )
+    case = " ".join(
+        f"WHEN best % 8 = {idx} THEN '{lang}'" for idx, lang in enumerate(langs)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKS_SQL} AS tk FROM documents),
+scored AS (SELECT doc_id, lang, {", ".join(score_cols)} FROM toks),
+best AS (
+  SELECT doc_id, lang, greatest({keys}) AS best,
+         greatest({", ".join("s_" + lang for lang in langs)}) AS best_score
+  FROM scored
+)
+SELECT lang, CASE WHEN best_score = 0 THEN 'und' {case} END AS predicted,
+       count(*) AS n
+FROM best GROUP BY lang, predicted
+"""
+
+
+SQL_LANG_ID = _lang_sql()
+
+
+def q_quality_scores(spark, sf_dir):
+    """Composite quality heuristic per document."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(T.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+SQL_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         {_TOKS_SQL} AS tk
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         least(n / 500.0, 1.0) AS length_term,
+         1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n, 1) * 5, 1.0) AS punct_term,
+         CAST(len(list_filter(tk, t -> t IN ('the','and','of','to','a','in','is'))) AS DOUBLE)
+           / greatest(len(tk), 1) AS sw,
+         CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+           / greatest(len(tk), 1) AS mwl
+  FROM base
+)
+SELECT doc_id,
+       round((length_term + punct_term
+              + (1.0 - least(abs(sw - 0.4) * 2, 1.0))
+              + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END)) / 4,
+             6) AS quality
+FROM feats
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counting, aggregated per lang."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            T.whitespace_token_count(F.col("text")).alias("ws"),
+            T.regexp_token_count(F.col("text")).alias("re"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("re").alias("re_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT lang,
+       CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]'))) AS BIGINT)
+         AS re_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    """Content fingerprint per document (dedup key / provenance)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", D.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+SQL_FINGERPRINTS = f"""
+SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+"""
+
+
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling 5-min windows (batch run of the streaming operator —
+    same code path as readStream)."""
+    ev = t(spark, sf_dir, "events")
+    out = STR.tumbling_counts(ev, "5 minutes")
+    return out.select(
+        F.col("win_start").cast("long").alias("win_start_s"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_TUMBLING = """
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS win_start_s,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessions(spark, sf_dir):
+    """session_window(gap=10min) per user (batch run of the streaming
+    operator); oracle sessionizes with window SQL."""
+    ev = t(spark, sf_dir, "events")
+    out = STR.session_aggregates(ev, "10 minutes")
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("long").alias("session_start_s"),
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_SESSIONS = """
+WITH ev AS (
+  SELECT user_id, ts, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER w) > 600
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts_s) AS session_start_s, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct — approximate by design: rows-only check."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> mapInPandas decode ->
+    typed metadata (codec stubbed deterministically; schema/batching
+    real)."""
+    docs = t(spark, sf_dir, "documents")
+    payloads = M.attach_binary_payload(docs)
+    return M.decode_media(payloads).select(
+        "doc_id", "payload_bytes", "payload_digest", "width", "height"
+    )
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS payload_bytes,
+       md5(text) AS payload_digest,
+       64 + octet_length(encode(text)) % 64 AS width,
+       64 + (octet_length(encode(text)) // 64) % 64 AS height
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+CATALOG: dict[str, QueryDef] = {
+    "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),
+    "f2_prefix_filter": QueryDef(q_f2_prefix_filter, SQL_F2),
+    "f4_whitelist_deadletter": QueryDef(q_f4_whitelist_deadletter, SQL_F4),
+    "p1_regex_extract": QueryDef(q_p1_regex_extract, SQL_P1),
+    "p2_alternation_extract": QueryDef(q_p2_alternation_extract, SQL_P2),
+    "p3_range_extract": QueryDef(q_p3_range_extract, SQL_P3),
+    "g1_sessionize": QueryDef(q_g1_sessionize, SQL_G1),
+    "g4_ordinals": QueryDef(q_g4_ordinals, SQL_G4),
+    "a1_collect_set": QueryDef(q_a1_collect_set, SQL_A1),
+    "a3_flat_minmax": QueryDef(q_a3_flat_minmax, SQL_A3),
+    "a4_circular_resolution": QueryDef(q_a4_circular_resolution, SQL_A4),
+    "j1_lookup_join": QueryDef(q_j1_lookup_join, SQL_J1),
+    "j2_anti_join": QueryDef(q_j2_anti_join, SQL_J2),
+    "j3_fallback_coalesce": QueryDef(q_j3_fallback_coalesce, SQL_J3),
+    "o1_explode": QueryDef(q_o1_explode, SQL_O1),
+    "o3_union": QueryDef(q_o3_union, SQL_O3),
+    "o4_topk": QueryDef(q_o4_topk, SQL_O4),
+    "ena_context_analog": QueryDef(q_ena_context_analog, SQL_ENA_CONTEXT),
+    # §2.11 extensions
+    "dedup_exact": QueryDef(q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_signatures": QueryDef(q_minhash_signatures, SQL_MINHASH),
+    "lsh_candidate_pairs": QueryDef(q_lsh_candidate_pairs, SQL_LSH_PAIRS),
+    "simhash": QueryDef(q_simhash, SQL_SIMHASH),
+    "jaccard_pairs": QueryDef(q_jaccard_pairs, SQL_JACCARD),
+    "cosine_topk": QueryDef(q_cosine_topk, SQL_COSINE_TOPK),
+    "srp_buckets": QueryDef(q_srp_buckets, SQL_SRP_BUCKETS),
+    "lang_id": QueryDef(q_lang_id, SQL_LANG_ID),
+    "quality_scores": QueryDef(q_quality_scores, SQL_QUALITY),
+    "token_counts": QueryDef(q_token_counts, SQL_TOKEN_COUNTS),
+    "doc_fingerprints": QueryDef(q_doc_fingerprints, SQL_FINGERPRINTS),
+    "events_tumbling": QueryDef(q_events_tumbling, SQL_TUMBLING),
+    "events_sessions": QueryDef(q_events_sessions, SQL_SESSIONS),
+    "approx_distinct": QueryDef(q_approx_distinct, None),
+    "multimodal_decode": QueryDef(q_multimodal_decode, SQL_MULTIMODAL),
+}

@@ -1,0 +1,110 @@
+"""Event-stream operators (SURVEY.md §2.11 streaming surface).
+
+Every transformation here is expressed so the SAME function works on a
+batch DataFrame and a Structured Streaming DataFrame: tumbling/sliding
+aggs use ``window()``, session aggs use ``session_window()``, and the
+streaming entry points add ``withWatermark`` for bounded state.
+
+The reference has no streaming (its dataset is static files —
+reference README.md:43-48); this module is the incremental-processing
+extension mandated by BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "5 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_rates(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_events",
+        )
+    )
+
+
+def session_aggregates(
+    events: DataFrame, gap: str = "10 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Per-user session windows with a inactivity ``gap`` — the
+    streaming-native form of the G1 sessionization the EMBL parser uses
+    over line streams."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, mode: str = "append"
+) -> "object":
+    """Start a memory-sink query (tests/demos); returns the
+    StreamingQuery handle — caller awaits and reads
+    ``spark.table(query_name)``."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .start()
+    )

@@ -1,0 +1,157 @@
+"""Unit tests for the LLM-data-pipeline extension operators
+(SURVEY.md §2.11): dedup, similarity, text analysis, multimodal."""
+
+from pyspark.sql import functions as F
+
+from ena_database_build_spark.operators import dedup as D
+from ena_database_build_spark.operators import multimodal as M
+from ena_database_build_spark.operators import similarity as SIM
+from ena_database_build_spark.operators import textstats as T
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+    (4, "completely different words appear here nothing shared at all"),
+    (5, "  The  QUICK brown fox jumps over the lazy dog "),  # dup modulo norm
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_stable_winner(spark):
+    out = D.exact_dedup(_docs(spark))
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4]
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    sigs = {
+        r["doc_id"]: (r["mh0"], r["mh1"], r["mh2"], r["mh3"])
+        for r in D.minhash_signatures(_docs(spark), num_hashes=4).collect()
+    }
+    assert sigs[1] == sigs[2] == sigs[5]
+    assert sigs[1] != sigs[4]
+
+
+def test_lsh_candidates_and_jaccard(spark):
+    docs = _docs(spark)
+    pairs = D.lsh_candidate_pairs(docs, num_hashes=4, band_size=1, k=2)
+    got = {(r["left_id"], r["right_id"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dups always collide
+    assert (1, 3) in got  # near dups share a band with high probability
+    jac = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, pairs, k=2).collect()
+    }
+    assert jac[(1, 2)] == 1.0
+    assert 0.0 < jac[(1, 3)] < 1.0
+
+
+def test_simhash_properties(spark):
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in _docs(spark)
+        .select("doc_id", D.simhash16(F.col("text")).alias("sh"))
+        .collect()
+    }
+    assert all(len(v) == 16 and set(v) <= {"0", "1"} for v in out.values())
+    assert out[1] == out[2] == out[5]
+    # near-dup hamming distance < far-pair hamming distance
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    assert ham(out[1], out[3]) < ham(out[1], out[4])
+
+
+def _vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    out = SIM.cosine_topk(_vectors(spark), [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 4]
+    assert abs(out[0]["cos_sim"] - 1.0) < 1e-12
+
+
+def test_srp_bucket_topk_subset_of_bruteforce(spark):
+    vecs = _vectors(spark)
+    q = [1.0, 0.0, 0.0, 0.0]
+    approx = SIM.srp_bucket_topk(vecs, q, dim=4, k=5, bits=2).collect()
+    brute = {r["vec_id"]: r["cos_sim"] for r in SIM.cosine_topk(vecs, q, k=5).collect()}
+    for r in approx:
+        assert abs(brute[r["vec_id"]] - r["cos_sim"]) < 1e-12
+    # the opposite vector lands in a different bucket
+    assert 3 not in {r["vec_id"] for r in approx}
+
+
+def test_knn_join(spark):
+    vecs = _vectors(spark)
+    out = SIM.knn_join_bruteforce(vecs, vecs, k=2).collect()
+    by_left = {}
+    for r in out:
+        by_left.setdefault(r["left_id"], []).append(r["right_id"])
+    # nearest neighbor of each vector is itself (cos=1)
+    for left, rights in by_left.items():
+        assert rights[0] == left
+
+
+def test_detect_lang(spark):
+    rows = [
+        (1, "the cat and the dog sat in a house of bricks"),
+        (2, "el perro y la casa de los amigos en la ciudad"),
+        (3, "der hund und die katze ist nicht in das haus"),
+        (4, "xyzzy plugh qwertz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["lang"]
+        for r in df.select("doc_id", T.detect_lang(F.col("text")).alias("lang")).collect()
+    }
+    assert out == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_token_counts_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! This is a test sentence with 42 tokens?")],
+        "doc_id long, text string",
+    )
+    row = df.select(
+        T.whitespace_token_count(F.col("text")).alias("ws"),
+        T.regexp_token_count(F.col("text")).alias("re"),
+        T.quality_score(F.col("text")).alias("q"),
+    ).head()
+    assert row["ws"] == 10
+    # 9 words + the number 42 + 3 punctuation marks
+    assert row["re"] == 13
+    assert 0.0 <= row["q"] <= 1.0
+
+
+def test_multimodal_decode_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in M.decode_media(M.attach_binary_payload(docs)).collect()
+    }
+    assert out[1]["payload_bytes"] == 11
+    assert out[1]["width"] == 64 + 11 % 64
+    assert out[1]["height"] == 64
+    assert len(out[1]["payload_digest"]) == 32
+    assert out[2]["payload_bytes"] == 0 and out[2]["width"] == 0
+
+
+def test_frame_sample_plan(spark):
+    docs = spark.createDataFrame([(1, "x" * 25)], "doc_id long, text string")
+    frames = M.frame_sample_plan(
+        M.attach_binary_payload(docs), every_n=10
+    ).collect()
+    # 26 frames (25 % 300 + 1) sampled every 10 -> indices 0, 10, 20
+    assert [r["frame_idx"] for r in frames] == [0, 10, 20]

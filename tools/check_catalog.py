@@ -1,0 +1,94 @@
+"""Driver-style correctness check: run every CATALOG query on Spark and
+its oracle on DuckDB over the same parquet tables; compare row count,
+column names, and an order-insensitive value hash.
+
+Usage: python tools/check_catalog.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from ena_database_build_spark.plans.catalog import CATALOG, TABLES  # noqa: E402
+from ena_database_build_spark.session import get_spark  # noqa: E402
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype.kind == "f":
+            col = col.round(6)
+        h.update(col.to_csv(index=False).encode())
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or list(CATALOG)
+    spark = get_spark("check-catalog")
+    con = duckdb.connect()
+    for tab in TABLES:
+        con.sql(f"CREATE VIEW {tab} AS SELECT * FROM '{sf_dir}/{tab}.parquet'")
+    failures = []
+    for name in names:
+        qd = CATALOG[name]
+        try:
+            sdf = qd.spark(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if qd.oracle is None:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle)")
+            continue
+        try:
+            odf = con.sql(qd.oracle).df()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error: {exc}")
+            continue
+        s, o = canon(sdf), canon(odf)
+        if list(s.columns) != list(o.columns):
+            failures.append(name)
+            print(f"FAIL  {name}: columns {list(s.columns)} vs {list(o.columns)}")
+            continue
+        if len(s) != len(o):
+            failures.append(name)
+            print(f"FAIL  {name}: rows {len(s)} vs {len(o)}")
+            continue
+        hs, ho = value_hash(s), value_hash(o)
+        if hs != ho:
+            failures.append(name)
+            print(f"FAIL  {name}: value hash mismatch ({len(s)} rows)")
+            diff = (s != o)
+            bad = diff.any(axis=1)
+            if bad.any():
+                print("  spark:", s[bad].head(3).to_dict("records"))
+                print("  oracle:", o[bad].head(3).to_dict("records"))
+        else:
+            print(f"OK    {name}: {len(s)} rows")
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if failures:
+        print("failures:", failures)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
