@@ -21,7 +21,7 @@ Semantics pinned against the reference:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Full-match form of the reference pattern r"(\d+)\.\.\>?(\d+)"
@@ -110,3 +110,80 @@ def resolved_span(ranges: Column, chr_struct: Column, chr_len: Column) -> Column
         F.when(linear, lin_end).otherwise(circ_end).cast("long").alias("end"),
     )
     return F.when(ranges.isNull() | (F.size(ranges) == 0), F.lit(None)).otherwise(span)
+
+
+def resolved_span_relational(
+    ranges_df: DataFrame,
+    key_cols: list[str],
+    chr_struct_col: str = "chr_struct",
+    start_col: str = "start",
+    end_col: str = "end",
+    chr_len: Column | int = 1000,
+) -> DataFrame:
+    """A3+A4 over *exploded* range rows — the scale path.
+
+    Input: one row per range ``(key..., chr_struct, start, end)``.
+    Output: one row per key ``(key..., chr_struct, start_pos, end_pos)``
+    with identical semantics to :func:`resolved_span`.
+
+    Where :func:`resolved_span` folds an in-row array (right when a
+    record holds a handful of ranges, as EMBL CDS blocks do), this form
+    sorts ranges with one hash-partitioned window and aggregates — no
+    per-row array materialization, so a pathological record with
+    millions of ranges streams through instead of blowing a row buffer.
+    The window and both group-bys share the same partitioning key, so
+    the plan carries ONE shuffle of the range rows.
+    """
+    chr_len = F.lit(chr_len) if isinstance(chr_len, int) else chr_len
+    s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    w = Window.partitionBy(*key_cols).orderBy(start_col, end_col)
+    sorted_df = ranges_df.select(
+        *key_cols,
+        F.col(chr_struct_col),
+        s.alias("_s"),
+        e.alias("_e"),
+        F.row_number().over(w).alias("_rn"),
+        F.lag(e).over(w).alias("_prev_e"),
+        (s - F.lag(e).over(w) - 1).alias("_gap"),
+    )
+    stats = sorted_df.groupBy(*key_cols).agg(
+        F.max(chr_struct_col).alias(chr_struct_col),
+        F.count("*").alias("_n"),
+        F.min(F.least(F.col("_s"), F.col("_e"))).alias("_flat_min"),
+        F.max(F.greatest(F.col("_s"), F.col("_e"))).alias("_flat_max"),
+        F.min("_s").alias("_first_s"),
+        F.max_by("_e", "_rn").alias("_last_e"),
+        F.max("_gap").alias("_max_inner"),
+        (chr_len - F.max_by("_e", "_rn") + F.min("_s") - 1).alias("_wrap_gap"),
+    )
+    # first row whose gap equals the max inner gap (strict-> tie rule)
+    pick = (
+        sorted_df.join(
+            stats.select(*key_cols, "_max_inner"), key_cols
+        )
+        .where(F.col("_gap") == F.col("_max_inner"))
+        .groupBy(*key_cols)
+        .agg(
+            F.min_by("_s", "_rn").alias("_pick_s"),
+            F.min_by("_prev_e", "_rn").alias("_pick_prev_e"),
+        )
+    )
+    joined = stats.join(pick, key_cols, "left")
+    linear = F.col(chr_struct_col).cast("int") != 0
+    wrap_like = (
+        (F.col("_n") == 1)
+        | F.col("_max_inner").isNull()
+        | (F.col("_max_inner") <= F.col("_wrap_gap"))
+    )
+    return joined.select(
+        *key_cols,
+        F.col(chr_struct_col),
+        F.when(linear, F.col("_flat_min"))
+        .when(wrap_like, F.col("_first_s"))
+        .otherwise(F.col("_pick_s"))
+        .alias("start_pos"),
+        F.when(linear, F.col("_flat_max"))
+        .when(wrap_like, F.col("_last_e"))
+        .otherwise(F.col("_pick_prev_e"))
+        .alias("end_pos"),
+    )

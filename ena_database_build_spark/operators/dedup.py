@@ -21,7 +21,7 @@ Design at scale:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -67,6 +67,44 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+def shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    distinct: bool = False,
+) -> DataFrame:
+    """(id, shingle) rows via posexplode + window ``lead`` — the scale
+    path for shingling.
+
+    Building shingle *arrays* with ``transform(sequence(...),
+    element_at(tokens(text), ...))`` re-evaluates the tokenization per
+    array element (Catalyst does not CSE subexpressions into lambda
+    bodies), which is quadratic in document length.  Exploding tokens
+    once and composing each shingle from ``lead(tok, j)`` keeps every
+    step whole-stage-codegen'd and linear; the window's
+    ``partitionBy(id)`` exchange is reused by the downstream
+    per-doc aggregation.
+
+    Documents shorter than ``k`` tokens yield their single partial
+    shingle (``concat_ws`` skips the null leads), matching
+    :func:`shingles`.
+    """
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, k)]
+    sh = tok.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
+        (leads[-1].isNotNull() if k > 1 else F.lit(True)).alias("_complete"),
+    ).where(F.col("_complete") | (F.col("pos") == 0))
+    out = sh.select(id_col, "shingle")
+    return out.distinct() if distinct else out
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 8) -> list[Column]:
     """``num_hashes`` MinHash values per document.
 
@@ -91,10 +129,20 @@ def minhash_signatures(
     num_hashes: int = 8,
     k: int = 3,
 ) -> DataFrame:
-    sh = shingles(F.col(text_col), k).alias("_sh")
-    return df.select(F.col(id_col), sh).select(
-        id_col, *minhash_signature(F.col("_sh"), num_hashes)
-    )
+    """Per-doc MinHash signatures via explode + vectorized hash-agg.
+
+    Exploding (doc, shingle) and taking ``min(md5(i||shingle))`` per doc
+    beats evaluating ``num_hashes`` nested array transforms per row: the
+    mins combine map-side (partial aggregation), the hash agg is
+    whole-stage-codegen'd, and one huge document can no longer blow a
+    single row buffer — the shape that survives 100 TB.
+    """
+    sh = shingle_rows(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -152,22 +200,64 @@ def jaccard_pairs(
     k: int = 3,
 ) -> DataFrame:
     """Exact k-shingle Jaccard for given candidate (left_id, right_id)
-    pairs — verify step after LSH candidate generation."""
-    sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), k).alias("sh")
+    pairs — the verify step after LSH candidate generation.
+
+    Computed relationally (explode distinct shingles, equi-join on the
+    shingle, count) rather than via per-row ``array_intersect`` on
+    materialized shingle arrays: the join shuffles hash-partitioned
+    shingle rows, so two giant documents never meet in one row buffer.
+    """
+    ex = shingle_rows(df, text_col, id_col, k, distinct=True)
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n"))
+    exl = ex.select(F.col(id_col).alias("left_id"), "shingle")
+    exr = ex.select(F.col(id_col).alias("rid"), F.col("shingle").alias("r_shingle"))
+    inter = (
+        pairs.join(exl, "left_id")
+        .join(
+            exr,
+            (F.col("right_id") == F.col("rid"))
+            & (F.col("shingle") == F.col("r_shingle")),
+        )
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("n_inter"))
     )
     return (
-        pairs.join(sh.withColumnRenamed(id_col, "left_id").withColumnRenamed("sh", "lsh"), "left_id")
-        .join(sh.withColumnRenamed(id_col, "right_id").withColumnRenamed("sh", "rsh"), "right_id")
+        inter.join(sizes.withColumnRenamed(id_col, "left_id").withColumnRenamed("n", "n_left"), "left_id")
+        .join(sizes.withColumnRenamed(id_col, "right_id").withColumnRenamed("n", "n_right"), "right_id")
         .select(
             "left_id",
             "right_id",
             (
-                F.size(F.array_intersect("lsh", "rsh"))
-                / F.size(F.array_union("lsh", "rsh"))
+                F.col("n_inter")
+                / (F.col("n_left") + F.col("n_right") - F.col("n_inter"))
             ).alias("jaccard"),
         )
     )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc 16-bit SimHash via explode + one vectorized hash-agg
+    (16 conditional sums), semantically identical to :func:`simhash16`
+    but with map-side partial aggregation instead of 16 per-row array
+    folds.  Output: ``id_col, simhash STRING``."""
+    tk = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    h = F.md5("tok")
+    aggs = [
+        F.sum(
+            F.when(F.substring(h, i, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(1, 17)
+    ]
+    votes = tk.groupBy(id_col).agg(*aggs)
+    bits = [
+        F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(1, 17)
+    ]
+    return votes.select(F.col(id_col), F.concat(*bits).alias("simhash"))
 
 
 def simhash16(text: Column) -> Column:

@@ -20,7 +20,10 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ena_database_build_spark.functions.locations import location_ranges, resolved_span
+from ena_database_build_spark.functions.locations import (
+    location_ranges,
+    resolved_span_relational,
+)
 from ena_database_build_spark.operators import dedup as D
 from ena_database_build_spark.operators import multimodal as M
 from ena_database_build_spark.operators import similarity as SIM
@@ -328,28 +331,12 @@ def q_a4_circular_resolution(spark, sf_dir):
     ranges = li.select(
         F.col("l_orderkey"),
         (F.col("l_orderkey") % 2).cast("int").alias("chr_struct"),
-        F.struct(
-            (F.col("l_partkey") % 800 + 1).cast("long").alias("start"),
-            (F.col("l_partkey") % 800 + 1 + F.col("l_suppkey") % 120)
-            .cast("long")
-            .alias("end"),
-        ).alias("r"),
+        (F.col("l_partkey") % 800 + 1).cast("long").alias("start"),
+        (F.col("l_partkey") % 800 + 1 + F.col("l_suppkey") % 120)
+        .cast("long")
+        .alias("end"),
     )
-    grouped = ranges.groupBy("l_orderkey", "chr_struct").agg(
-        F.collect_list("r").alias("loc_ranges")
-    )
-    return grouped.select(
-        "l_orderkey",
-        "chr_struct",
-        resolved_span(
-            F.col("loc_ranges"), F.col("chr_struct"), F.lit(1000)
-        ).alias("span"),
-    ).select(
-        "l_orderkey",
-        "chr_struct",
-        F.col("span.start").alias("start_pos"),
-        F.col("span.end").alias("end_pos"),
-    )
+    return resolved_span_relational(ranges, ["l_orderkey"], chr_len=1000)
 
 
 SQL_A4 = """
@@ -674,9 +661,8 @@ FROM sig l JOIN sig r
 
 
 def q_simhash(spark, sf_dir):
-    """16-bit SimHash bit-string per document."""
-    docs = t(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash16(F.col("text")).alias("simhash"))
+    """16-bit SimHash bit-string per document (explode + hash-agg)."""
+    return D.simhash_signatures(t(spark, sf_dir, "documents"))
 
 
 def _simhash_sql() -> str:
@@ -739,11 +725,26 @@ JOIN sizes sb ON sb.doc_id = p.right_id
 
 
 def q_cosine_topk(spark, sf_dir):
-    """Brute-force ANN baseline: cosine top-20 to the vec_id=0 vector."""
+    """Brute-force ANN baseline: cosine top-20 to the vec_id=0 vector.
+    The query vector joins in as a broadcast 1-row relation — no driver
+    collect, one job."""
     emb = t(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    out = SIM.cosine_topk(emb, list(qvec), k=20)
-    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+    q = F.broadcast(
+        emb.where(F.col("vec_id") == 0).select(
+            F.col("embedding").cast("array<double>").alias("qv")
+        )
+    )
+    scored = emb.crossJoin(q).select(
+        "vec_id",
+        SIM.cosine(F.col("embedding").cast("array<double>"), F.col("qv")).alias(
+            "cos"
+        ),
+    )
+    return (
+        scored.orderBy(F.desc("cos"), "vec_id")
+        .limit(20)
+        .select("vec_id", F.round("cos", 6).alias("cos_sim"))
+    )
 
 
 SQL_COSINE_TOPK = """

@@ -148,3 +148,28 @@ def test_resolved_span_null_on_empty(spark):
         resolved_span(F.col("loc_ranges"), F.lit(1), F.lit(100)).alias("span")
     ).collect()[0]
     assert row["span"] is None
+
+
+def test_resolved_span_relational_matches_goldens(spark):
+    """The exploded-rows resolver (scale path) must agree with the
+    array resolver on every golden case."""
+    from ena_database_build_spark.functions.locations import (
+        resolved_span_relational,
+    )
+
+    rows = [
+        (case_id, struct, s, e)
+        for case_id, ranges, struct, _ in SPAN_CASES
+        for s, e in ranges
+    ]
+    df = spark.createDataFrame(
+        rows, "case_id string, chr_struct int, start long, end long"
+    )
+    out = {
+        r["case_id"]: (r["start_pos"], r["end_pos"])
+        for r in resolved_span_relational(
+            df, ["case_id"], chr_len=CHR_LEN
+        ).collect()
+    }
+    for case_id, _, _, expected in SPAN_CASES:
+        assert out[case_id] == expected, case_id
