@@ -62,12 +62,20 @@ def resolved_span(ranges: Column, chr_struct: Column, chr_len: Column) -> Column
     first — operator F7).
     """
     chr_len = chr_len.cast("long")
-    # array_sort on structs orders by (start, end) — the reference sorts by
-    # start only with a stable sort; equal-start ties never occur in the
-    # golden corpus and either order yields identical gap analysis unless
-    # ranges are degenerate.
-    r = F.array_sort(ranges)
-    n = F.size(r)
+    # The reference sorts by start with a *stable* sort
+    # (parse_embl.py:401), so equal-start ranges keep their original
+    # order — observable in the circular gap analysis.  Reproduce by
+    # sorting (start, original_index, end) structs.
+    n = F.size(ranges)
+    r = F.array_sort(
+        F.zip_with(
+            ranges,
+            F.sequence(F.lit(1), n),
+            lambda x, i: F.struct(
+                x["start"].alias("start"), i.alias("idx"), x["end"].alias("end")
+            ),
+        )
+    )
     starts = F.transform(r, lambda x: x["start"])
     ends = F.transform(r, lambda x: x["end"])
 
@@ -124,7 +132,11 @@ def resolved_span_relational(
 
     Input: one row per range ``(key..., chr_struct, start, end)``.
     Output: one row per key ``(key..., chr_struct, start_pos, end_pos)``
-    with identical semantics to :func:`resolved_span`.
+    with identical semantics to :func:`resolved_span` except for
+    equal-start ties: DataFrame rows carry no document order, so ties
+    sort by ``(start, end)`` here, while :func:`resolved_span`
+    preserves the in-array order (the reference's stable sort).  Pass
+    ranges through the array form when tie order is semantic.
 
     Where :func:`resolved_span` folds an in-row array (right when a
     record holds a handful of ranges, as EMBL CDS blocks do), this form

@@ -43,12 +43,24 @@ def segment_lines(embl_lines: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     line = F.col("line")
-    return (
-        embl_lines.where(E.is_interesting_line(line))
-        .withColumn("is_id", E.is_id_line(line))
-        .withColumn("is_ft_start", E.is_feature_start(line))
-        .withColumn("record_idx", F.sum(F.col("is_id").cast("long")).over(w))
-        .withColumn("block_idx", F.sum(F.col("is_ft_start").cast("long")).over(w))
+    flagged = embl_lines.where(E.is_interesting_line(line)).select(
+        "*",
+        E.is_id_line(line).alias("is_id"),
+        E.is_feature_start(line).alias("is_ft_start"),
+        (
+            (E.is_feature_start(line) | E.is_qualifier_continuation(line))
+            & line.contains("/")
+        )
+        .cast("int")
+        .alias("_has_slash"),
+    )
+    # all three running sums share one Window spec -> ONE window pass
+    # (chained withColumn would plan separate Window operators)
+    return flagged.select(
+        "*",
+        F.sum(F.col("is_id").cast("long")).over(w).alias("record_idx"),
+        F.sum(F.col("is_ft_start").cast("long")).over(w).alias("block_idx"),
+        F.sum("_has_slash").over(w).alias("_slash_cum"),
     )
 
 
@@ -60,7 +72,13 @@ def extract_records(segmented: DataFrame) -> DataFrame:
     Eukaryota without `` Fungi`` — parse_embl.py:527-535) and
     ``reject_reason`` for the dead-letter channel.
     """
-    parsed = segmented.withColumn(
+    # Only ID lines and record-voiding OC lines influence the record
+    # header — filter BEFORE the aggregation shuffle so it carries
+    # ~records-many rows, not every feature line of the corpus.
+    relevant = segmented.where(
+        F.col("is_id") | E.is_drop_taxonomy_line(F.col("line"))
+    )
+    parsed = relevant.withColumn(
         "id_info",
         F.when(F.col("is_id"), E.parse_id_line(F.col("line"))),
     )
@@ -89,7 +107,7 @@ def extract_records(segmented: DataFrame) -> DataFrame:
 
 
 def extract_cds_blocks(segmented: DataFrame) -> DataFrame:
-    """G2 close-out: one row per CDS feature block.
+    """G2 close-out: one row per CDS feature block, pre-digested.
 
     A block belongs to a CDS iff its head line (the feature-start line
     that opened it) starts with ``FT   CDS `` (P5, parse_embl.py:557).
@@ -98,30 +116,90 @@ def extract_cds_blocks(segmented: DataFrame) -> DataFrame:
     inside the block span is ignored, matching the state machine's
     fall-through.
 
-    Output: ``file, record_idx, block_idx, first_line_no, block_lines
-    ARRAY<STRING>`` (in line order).
+    Scale design: a buffered block line matters only as (a) part of the
+    location descriptor — the concatenation cut at the block's first
+    ``/`` (parse_embl.py:129) — or (b) an xref carrier (P2).  Both are
+    decided map-side here, over the same per-file sort the
+    segmentation window already established (no extra exchange): a
+    cumulative slash count per block marks post-qualifier lines, whose
+    text — including arbitrarily long ``/translation`` payloads — is
+    dropped BEFORE the block shuffle.  Only short location fragments
+    and extracted ids travel.
+
+    Output: ``file, record_idx, block_idx, first_line_no,
+    loc_parts ARRAY<STRING> (in line order), protein_ids, uniprot_ids``.
     """
-    candidate = segmented.where(
-        (F.col("block_idx") > 0)
-        & (F.col("record_idx") > 0)
-        & (F.col("is_ft_start") | E.is_qualifier_continuation(F.col("line")))
+    w = Window.partitionBy("file").orderBy("line_no")
+    line = F.col("line")
+    candidate = F.col("is_ft_start") | E.is_qualifier_continuation(line)
+    has_slash = F.col("_has_slash")
+    slash_cum = F.col("_slash_cum")  # computed in segment_lines' window pass
+    # slash count just before the current block's head line
+    block_base = F.last(
+        F.when(F.col("is_ft_start"), slash_cum - has_slash), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prior_slash = slash_cum - has_slash - block_base
+
+    pre = (
+        segmented.withColumn("_prior_slash", prior_slash)
+        .where(
+            (F.col("block_idx") > 0)
+            & (F.col("record_idx") > 0)
+            & candidate
+        )
+        .select(
+            "file",
+            "record_idx",
+            "block_idx",
+            "line_no",
+            "_prior_slash",
+            F.when(
+                F.col("_prior_slash") == 0,
+                F.when(
+                    line.contains("/"), F.substring_index(line, "/", 1)
+                ).otherwise(line),
+            ).alias("loc_part"),
+            E.protein_id(line).alias("protein_id"),
+            E.uniprot_id(line).alias("uniprot_id"),
+            (F.col("is_ft_start") & E.is_cds_head(line)).alias("is_cds_head"),
+            F.col("is_ft_start"),
+        )
+        .where(
+            (F.col("_prior_slash") == 0)
+            | F.col("protein_id").isNotNull()
+            | F.col("uniprot_id").isNotNull()
+        )
+        .drop("_prior_slash")
     )
     return (
-        candidate.groupBy("file", "record_idx", "block_idx")
+        pre.groupBy("file", "record_idx", "block_idx")
         .agg(
             F.min("line_no").alias("first_line_no"),
-            F.min_by("line", "line_no").alias("head_line"),
+            F.max(
+                F.when(F.col("is_ft_start"), F.col("is_cds_head"))
+            ).alias("_head_is_cds"),
             F.array_sort(
-                F.collect_list(F.struct("line_no", "line"))
+                F.collect_list(
+                    F.when(
+                        F.col("loc_part").isNotNull(),
+                        F.struct("line_no", "loc_part"),
+                    )
+                )
             ).alias("_ordered"),
+            F.collect_set("protein_id").alias("protein_ids"),
+            F.collect_set("uniprot_id").alias("uniprot_ids"),
         )
-        .where(E.is_cds_head(F.col("head_line")))
+        .where(F.col("_head_is_cds"))
         .select(
             "file",
             "record_idx",
             "block_idx",
             "first_line_no",
-            F.transform(F.col("_ordered"), lambda s: s["line"]).alias("block_lines"),
+            F.transform(F.col("_ordered"), lambda s: s["loc_part"]).alias(
+                "loc_parts"
+            ),
+            "protein_ids",
+            "uniprot_ids",
         )
     )
 

@@ -56,9 +56,16 @@ def parse_records(embl_lines: DataFrame) -> DataFrame:
     return S.extract_records(segmented)
 
 
-def parse_loci(embl_lines: DataFrame) -> DataFrame:
-    """records+blocks -> loci with resolved spans and per-locus id sets."""
-    segmented = S.segment_lines(embl_lines)
+def parse_loci(
+    embl_lines: DataFrame, segmented: DataFrame | None = None
+) -> DataFrame:
+    """records+blocks -> loci with resolved spans and per-locus id sets.
+
+    Pass a pre-computed (ideally persisted) ``segmented`` DataFrame to
+    avoid re-running ingest + windowing for each consumer branch.
+    """
+    if segmented is None:
+        segmented = S.segment_lines(embl_lines)
     records = S.extract_records(segmented)
     blocks = S.extract_cds_blocks(segmented)
 
@@ -67,7 +74,7 @@ def parse_loci(embl_lines: DataFrame) -> DataFrame:
     )
 
     parsed = blocks.withColumn(
-        "loc_str", E.cds_location_string(F.col("block_lines"))
+        "loc_str", E.cds_location_string(F.col("loc_parts"))
     ).withColumn("loc_ranges", location_ranges(F.col("loc_str")))
 
     # F7: blocks with no x..y range are dropped *before* ordinal
@@ -75,7 +82,8 @@ def parse_loci(embl_lines: DataFrame) -> DataFrame:
     good = parsed.where(F.size("loc_ranges") > 0)
     numbered = S.number_loci(good)
 
-    # A1: per-locus xref sets from the block's own qualifier lines.
+    # A1: per-locus xref sets were already collect_set'd map-side in
+    # extract_cds_blocks.
     with_ids = numbered.select(
         "file",
         "record_idx",
@@ -84,21 +92,15 @@ def parse_loci(embl_lines: DataFrame) -> DataFrame:
         "loc_str",
         "loc_ranges",
         E.strand_direction(F.col("loc_str")).alias("direction"),
-        F.array_compact(
-            F.array_distinct(
-                F.transform(F.col("block_lines"), E.uniprot_id)
-            )
-        ).alias("uniprot_ids"),
-        F.array_compact(
-            F.array_distinct(
-                F.transform(F.col("block_lines"), E.protein_id)
-            )
-        ).alias("protein_ids"),
+        "uniprot_ids",
+        "protein_ids",
     )
 
-    # Record join is 1:N on (file, record_idx); records are tiny relative
-    # to loci — shuffle join on the same keys the aggregations used.
-    joined = with_ids.join(live_records, ["file", "record_idx"])
+    # Record join is 1:N on (file, record_idx); record headers are a few
+    # dozen bytes each — broadcast them so the block side never
+    # shuffles.  (At extreme record counts AQE would fall back to a
+    # shuffle join if the broadcast exceeded the threshold.)
+    joined = with_ids.join(F.broadcast(live_records), ["file", "record_idx"])
 
     return joined.select(
         "file",
@@ -150,35 +152,58 @@ def resolve_uniprot_ids(
         mapping = F.broadcast(mapping)
 
     locus_key = ["file", "record_idx", "locus_num"]
-    exploded = loci.select(
-        *locus_key, F.explode("protein_ids").alias("foreign_id")
-    )
-    mapped = (
-        exploded.join(mapping, "foreign_id")
-        .groupBy(*locus_key)
-        .agg(F.collect_list("uniprot_id").alias("mapped_uniprot_ids"))
-    )
+    other_cols = [c for c in loci.columns if c not in locus_key]
 
-    resolved = loci.join(mapped, locus_key, "left").withColumn(
+    # Single consumption of `loci`: explode the protein-id set
+    # (explode_outer keeps protein-less loci alive for the fallback),
+    # join the mapping, and fold back to locus grain.  The group-by
+    # keys extend the pipeline's file-prefixed partitioning, so with a
+    # broadcast mapping this whole step adds ZERO exchanges.
+    exploded = loci.select(
+        *loci.columns, F.explode_outer("protein_ids").alias("foreign_id")
+    )
+    joined = exploded.join(
+        mapping.withColumnRenamed("uniprot_id", "_mapped_id"), "foreign_id", "left"
+    )
+    regrouped = joined.groupBy(*locus_key).agg(
+        *[F.first(c).alias(c) for c in other_cols],
+        F.collect_list("_mapped_id").alias("mapped_uniprot_ids"),
+    )
+    resolved = regrouped.withColumn(
         "resolved_uniprot_ids",
         F.when(
-            F.size(F.coalesce(F.col("mapped_uniprot_ids"), F.array())) > 0,
-            F.col("mapped_uniprot_ids"),
+            F.size("mapped_uniprot_ids") > 0, F.col("mapped_uniprot_ids")
         ).otherwise(F.col("uniprot_ids")),
     )
     return resolved.where(F.size("resolved_uniprot_ids") > 0)
 
 
 def build_ena_tab(
-    embl_lines: DataFrame, idmapping: DataFrame, broadcast_mapping: bool = False
+    embl_lines: DataFrame,
+    idmapping: DataFrame,
+    broadcast_mapping: bool = False,
+    persist_intermediates: bool = False,
 ) -> DataFrame:
     """Full pipeline: ordered lines + idmapping -> the 7-column table.
 
     Output grain: one row per (locus, resolved uniprot id list element);
     duplicates across overlapping input files are preserved (quirk
     §2.10.8 — the reference never dedups globally).
+
+    ``persist_intermediates`` caches the segmented lines and the loci.
+    Default OFF: the multi-consumer branches (records/blocks, the
+    explode/join sides of J1/J3) share identical exchange subplans that
+    Spark's ReuseExchange already dedups within the single write job,
+    and measurements show caching the 10^6-row line table costs more
+    (memory pressure + materialization) than it saves.  Turn on only
+    when running several separate actions over one small corpus.
     """
-    loci = parse_loci(embl_lines)
+    segmented = S.segment_lines(embl_lines)
+    if persist_intermediates:
+        segmented = segmented.persist()
+    loci = parse_loci(embl_lines, segmented=segmented)
+    if persist_intermediates:
+        loci = loci.persist()
     resolved = resolve_uniprot_ids(loci, idmapping, broadcast_mapping)
     return resolved.select(
         "file",
@@ -198,17 +223,27 @@ def build_all(
     """Run the pipeline and expose dead-letter channels (SURVEY.md §4.3:
     the reference print-and-skips malformed rows; we surface them as
     filterable DataFrames instead)."""
-    segmented = S.segment_lines(embl_lines)
+    segmented = S.segment_lines(embl_lines).persist()
     records = S.extract_records(segmented)
-    loci = parse_loci(embl_lines)
-    ena_tab = build_ena_tab(embl_lines, idmapping, broadcast_mapping)
+    loci = parse_loci(embl_lines, segmented=segmented)
+    resolved = resolve_uniprot_ids(loci, idmapping, broadcast_mapping)
+    ena_tab = resolved.select(
+        "file",
+        "ena_id",
+        F.explode("resolved_uniprot_ids").alias("uniprot_id"),
+        "locus_num",
+        "chr_struct",
+        "direction",
+        "start",
+        "end",
+    ).select("file", *ENA_TAB_COLUMNS)
 
     rejected_records = records.where(F.col("reject_reason").isNotNull()).select(
         "file", "record_idx", "reject_reason"
     )
     blocks = S.extract_cds_blocks(segmented)
     rejected_blocks = (
-        blocks.withColumn("loc_str", E.cds_location_string(F.col("block_lines")))
+        blocks.withColumn("loc_str", E.cds_location_string(F.col("loc_parts")))
         .withColumn("loc_ranges", location_ranges(F.col("loc_str")))
         .where(F.size("loc_ranges") == 0)
         .select(

@@ -53,8 +53,15 @@ def read_embl_lines(
     )
     if apply_division_filter:
         raw = raw.where(E.matches_sequence_division(F.col("file")))
-    if target_partitions:
-        raw = raw.repartition(target_partitions, "file")
+    # Repartition the WHOLE-FILE blobs by file before exploding: the
+    # shuffle then moves one row per file instead of millions of line
+    # rows, and the resulting hashpartitioning(file) satisfies every
+    # downstream clustering requirement (windows and group-bys all key
+    # on a `file` prefix), so the entire sessionization pipeline runs
+    # with no further exchange of line data.
+    if target_partitions is None:
+        target_partitions = spark.sparkContext.defaultParallelism * 2
+    raw = raw.repartition(target_partitions, "file")
     # universal-newline split — the reference reads with text-mode
     # gzip.open (newline=None), so \r\n and \r collapse to \n
     return raw.select(

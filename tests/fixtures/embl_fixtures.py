@@ -68,6 +68,35 @@ FILE_SEQUENCE_PRO = "\n".join(
     ]
 )
 
+# Edge cases: CDS block open at EOF (no trailing newline), stray
+# qualifier-continuation lines before any CDS, a non-CDS feature block
+# between two CDS blocks, a record whose only content is OC lines.
+FILE_EDGE = (
+    "\n".join(
+        [
+            "ID   EDGE0001; SV 1; linear; genomic DNA; WGS; PRO; 3000 BP.",
+            "OC   Bacteria; lineage.",
+            'FT                   /db_xref="UniProtKB/TrEMBL:STRAY1"',
+            "FT   CDS             10..20",
+            'FT                   /db_xref="UniProtKB/TrEMBL:E00001"',
+            "FT   gene            30..40",
+            'FT                   /locus_tag="ignored"',
+            "FT   CDS             complement(50..60)",
+            'FT                   /db_xref="UniProtKB/TrEMBL:E00002"',
+            "ID   EDGE0002; SV 1; linear; genomic DNA; WGS; PRO; 500 BP.",
+            "OC   Bacteria; lineage.",
+            "ID   EDGE0003; SV 1; circular; genomic DNA; WGS; PRO; 100 BP.",
+            "OC   Bacteria; lineage.",
+            # equal-start ranges: the reference's stable sort keeps the
+            # longer range first, which changes the circular gap result
+            "FT   CDS             join(40..80,40..45,90..100)",
+            'FT                   /db_xref="UniProtKB/TrEMBL:E00004"',
+            "FT   CDS             join(90..100,1..10)",
+        ]
+    )
+    + '\nFT                   /db_xref="UniProtKB/TrEMBL:E00003"'
+)
+
 # Excluded by F1: filename has no _(ENV|PRO|FUN|PHG)_ division tag.
 FILE_SEQUENCE_OTHER = "\n".join(
     [
@@ -81,6 +110,7 @@ FILE_SEQUENCE_OTHER = "\n".join(
 
 FILES = {
     "wgs/public/abz/ABZA01.dat.gz": FILE_WGS,
+    "wgs/public/edg/EDGE01.dat.gz": FILE_EDGE,
     "sequence/pro/rel_std_PRO_01_r138.dat.gz": FILE_SEQUENCE_PRO,
     "sequence/con/rel_std_con_01_r138.dat.gz": FILE_SEQUENCE_OTHER,
 }
@@ -105,6 +135,10 @@ EXPECTED_ENA_TAB = [
     ("ABZA01000002", "B6Y700", 1, 0, 0, 900, 70),
     ("ABZA01000003", "X1", 2, 1, 1, 250, 400),
     ("ABZA01000003", "X1", 2, 1, 1, 250, 400),
+    ("EDGE0001", "E00001", 1, 1, 1, 10, 20),
+    ("EDGE0001", "E00002", 2, 1, 0, 50, 60),
+    ("EDGE0003", "E00003", 2, 0, 1, 90, 10),
+    ("EDGE0003", "E00004", 1, 0, 1, 90, 45),
     ("FUN0001", "Y1", 1, 1, 1, 1, 202),
     ("SEQ0001", "Q00001", 1, 1, 1, 1, 888),
 ]

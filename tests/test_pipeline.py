@@ -100,5 +100,6 @@ def test_tsv_sink_roundtrip(spark, corpus, idmapping_df, tmp_path):
     shard_dirs = {p.name for p in Path(out).iterdir() if p.is_dir()}
     assert shard_dirs == {
         "source_dir=wgs-public-abz",
+        "source_dir=wgs-public-edg",
         "source_dir=sequence-pro",
     }
