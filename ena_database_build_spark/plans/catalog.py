@@ -969,6 +969,29 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def q_events_sliding(spark, sf_dir):
+    """Sliding 10-min windows every 5 min (each event lands in exactly
+    two windows); oracle materializes both shifted buckets."""
+    ev = t(spark, sf_dir, "events")
+    out = STR.sliding_rates(ev, "10 minutes", "5 minutes")
+    return out.select(
+        F.col("win_start").cast("long").alias("win_start_s"), "n_events"
+    )
+
+
+SQL_SLIDING = """
+WITH ev AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS b FROM events
+), assigned AS (
+  SELECT b AS win_start_s FROM ev
+  UNION ALL
+  SELECT b - 300 AS win_start_s FROM ev
+)
+SELECT win_start_s, count(*) AS n_events
+FROM assigned GROUP BY win_start_s
+"""
+
+
 def q_approx_distinct(spark, sf_dir):
     """approx_count_distinct — approximate by design: rows-only check."""
     return (
@@ -1035,6 +1058,7 @@ CATALOG: dict[str, QueryDef] = {
     "token_counts": QueryDef(q_token_counts, SQL_TOKEN_COUNTS),
     "doc_fingerprints": QueryDef(q_doc_fingerprints, SQL_FINGERPRINTS),
     "events_tumbling": QueryDef(q_events_tumbling, SQL_TUMBLING),
+    "events_sliding": QueryDef(q_events_sliding, SQL_SLIDING),
     "events_sessions": QueryDef(q_events_sessions, SQL_SESSIONS),
     "approx_distinct": QueryDef(q_approx_distinct, None),
     "multimodal_decode": QueryDef(q_multimodal_decode, SQL_MULTIMODAL),

@@ -108,3 +108,43 @@ def run_stream_to_memory(
         .outputMode(mode)
         .start()
     )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id — Spark's built-in stateful
+    dropDuplicates; the watermark bounds the dedup state."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running totals (count + value sum) updated each
+    micro-batch — the pattern for operators Spark's built-ins can't
+    express (session-carried custom state).
+
+    Works only on streaming DataFrames; batch equivalent is a plain
+    groupBy aggregation (asserted equal in tests).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    output_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -63,3 +63,61 @@ def test_session_stream_matches_batch(spark, event_dir):
     want = STR.session_aggregates(_batch_events(spark, event_dir), "10 minutes")
     cols = ["user_id", "session_start", "n_events", "sum_value"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sliding_stream_matches_batch(spark, event_dir):
+    stream = STR.read_event_stream(spark, event_dir, max_files_per_trigger=2)
+    got = _run_stream(
+        spark,
+        STR.sliding_rates(stream, "10 minutes", "5 minutes"),
+        "slide",
+        mode="complete",
+    )
+    want = STR.sliding_rates(
+        _batch_events(spark, event_dir), "10 minutes", "5 minutes"
+    )
+    cols = ["win_start", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_dedup(spark, event_dir):
+    src = _batch_events(spark, event_dir)
+    doubled_dir = event_dir + "_doubled"
+    src.unionByName(src).repartition(4).write.mode("overwrite").parquet(doubled_dir)
+    stream = STR.read_event_stream(spark, doubled_dir, max_files_per_trigger=2)
+    got = _run_stream(spark, STR.stream_dedup(stream), "dedup")
+    assert got.count() == src.count()
+    assert got.select("event_id").distinct().count() == src.count()
+
+
+def test_running_user_totals_stateful(spark, event_dir):
+    from pyspark.sql import functions as F
+
+    stream = STR.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    got = _run_stream(
+        spark, STR.running_user_totals(stream), "totals", mode="update"
+    )
+    # last update per user == full-history totals
+    from pyspark.sql import Window
+    import pyspark.sql.functions as SF
+
+    final = (
+        got.withColumn(
+            "rn",
+            SF.row_number().over(
+                Window.partitionBy("user_id").orderBy(SF.desc("n_events"))
+            ),
+        )
+        .where("rn = 1")
+        .select("user_id", "n_events", "total_value")
+    )
+    want = (
+        _batch_events(spark, event_dir)
+        .groupBy("user_id")
+        .agg(
+            SF.count("*").alias("n_events"),
+            SF.round(SF.sum("value"), 6).alias("total_value"),
+        )
+    )
+    cols = ["user_id", "n_events", "total_value"]
+    assert _rows(final, cols) == _rows(want, cols)

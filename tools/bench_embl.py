@@ -23,8 +23,8 @@ from pathlib import Path
 
 sys.path.insert(0, ".")
 
-N_FILES = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-N_RECORDS = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+N_FILES = 64
+N_RECORDS = 100
 
 
 def gen_corpus(root: Path) -> list[tuple[str, str]]:
@@ -146,6 +146,11 @@ def run_spark(root: Path, pairs) -> tuple[float, list]:
 
 
 def main() -> None:
+    global N_FILES, N_RECORDS
+    if len(sys.argv) > 1:
+        N_FILES = int(sys.argv[1])
+    if len(sys.argv) > 2:
+        N_RECORDS = int(sys.argv[2])
     with tempfile.TemporaryDirectory() as d:
         root = Path(d)
         pairs = gen_corpus(root)
