@@ -125,6 +125,43 @@ FROM orders GROUP BY 1
 """
 
 
+def q_f1_division_filter(spark, sf_dir):
+    """F1: the listing-time filename division filter applied to
+    constructed ENA-layout paths (dask_tasks.py:78-85) — sequence/
+    paths survive only with an uppercase division tag."""
+    docs = t(spark, sf_dir, "documents")
+    path = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("wgs/public/abc/")).otherwise(
+            F.lit("sequence/pro/")
+        ),
+        F.lit("rel_std_"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("PRO")).otherwise(F.lit("con")),
+        F.lit("_01.dat.gz"),
+    )
+    from ena_database_build_spark.functions import embl as E
+
+    return (
+        docs.select("doc_id", path.alias("path"))
+        .where(E.matches_sequence_division(F.col("path")))
+        .select("doc_id", "path")
+    )
+
+
+SQL_F1 = """
+WITH paths AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'wgs/public/abc/' ELSE 'sequence/pro/' END)
+         || 'rel_std_'
+         || (CASE WHEN doc_id % 2 = 0 THEN 'PRO' ELSE 'con' END)
+         || '_01.dat.gz' AS path
+  FROM documents
+)
+SELECT doc_id, path FROM paths
+WHERE NOT contains(regexp_replace(path, '/[^/]*$', ''), 'sequence')
+   OR regexp_matches(regexp_extract(path, '([^/]*)$', 1), '_(ENV|PRO|FUN|PHG)_')
+"""
+
+
 def q_p1_regex_extract(spark, sf_dir):
     """P1: rigid regex extraction with cast (ID-line analog,
     parse_embl.py:16)."""
@@ -1028,6 +1065,7 @@ FROM documents
 
 CATALOG: dict[str, QueryDef] = {
     "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),
+    "f1_division_filter": QueryDef(q_f1_division_filter, SQL_F1),
     "f2_prefix_filter": QueryDef(q_f2_prefix_filter, SQL_F2),
     "f4_whitelist_deadletter": QueryDef(q_f4_whitelist_deadletter, SQL_F4),
     "p1_regex_extract": QueryDef(q_p1_regex_extract, SQL_P1),
