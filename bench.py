@@ -80,6 +80,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg_1m": round(os.getloadavg()[0], 1),
             }
         )
     )

@@ -154,6 +154,8 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as d:
         root = Path(d)
         pairs = gen_corpus(root)
+        import os
+
         ref_secs, ref_rows = run_reference(root, pairs)
         spark_secs, spark_rows = run_spark(root, pairs)
         match = ref_rows == spark_rows
@@ -167,6 +169,9 @@ def main() -> None:
                     "reference_sec": round(ref_secs, 2),
                     "spark_sec": round(spark_secs, 2),
                     "speedup": round(ref_secs / spark_secs, 2),
+                    # external load skews a 32-way engine far more than
+                    # the single-core reference loop — interpret with this
+                    "loadavg_1m": round(os.getloadavg()[0], 1),
                 }
             )
         )
