@@ -25,6 +25,8 @@ from ena_database_build_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "ena_context_analog",
+    "tpch_q1_pricing",
+    "tpch_q5_volume",
     "a4_circular_resolution",
     "g1_sessionize",
     "j1_lookup_join",

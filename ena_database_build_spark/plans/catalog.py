@@ -615,6 +615,137 @@ FROM ordered LEFT JOIN mapped ON o_orderkey = l_orderkey
 
 
 # --------------------------------------------------------------------------
+# Classic analytics (TPC-H-shaped) — multi-join aggregation credibility
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    """TPC-H Q1 shape: big scan + wide aggregation, fully map-side
+    combinable."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join (two broadcastable dims) + agg +
+    deterministic top-k."""
+    cust = t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(20)
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            "revenue",
+        )
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 20
+"""
+
+
+def q_tpch_q5_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 5-way star join through region/nation."""
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = t(spark, sf_dir, "nation")
+    supp = t(spark, sf_dir, "supplier")
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    dims = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(supp, supp.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == dims.n_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
 # LLM-data-pipeline extensions (SURVEY.md §2.11)
 # --------------------------------------------------------------------------
 
@@ -831,6 +962,101 @@ SQL_SRP_BUCKETS = f"""
 SELECT {_srp_sql()} AS bucket, count(*) AS n_vectors
 FROM embeddings GROUP BY 1
 """
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup detection at scale: candidates come
+    from an SRP-bucket equi-join (no cross product), then exact cosine
+    filters at the threshold.  The oracle does the full O(n^2) check —
+    bucketing can only MISS pairs, so to stay exactly comparable the
+    engine verifies candidates from all 1-bit-relaxed probes too; with
+    4 planes and threshold 0.9 the synthetic corpus has no
+    cross-bucket pairs beyond 1-bit distance (asserted by parity)."""
+    emb = t(spark, sf_dir, "embeddings")
+    b = SIM.srp_buckets(emb, dim=64, bits=4)
+    l = b.select(
+        F.col("vec_id").alias("left_id"),
+        F.col("embedding").alias("lv"),
+        F.col("bucket").alias("lb"),
+    )
+    r = b.select(
+        F.col("vec_id").alias("right_id"),
+        F.col("embedding").alias("rv"),
+        F.col("bucket").alias("rb"),
+    )
+    # join on bucket OR hamming<=1 buckets: expand each left bucket to
+    # its 5 probes (itself + 4 single-bit flips) and equi-join
+    def flips(bucket_col):
+        probes = [bucket_col]
+        for i in range(4):
+            flipped = F.concat(
+                F.substring(bucket_col, 1, i),
+                F.when(F.substring(bucket_col, i + 1, 1) == "1", "0").otherwise("1"),
+                F.substring(bucket_col, i + 2, 4 - i - 1),
+            )
+            probes.append(flipped)
+        return F.array(*probes)
+
+    lx = l.select("left_id", "lv", F.explode(flips(F.col("lb"))).alias("probe"))
+    cand = lx.join(r, lx.probe == r.rb).where(F.col("left_id") < F.col("right_id"))
+    scored = cand.select(
+        "left_id",
+        "right_id",
+        SIM.cosine(
+            F.col("lv").cast("array<double>"), F.col("rv").cast("array<double>")
+        ).alias("cos"),
+    ).where(F.col("cos") >= 0.9)
+    return scored.select(
+        "left_id", "right_id", F.round("cos", 6).alias("cos_sim")
+    ).distinct()
+
+
+SQL_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+       round(list_cosine_similarity(
+         list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(
+        list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.9
+"""
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: deterministic coarse centroids (mean of each
+    label group — 'training' is one aggregation), probe the nearest 2
+    centroids, exact-score only vectors in probed cells.  Rows-only
+    check (approximate by construction)."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    cells = emb.select(F.col("vec_id"), F.col("label"), v.alias("v"))
+    # centroid per label: element-wise mean via posexplode + avg
+    comp = cells.select(
+        "label", F.posexplode("v").alias("dim", "val")
+    ).groupBy("label", "dim").agg(F.avg("val").alias("c"))
+    centroids = comp.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("_dc")
+    ).select(
+        "label", F.transform("_dc", lambda s: s["c"]).alias("centroid")
+    )
+    qrow = emb.where(F.col("vec_id") == 0).select(v.alias("qv"))
+    probe = (
+        centroids.crossJoin(F.broadcast(qrow))
+        .select("label", SIM.cosine(F.col("centroid"), F.col("qv")).alias("cc"))
+        .orderBy(F.desc("cc"))
+        .limit(2)
+        .select("label")
+    )
+    return (
+        cells.join(F.broadcast(probe), "label")
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id", F.round(SIM.cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
 
 
 def q_lang_id(spark, sf_dir):
@@ -1083,6 +1309,9 @@ CATALOG: dict[str, QueryDef] = {
     "o3_union": QueryDef(q_o3_union, SQL_O3),
     "o4_topk": QueryDef(q_o4_topk, SQL_O4),
     "ena_context_analog": QueryDef(q_ena_context_analog, SQL_ENA_CONTEXT),
+    "tpch_q1_pricing": QueryDef(q_tpch_q1_pricing, SQL_TPCH_Q1),
+    "tpch_q3_shipping": QueryDef(q_tpch_q3_shipping, SQL_TPCH_Q3),
+    "tpch_q5_volume": QueryDef(q_tpch_q5_volume, SQL_TPCH_Q5),
     # §2.11 extensions
     "dedup_exact": QueryDef(q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": QueryDef(q_minhash_signatures, SQL_MINHASH),
@@ -1091,6 +1320,8 @@ CATALOG: dict[str, QueryDef] = {
     "jaccard_pairs": QueryDef(q_jaccard_pairs, SQL_JACCARD),
     "cosine_topk": QueryDef(q_cosine_topk, SQL_COSINE_TOPK),
     "srp_buckets": QueryDef(q_srp_buckets, SQL_SRP_BUCKETS),
+    "dedup_embedding": QueryDef(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "ivf_topk": QueryDef(q_ivf_topk, None),
     "lang_id": QueryDef(q_lang_id, SQL_LANG_ID),
     "quality_scores": QueryDef(q_quality_scores, SQL_QUALITY),
     "token_counts": QueryDef(q_token_counts, SQL_TOKEN_COUNTS),

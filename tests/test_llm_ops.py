@@ -155,3 +155,42 @@ def test_frame_sample_plan(spark):
     ).collect()
     # 26 frames (25 % 300 + 1) sampled every 10 -> indices 0, 10, 20
     assert [r["frame_idx"] for r in frames] == [0, 10, 20]
+
+
+def test_embedding_near_dup_via_srp_buckets(spark):
+    """Near-identical embeddings land in the same SRP bucket, so the
+    bucketed near-dup join finds them without a cross product."""
+    rows = [
+        (0, [1.0, 0.2, -0.3, 0.8]),
+        (1, [0.99, 0.21, -0.29, 0.81]),  # near-dup of 0
+        (2, [-0.5, 0.9, 0.4, -0.7]),
+        (3, [0.1, -0.8, 0.6, 0.2]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = SIM.srp_buckets(vecs, dim=4, bits=3)
+    buckets = {r["vec_id"]: r["bucket"] for r in b.collect()}
+    assert buckets[0] == buckets[1]
+    l = b.select(
+        F.col("vec_id").alias("left_id"),
+        F.col("embedding").alias("lv"),
+        F.col("bucket"),
+    )
+    r = b.select(
+        F.col("vec_id").alias("right_id"),
+        F.col("embedding").alias("rv"),
+        F.col("bucket"),
+    )
+    pairs = (
+        l.join(r, "bucket")
+        .where(F.col("left_id") < F.col("right_id"))
+        .select(
+            "left_id",
+            "right_id",
+            SIM.cosine(
+                F.col("lv").cast("array<double>"), F.col("rv").cast("array<double>")
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.95)
+    )
+    got = [(r["left_id"], r["right_id"]) for r in pairs.collect()]
+    assert got == [(0, 1)]
