@@ -98,3 +98,45 @@ def quality_score(text: Column) -> Column:
     mwl = mean_word_len(text)
     mwl_term = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
     return (length_term + punct_term + sw_term + mwl_term) / 4
+
+
+# polynomial rolling-hash parameters (shared with the DuckDB oracle)
+RH_BASE = 257
+RH_MOD = 1_000_000_007
+RH_K = 8
+RH_POWERS = [pow(RH_BASE, j, RH_MOD) for j in range(RH_K)]
+
+
+def rolling_fingerprints(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Winnowing-style document fingerprint from polynomial rolling
+    hashes of character k-grams: per doc, the minimum k-gram hash and
+    the distinct k-gram count.
+
+    Computed relationally — explode characters once, compose each
+    k-gram hash from window ``lead`` chars — so tokenization never
+    re-evaluates inside lambda bodies and a giant document streams
+    through the window instead of materializing per-row arrays.
+    """
+    from pyspark.sql import Window
+
+    nt = normalized_text(F.col(text_col))
+    chars = df.select(
+        F.col(id_col), F.posexplode(F.split(nt, "")).alias("pos", "ch")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # hash(c_i..c_{i+k-1}) = sum_j ascii(c_{i+j}) * BASE^(k-1-j) mod M
+    terms = []
+    for j in range(RH_K):
+        ch_j = F.col("ch") if j == 0 else F.lead("ch", j).over(w)
+        terms.append(
+            F.ascii(ch_j).cast("long") * F.lit(RH_POWERS[RH_K - 1 - j])
+        )
+    complete = F.lead("ch", RH_K - 1).over(w).isNotNull()
+    hashed = chars.select(
+        F.col(id_col),
+        F.when(complete, sum(terms) % F.lit(RH_MOD)).alias("kgram_hash"),
+    ).where(F.col("kgram_hash").isNotNull())
+    return hashed.groupBy(id_col).agg(
+        F.min("kgram_hash").alias("min_kgram_hash"),
+        F.countDistinct("kgram_hash").alias("n_kgrams"),
+    )

@@ -1178,6 +1178,35 @@ SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
 """
 
 
+def q_rolling_fingerprints(spark, sf_dir):
+    """Rolling-hash (winnowing-style) k-gram document fingerprints."""
+    return T.rolling_fingerprints(t(spark, sf_dir, "documents"))
+
+
+def _rolling_sql() -> str:
+    k, mod = T.RH_K, T.RH_MOD
+    terms = " + ".join(
+        f"CAST(ascii(substr(nt, i + {j}, 1)) AS BIGINT) * {T.RH_POWERS[k - 1 - j]}"
+        for j in range(k)
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+hashes AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(nt) - {k - 1}, 0) + 1),
+                               i -> ({terms}) % {mod})) AS kgram_hash
+  FROM base
+)
+SELECT doc_id,
+       min(kgram_hash) AS min_kgram_hash,
+       count(DISTINCT kgram_hash) AS n_kgrams
+FROM hashes GROUP BY doc_id
+"""
+
+
+SQL_ROLLING = _rolling_sql()
+
+
 def q_events_tumbling(spark, sf_dir):
     """Tumbling 5-min windows (batch run of the streaming operator —
     same code path as readStream)."""
@@ -1326,6 +1355,7 @@ CATALOG: dict[str, QueryDef] = {
     "quality_scores": QueryDef(q_quality_scores, SQL_QUALITY),
     "token_counts": QueryDef(q_token_counts, SQL_TOKEN_COUNTS),
     "doc_fingerprints": QueryDef(q_doc_fingerprints, SQL_FINGERPRINTS),
+    "rolling_fingerprints": QueryDef(q_rolling_fingerprints, SQL_ROLLING),
     "events_tumbling": QueryDef(q_events_tumbling, SQL_TUMBLING),
     "events_sliding": QueryDef(q_events_sliding, SQL_SLIDING),
     "events_sessions": QueryDef(q_events_sessions, SQL_SESSIONS),
