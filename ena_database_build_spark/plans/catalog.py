@@ -1293,6 +1293,21 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_exact_distinct(spark, sf_dir):
+    """Exact-distinct companion to the HLL sketch (oracle-checkable)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_EXACT_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal plumbing: binary payload -> mapInPandas decode ->
     typed metadata (codec stubbed deterministically; schema/batching
@@ -1360,5 +1375,6 @@ CATALOG: dict[str, QueryDef] = {
     "events_sliding": QueryDef(q_events_sliding, SQL_SLIDING),
     "events_sessions": QueryDef(q_events_sessions, SQL_SESSIONS),
     "approx_distinct": QueryDef(q_approx_distinct, None),
+    "exact_distinct": QueryDef(q_exact_distinct, SQL_EXACT_DISTINCT),
     "multimodal_decode": QueryDef(q_multimodal_decode, SQL_MULTIMODAL),
 }

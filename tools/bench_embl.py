@@ -36,14 +36,37 @@ def gen_corpus(root: Path) -> list[tuple[str, str]]:
         for ri in range(N_RECORDS):
             rid = f"SYN{fi:03d}{ri:05d}"
             circular = rng.random() < 0.3
-            topo = "circular" if circular else "linear"
+            # exercise the reference's dead-letter branches
+            topo_roll = rng.random()
+            if topo_roll < 0.02:
+                topo = "XXX"  # unknown topology -> record dropped
+            elif topo_roll < 0.03:
+                topo = "linear"
+                # ill-formatted ID (no BP length) -> record dropped
+                lines.append(f"ID   {rid}; SV 1; linear; genomic DNA; WGS; PRO;")
+                lines.append("OC   Bacteria; lineage.")
+                lines.append("FT   CDS             1..50")
+                lines.append('FT                   /protein_id="DEAD.1"')
+                continue
+            else:
+                topo = "circular" if circular else "linear"
             chr_len = rng.randint(5_000, 50_000)
             lines.append(
                 f"ID   {rid}; SV 1; {topo}; genomic DNA; WGS; PRO; {chr_len} BP."
             )
             lines.append("XX")
-            lines.append("OC   Bacteria; Pseudomonadota; synthetic lineage.")
+            oc_roll = rng.random()
+            if oc_roll < 0.05:
+                lines.append("OC   Eukaryota; Metazoa; Chordata.")  # dropped
+            elif oc_roll < 0.10:
+                lines.append("OC   Eukaryota; Fungi; Dikarya.")  # kept
+            else:
+                lines.append("OC   Bacteria; Pseudomonadota; synthetic lineage.")
             lines.append(f"FT   source          1..{chr_len}")
+            if rng.random() < 0.05:
+                # unparseable single-base CDS -> dropped, no ordinal
+                lines.append("FT   CDS             467")
+                lines.append('FT                   /protein_id="SKIP.1"')
             for ci in range(rng.randint(1, 5)):
                 a = rng.randint(1, chr_len - 100)
                 b = a + rng.randint(10, 99)
