@@ -67,14 +67,16 @@ def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            dims = [_decode_image_stub(p) for p in pdf["payload"]]
+            # NULL payloads (e.g. from NULL source text) decode as empty
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            dims = [_decode_image_stub(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "media_type": pdf["media_type"],
-                    "payload_bytes": [len(p) for p in pdf["payload"]],
+                    "payload_bytes": [len(p) for p in payloads],
                     "payload_digest": [
-                        hashlib.md5(p).hexdigest() for p in pdf["payload"]
+                        hashlib.md5(p).hexdigest() for p in payloads
                     ],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],

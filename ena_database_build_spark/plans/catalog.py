@@ -48,10 +48,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet arrives as long via nanosAsLong;
-        # normalize to a microsecond timestamp column
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # normalize to a microsecond timestamp column.  Integer `div`,
+        # NOT `/`: float division of an int64 epoch loses up to ~256ns
+        # (the long doesn't fit double's 53-bit mantissa), which can
+        # flip values across second boundaries vs the exact oracle.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -308,8 +309,11 @@ def q_g4_ordinals(spark, sf_dir):
 SQL_G4 = """
 SELECT user_id, event_type, event_id, ordinal FROM (
   SELECT user_id, event_type, event_id,
+         -- order at microsecond resolution: the engine's ts is
+         -- truncated to micros, so sub-microsecond ordering must not
+         -- influence the oracle's ordinals either
          row_number() OVER (PARTITION BY user_id, event_type
-                            ORDER BY ts, event_id) AS ordinal
+                            ORDER BY epoch_ns(ts) // 1000, event_id) AS ordinal
   FROM events
 ) WHERE ordinal <= 3
 """
@@ -670,9 +674,11 @@ def q_tpch_q3_shipping(spark, sf_dir):
     )
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
+    # broadcast only the filtered customer dim; orders x lineitem is
+    # fact-fact — AQE picks the physical join from runtime sizes
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -908,10 +914,12 @@ def q_cosine_topk(spark, sf_dir):
             "cos"
         ),
     )
+    # round BEFORE ordering so near-tie membership at the top-k cutoff
+    # matches the oracle, which also orders by the rounded alias
     return (
-        scored.orderBy(F.desc("cos"), "vec_id")
+        scored.select("vec_id", F.round("cos", 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(20)
-        .select("vec_id", F.round("cos", 6).alias("cos_sim"))
     )
 
 
@@ -1044,7 +1052,7 @@ def q_ivf_topk(spark, sf_dir):
     probe = (
         centroids.crossJoin(F.broadcast(qrow))
         .select("label", SIM.cosine(F.col("centroid"), F.col("qv")).alias("cc"))
-        .orderBy(F.desc("cc"))
+        .orderBy(F.desc("cc"), "label")
         .limit(2)
         .select("label")
     )
@@ -1246,8 +1254,13 @@ WITH ev AS (
          CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
   FROM events
 ), flagged AS (
+  -- Spark's session_window MERGES an event exactly gap-duration after
+  -- the previous one (verified empirically: two events 600s apart form
+  -- ONE session), so split strictly on > gap.  Compare at microsecond
+  -- resolution to match the engine's timestamp precision.
   SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-                      OR epoch(ts) - epoch(lag(ts) OVER w) > 600
+                      OR (epoch_ns(ts) // 1000) - (epoch_ns(lag(ts) OVER w) // 1000)
+                         > 600000000
                  THEN 1 ELSE 0 END AS new_sess
   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sess AS (
@@ -1323,8 +1336,10 @@ SQL_MULTIMODAL = """
 SELECT doc_id,
        octet_length(encode(text)) AS payload_bytes,
        md5(text) AS payload_digest,
-       64 + octet_length(encode(text)) % 64 AS width,
-       64 + (octet_length(encode(text)) // 64) % 64 AS height
+       CASE WHEN octet_length(encode(text)) = 0 THEN 0
+            ELSE 64 + octet_length(encode(text)) % 64 END AS width,
+       CASE WHEN octet_length(encode(text)) = 0 THEN 0
+            ELSE 64 + (octet_length(encode(text)) // 64) % 64 END AS height
 FROM documents
 """
 

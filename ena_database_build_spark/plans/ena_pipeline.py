@@ -96,11 +96,12 @@ def parse_loci(
         "protein_ids",
     )
 
-    # Record join is 1:N on (file, record_idx); record headers are a few
-    # dozen bytes each — broadcast them so the block side never
-    # shuffles.  (At extreme record counts AQE would fall back to a
-    # shuffle join if the broadcast exceeded the threshold.)
-    joined = with_ids.join(F.broadcast(live_records), ["file", "record_idx"])
+    # Record join is 1:N on (file, record_idx).  No broadcast HINT: a
+    # hint is always honored and at corpus scale the record-header
+    # relation (one row per chromosome) can reach GBs; with AQE enabled
+    # the runtime size decides — broadcast when small, shuffle join on
+    # the existing file-prefixed partitioning otherwise.
+    joined = with_ids.join(live_records, ["file", "record_idx"])
 
     return joined.select(
         "file",
@@ -205,6 +206,12 @@ def build_ena_tab(
     if persist_intermediates:
         loci = loci.persist()
     resolved = resolve_uniprot_ids(loci, idmapping, broadcast_mapping)
+    return _project_ena_tab(resolved)
+
+
+def _project_ena_tab(resolved: DataFrame) -> DataFrame:
+    """O1+O2: one output row per resolved uniprot id, reference column
+    order (parse_embl.py:255)."""
     return resolved.select(
         "file",
         "ena_id",
@@ -222,21 +229,18 @@ def build_all(
 ) -> EnaBuildResult:
     """Run the pipeline and expose dead-letter channels (SURVEY.md §4.3:
     the reference print-and-skips malformed rows; we surface them as
-    filterable DataFrames instead)."""
+    filterable DataFrames instead).
+
+    The segmented line table is persisted because the result's channels
+    are consumed as separate actions; call
+    ``result.records.sparkSession.catalog.clearCache()`` (or unpersist)
+    when done with a long-lived session.
+    """
     segmented = S.segment_lines(embl_lines).persist()
     records = S.extract_records(segmented)
     loci = parse_loci(embl_lines, segmented=segmented)
     resolved = resolve_uniprot_ids(loci, idmapping, broadcast_mapping)
-    ena_tab = resolved.select(
-        "file",
-        "ena_id",
-        F.explode("resolved_uniprot_ids").alias("uniprot_id"),
-        "locus_num",
-        "chr_struct",
-        "direction",
-        "start",
-        "end",
-    ).select("file", *ENA_TAB_COLUMNS)
+    ena_tab = _project_ena_tab(resolved)
 
     rejected_records = records.where(F.col("reject_reason").isNotNull()).select(
         "file", "record_idx", "reject_reason"
