@@ -1186,6 +1186,29 @@ SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
 """
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-level n-gram frequency (CountVectorizer-style): top-50
+    word bigrams by document frequency, deterministic tie-break."""
+    docs = t(spark, sf_dir, "documents")
+    bigrams = D.shingle_rows(docs, k=2, distinct=True)
+    return (
+        bigrams.groupBy(F.col("shingle").alias("bigram"))
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "bigram")
+        .limit(50)
+    )
+
+
+SQL_TOP_NGRAMS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_shingle_sql(2)}) AS bigram FROM toks)
+SELECT bigram, count(*) AS doc_freq
+FROM sh GROUP BY bigram
+ORDER BY doc_freq DESC, bigram
+LIMIT 50
+"""
+
+
 def q_rolling_fingerprints(spark, sf_dir):
     """Rolling-hash (winnowing-style) k-gram document fingerprints."""
     return T.rolling_fingerprints(t(spark, sf_dir, "documents"))
@@ -1386,6 +1409,7 @@ CATALOG: dict[str, QueryDef] = {
     "token_counts": QueryDef(q_token_counts, SQL_TOKEN_COUNTS),
     "doc_fingerprints": QueryDef(q_doc_fingerprints, SQL_FINGERPRINTS),
     "rolling_fingerprints": QueryDef(q_rolling_fingerprints, SQL_ROLLING),
+    "top_ngrams": QueryDef(q_top_ngrams, SQL_TOP_NGRAMS),
     "events_tumbling": QueryDef(q_events_tumbling, SQL_TUMBLING),
     "events_sliding": QueryDef(q_events_sliding, SQL_SLIDING),
     "events_sessions": QueryDef(q_events_sessions, SQL_SESSIONS),
