@@ -35,6 +35,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_WAREHOUSE_DIR", f"/tmp/spark-warehouse-{os.getpid()}"
+            ),
+        )
         # local[N] runs every executor thread inside the driver JVM —
         # size the heap for N concurrent tasks, not for a driver
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))

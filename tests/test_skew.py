@@ -1,0 +1,66 @@
+"""Tests for skew salting and bucketed co-located joins."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ena_database_build_spark.operators import skew as K
+
+
+def test_salted_aggregate_matches_plain(spark):
+    # one hot key (90% of rows) + long tail
+    rows = [(1 if i % 10 else i, float(i % 7)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = {
+        r["k"]: (r["n"], round(r["total"], 6), r["mx"])
+        for r in K.salted_aggregate(
+            df, ["k"], {"n": "count(*)", "total": "sum(v)", "mx": "max(v)"}
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], round(r["total"], 6), r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("total"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark):
+    fact = spark.createDataFrame(
+        [(i % 5, i) for i in range(1000)], "k long, payload long"
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(5)], "k long, label string")
+    got = sorted(
+        (r["k"], r["payload"], r["label"])
+        for r in K.salted_join(fact, dim, ["k"], n_salts=4).collect()
+    )
+    want = sorted(
+        (r["k"], r["payload"], r["label"])
+        for r in fact.join(dim, "k").collect()
+    )
+    assert got == want
+
+
+def test_salted_aggregate_rejects_non_reaggregable(spark):
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    with pytest.raises(ValueError):
+        K.salted_aggregate(df, ["k"], {"a": "avg(v)"})
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    K.write_bucketed(left, "t_left", ["k"], n_buckets=8, sort_cols=["k"])
+    K.write_bucketed(right, "t_right", ["k"], n_buckets=8, sort_cols=["k"])
+    joined = spark.table("t_left").join(spark.table("t_right"), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == 1000
