@@ -27,9 +27,14 @@ N_FILES = 64
 N_RECORDS = 100
 
 
-def gen_corpus(root: Path) -> list[tuple[str, str]]:
-    """Deterministic corpus + idmapping pairs."""
-    rng = random.Random(42)
+def gen_corpus(root: Path, seed: int | None = None) -> list[tuple[str, str]]:
+    """Deterministic corpus + idmapping pairs (seed via arg or
+    $EMBL_BENCH_SEED, default 42)."""
+    import os
+
+    if seed is None:
+        seed = int(os.environ.get("EMBL_BENCH_SEED", "42"))
+    rng = random.Random(seed)
     pairs = []
     for fi in range(N_FILES):
         lines = []
