@@ -1,0 +1,76 @@
+"""Regression gate for the driver contract (__spark_entry__): entry()
+smoke, a representative queries()/oracle_sql() sample compared via
+DuckDB at sf0.001, and interface invariants (every oracle key has a
+query; column names align)."""
+
+import hashlib
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+SAMPLE = [
+    "a4_circular_resolution",
+    "g1_sessionize",
+    "j3_fallback_coalesce",
+    "minhash_signatures",
+    "rolling_fingerprints",
+    "events_sessions",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _vhash(df):
+    return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert df.schema == entry_mod.entry(spark).schema
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 40
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_matches_oracle(spark, duck, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    s = _canon(qs[name](spark, SF_DIR).toPandas())
+    o = _canon(duck.sql(oracles[name]).df())
+    assert list(s.columns) == list(o.columns), name
+    assert len(s) == len(o), name
+    assert _vhash(s) == _vhash(o), name
