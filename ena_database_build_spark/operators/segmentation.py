@@ -78,7 +78,14 @@ def extract_records(segmented: DataFrame) -> DataFrame:
     relevant = segmented.where(
         F.col("is_id") | E.is_drop_taxonomy_line(F.col("line"))
     )
-    parsed = relevant.withColumn(
+    return _aggregate_records(relevant)
+
+
+def _aggregate_records(flagged: DataFrame) -> DataFrame:
+    """Shared record-header aggregation: input rows carry ``file,
+    line_no, line, is_id, record_idx`` filtered to ID + voiding-OC
+    lines."""
+    parsed = flagged.withColumn(
         "id_info",
         F.when(F.col("is_id"), E.parse_id_line(F.col("line"))),
     )

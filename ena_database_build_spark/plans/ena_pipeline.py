@@ -57,7 +57,9 @@ def parse_records(embl_lines: DataFrame) -> DataFrame:
 
 
 def parse_loci(
-    embl_lines: DataFrame, segmented: DataFrame | None = None
+    embl_lines: DataFrame,
+    segmented: DataFrame | None = None,
+    broadcast_records: bool = True,
 ) -> DataFrame:
     """records+blocks -> loci with resolved spans and per-locus id sets.
 
@@ -66,6 +68,10 @@ def parse_loci(
     """
     if segmented is None:
         segmented = S.segment_lines(embl_lines)
+    # NB: a "light" records path that re-derived record_idx from a
+    # pre-filtered ID/OC line set measured 2-5x SLOWER end-to-end than
+    # sharing the segmented lineage (it forfeits subtree reuse with the
+    # blocks branch); keep both branches on `segmented`.
     records = S.extract_records(segmented)
     blocks = S.extract_cds_blocks(segmented)
 
@@ -101,7 +107,14 @@ def parse_loci(
     # relation (one row per chromosome) can reach GBs; with AQE enabled
     # the runtime size decides — broadcast when small, shuffle join on
     # the existing file-prefixed partitioning otherwise.
-    joined = with_ids.join(live_records, ["file", "record_idx"])
+    # Broadcasting the record headers keeps the block side shuffle-free
+    # and measured fastest locally; at extreme record counts (the
+    # headers are one row per chromosome) drop the hint via
+    # broadcast_records=False and AQE picks from runtime sizes.
+    join_records = (
+        F.broadcast(live_records) if broadcast_records else live_records
+    )
+    joined = with_ids.join(join_records, ["file", "record_idx"])
 
     return joined.select(
         "file",

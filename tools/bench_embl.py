@@ -184,7 +184,9 @@ def main() -> None:
         pairs = gen_corpus(root)
         import os
 
+        load_before_ref = round(os.getloadavg()[0], 1)
         ref_secs, ref_rows = run_reference(root, pairs)
+        load_before_spark = round(os.getloadavg()[0], 1)
         spark_secs, spark_rows = run_spark(root, pairs)
         match = ref_rows == spark_rows
         print(
@@ -198,8 +200,11 @@ def main() -> None:
                     "spark_sec": round(spark_secs, 2),
                     "speedup": round(ref_secs / spark_secs, 2),
                     # external load skews a 32-way engine far more than
-                    # the single-core reference loop — interpret with this
-                    "loadavg_1m": round(os.getloadavg()[0], 1),
+                    # the single-core reference loop — interpret with
+                    # these (sampled BEFORE each phase; the end-of-run
+                    # value would mostly measure our own threads)
+                    "load_before_reference": load_before_ref,
+                    "load_before_spark": load_before_spark,
                 }
             )
         )
