@@ -149,6 +149,13 @@ def resolved_span_relational(
     chr_len = F.lit(chr_len) if isinstance(chr_len, int) else chr_len
     s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
     w = Window.partitionBy(*key_cols).orderBy(start_col, end_col)
+    w_all = Window.partitionBy(*key_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # one window pass (shared partitioning) carries both the running
+    # frame (rn/lag) and the whole-partition max gap, so the pick row
+    # is identifiable per-row and ONE aggregation finishes the job —
+    # no join-back, no second shuffle.
     sorted_df = ranges_df.select(
         *key_cols,
         F.col(chr_struct_col),
@@ -157,8 +164,18 @@ def resolved_span_relational(
         F.row_number().over(w).alias("_rn"),
         F.lag(e).over(w).alias("_prev_e"),
         (s - F.lag(e).over(w) - 1).alias("_gap"),
+        F.max(s - F.lag(e).over(w) - 1).over(w_all).alias("_max_inner_w"),
     )
-    stats = sorted_df.groupBy(*key_cols).agg(
+    is_pick = F.col("_gap") == F.col("_max_inner_w")
+    # min-by-rn among pick rows via min of a (rn, s, prev_e) struct —
+    # the strict-> tie rule keeps the FIRST occurrence of the max gap
+    pick_struct = F.min(
+        F.when(
+            is_pick,
+            F.struct("_rn", F.col("_s").alias("_ps"), F.col("_prev_e").alias("_pe")),
+        )
+    )
+    joined = sorted_df.groupBy(*key_cols).agg(
         F.max(chr_struct_col).alias(chr_struct_col),
         F.count("*").alias("_n"),
         F.min(F.least(F.col("_s"), F.col("_e"))).alias("_flat_min"),
@@ -167,20 +184,9 @@ def resolved_span_relational(
         F.max_by("_e", "_rn").alias("_last_e"),
         F.max("_gap").alias("_max_inner"),
         (chr_len - F.max_by("_e", "_rn") + F.min("_s") - 1).alias("_wrap_gap"),
+        pick_struct["_ps"].alias("_pick_s"),
+        pick_struct["_pe"].alias("_pick_prev_e"),
     )
-    # first row whose gap equals the max inner gap (strict-> tie rule)
-    pick = (
-        sorted_df.join(
-            stats.select(*key_cols, "_max_inner"), key_cols
-        )
-        .where(F.col("_gap") == F.col("_max_inner"))
-        .groupBy(*key_cols)
-        .agg(
-            F.min_by("_s", "_rn").alias("_pick_s"),
-            F.min_by("_prev_e", "_rn").alias("_pick_prev_e"),
-        )
-    )
-    joined = stats.join(pick, key_cols, "left")
     linear = F.col(chr_struct_col).cast("int") != 0
     wrap_like = (
         (F.col("_n") == 1)
