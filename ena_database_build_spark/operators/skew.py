@@ -24,7 +24,15 @@ from pyspark.sql import functions as F
 def with_salt(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame:
     """Uniform random-ish salt derived from a stable row hash (no
     rand(): deterministic across retries, which matters for exactly-once
-    sinks)."""
+    sinks).
+
+    Limitation: the salt hashes ALL columns, so fully identical
+    duplicate rows of a hot key land in ONE salt bucket — salting only
+    spreads a hot key whose non-key columns vary.  For duplicate-heavy
+    skew, first make rows distinct-ish (e.g. add an ingest offset/
+    ``line_no``-style column upstream); ``monotonically_increasing_id``
+    is deliberately NOT mixed in here because it is not stable across
+    task retries."""
     return df.withColumn(
         col_name,
         F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast(
@@ -77,7 +85,17 @@ def salted_join(
     """Equi-join a skew-keyed fact with a dim too big to broadcast:
     salt the fact rows, replicate each dim row across all salts, join
     on (keys + salt).  The dim side grows n_salts-fold — use only when
-    dim_rows * n_salts stays shuffle-friendly."""
+    dim_rows * n_salts stays shuffle-friendly.
+
+    Only inner/left/left_semi/left_anti are sound: the replicated dim
+    side would emit ``n_salts`` duplicate rows for each unmatched dim
+    row under right/full outer joins."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "the dim side is replicated per salt, so right/full outer joins "
+            "would duplicate unmatched dim rows n_salts times"
+        )
     fact_s = with_salt(fact, n_salts)
     dim_s = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))

@@ -30,7 +30,13 @@ TOKEN_PATTERN = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
 
 def lang_scores(text: Column) -> dict[str, Column]:
     """Per-language evidence score = number of tokens that are marker
-    words for that language."""
+    words for that language.
+
+    NOT for multi-language hot paths: each returned Column re-evaluates
+    the tokenization (Catalyst does not CSE subexpressions across
+    expressions or into lambda bodies).  :func:`detect_lang` folds the
+    token array ONCE for all languages.
+    """
     toks = tokens(text)
 
     def matcher(markers: list[str]):
@@ -42,15 +48,42 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
+def lang_score_array(text: Column) -> Column:
+    """All per-language scores as ARRAY<INT> (language-code order) from
+    ONE tokenization and ONE fold over the tokens.
+
+    The naive form — ``size(filter(tokens(text), ...))`` per language —
+    re-runs the tokenization once per language because Catalyst performs
+    no common-subexpression elimination across expressions that contain
+    lambda variables (same trap as dedup.shingle_rows documents).  One
+    ``F.aggregate`` whose *input* is the token array evaluates the split
+    once and scores every language per token.
+    """
+    langs = sorted(LANG_MARKERS)
+    zero = F.array(*[F.lit(0) for _ in langs])
+
+    def step(acc: Column, tok: Column) -> Column:
+        return F.array(
+            *[
+                F.element_at(acc, i + 1)
+                + F.when(tok.isin(*LANG_MARKERS[lang]), 1).otherwise(0)
+                for i, lang in enumerate(langs)
+            ]
+        )
+
+    return F.aggregate(tokens(text), zero, step)
+
+
 def detect_lang(text: Column) -> Column:
     """Argmax language (ties broken by language code order); 'und' when
-    no marker hits at all."""
-    scores = lang_scores(text)
-    pairs = F.array(
-        *[
-            F.struct(score.alias("score"), F.lit(lang).alias("lang"))
-            for lang, score in sorted(scores.items())
-        ]
+    no marker hits at all.  Single tokenization pass (see
+    :func:`lang_score_array`)."""
+    scores = lang_score_array(text)
+    langs_lit = F.array(*[F.lit(lang) for lang in sorted(LANG_MARKERS)])
+    pairs = F.zip_with(
+        scores,
+        langs_lit,
+        lambda score, lang: F.struct(score.alias("score"), lang.alias("lang")),
     )
     best = F.array_max(F.filter(pairs, lambda p: p["score"] > 0))
     return F.coalesce(best["lang"], F.lit("und"))

@@ -722,11 +722,15 @@ def q_tpch_q5_volume(spark, sf_dir):
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .join(supp, supp.s_nationkey == nation.n_nationkey)
     )
+    # Only the filtered region->nation->supplier dim chain gets a
+    # broadcast hint (bounded size).  Customer is NOT hinted: at sf100
+    # it is ~15M rows and a forced hint is always honored — AQE decides
+    # from runtime sizes (broadcast when small, shuffle join otherwise).
     return (
         li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (orders.o_custkey == cust.c_custkey)
             & (cust.c_nationkey == dims.n_nationkey),
         )

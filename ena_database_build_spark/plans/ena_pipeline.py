@@ -59,7 +59,7 @@ def parse_records(embl_lines: DataFrame) -> DataFrame:
 def parse_loci(
     embl_lines: DataFrame,
     segmented: DataFrame | None = None,
-    broadcast_records: bool = True,
+    broadcast_records: bool = False,
 ) -> DataFrame:
     """records+blocks -> loci with resolved spans and per-locus id sets.
 
@@ -102,15 +102,14 @@ def parse_loci(
         "protein_ids",
     )
 
-    # Record join is 1:N on (file, record_idx).  No broadcast HINT: a
-    # hint is always honored and at corpus scale the record-header
-    # relation (one row per chromosome) can reach GBs; with AQE enabled
-    # the runtime size decides — broadcast when small, shuffle join on
-    # the existing file-prefixed partitioning otherwise.
-    # Broadcasting the record headers keeps the block side shuffle-free
-    # and measured fastest locally; at extreme record counts (the
-    # headers are one row per chromosome) drop the hint via
-    # broadcast_records=False and AQE picks from runtime sizes.
+    # Record join is 1:N on (file, record_idx).  Default
+    # broadcast_records=None: NO hint — a hint is always honored, and at
+    # corpus scale the record-header relation (one row per chromosome)
+    # can reach GBs; AQE decides from runtime sizes (broadcast when
+    # small, shuffle join on the existing file-prefixed partitioning
+    # otherwise).  Pass True to force the hint for small corpora where
+    # skipping AQE's size probe measurably helps; build_ena_tab /
+    # build_all plumb this through.
     join_records = (
         F.broadcast(live_records) if broadcast_records else live_records
     )
@@ -179,8 +178,12 @@ def resolve_uniprot_ids(
     joined = exploded.join(
         mapping.withColumnRenamed("uniprot_id", "_mapped_id"), "foreign_id", "left"
     )
+    # any_value, not first: every exploded row of a locus carries
+    # identical non-key values, so ANY value is the right one — encode
+    # that invariant structurally instead of leaning on first()'s
+    # row-order-dependent determinism surviving future refactors.
     regrouped = joined.groupBy(*locus_key).agg(
-        *[F.first(c).alias(c) for c in other_cols],
+        *[F.any_value(c).alias(c) for c in other_cols],
         F.collect_list("_mapped_id").alias("mapped_uniprot_ids"),
     )
     resolved = regrouped.withColumn(
@@ -196,6 +199,7 @@ def build_ena_tab(
     embl_lines: DataFrame,
     idmapping: DataFrame,
     broadcast_mapping: bool = False,
+    broadcast_records: bool = False,
     persist_intermediates: bool = False,
 ) -> DataFrame:
     """Full pipeline: ordered lines + idmapping -> the 7-column table.
@@ -215,7 +219,9 @@ def build_ena_tab(
     segmented = S.segment_lines(embl_lines)
     if persist_intermediates:
         segmented = segmented.persist()
-    loci = parse_loci(embl_lines, segmented=segmented)
+    loci = parse_loci(
+        embl_lines, segmented=segmented, broadcast_records=broadcast_records
+    )
     if persist_intermediates:
         loci = loci.persist()
     resolved = resolve_uniprot_ids(loci, idmapping, broadcast_mapping)
@@ -238,7 +244,10 @@ def _project_ena_tab(resolved: DataFrame) -> DataFrame:
 
 
 def build_all(
-    embl_lines: DataFrame, idmapping: DataFrame, broadcast_mapping: bool = False
+    embl_lines: DataFrame,
+    idmapping: DataFrame,
+    broadcast_mapping: bool = False,
+    broadcast_records: bool = False,
 ) -> EnaBuildResult:
     """Run the pipeline and expose dead-letter channels (SURVEY.md §4.3:
     the reference print-and-skips malformed rows; we surface them as
@@ -251,7 +260,9 @@ def build_all(
     """
     segmented = S.segment_lines(embl_lines).persist()
     records = S.extract_records(segmented)
-    loci = parse_loci(embl_lines, segmented=segmented)
+    loci = parse_loci(
+        embl_lines, segmented=segmented, broadcast_records=broadcast_records
+    )
     resolved = resolve_uniprot_ids(loci, idmapping, broadcast_mapping)
     ena_tab = _project_ena_tab(resolved)
 
