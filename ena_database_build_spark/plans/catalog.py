@@ -571,6 +571,677 @@ LIMIT 100
 """
 
 
+# --------------------------------------------------------------------------
+# Reference-surface operators, part 2: entries that exercise the REAL
+# EMBL/pipeline functions over constructed columns, with oracles that
+# re-derive ground truth independently from the construction (so the
+# engine's regex/state logic is validated against truth, not itself).
+# --------------------------------------------------------------------------
+
+
+def q_f3_fungi_gate(spark, sf_dir):
+    """F3: the same-line Fungi taxonomy gate (parse_embl.py:527-535) —
+    an OC line naming Eukaryota without ' Fungi' voids the record."""
+    from ena_database_build_spark.functions import embl as E
+
+    docs = t(spark, sf_dir, "documents")
+    line = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("OC   Eukaryota; Fungi; Dikarya."))
+        .when(F.col("doc_id") % 4 == 1, F.lit("OC   Eukaryota; Metazoa; Chordata."))
+        .when(F.col("doc_id") % 4 == 2, F.lit("OC   Bacteria; Proteobacteria."))
+        .otherwise(F.lit("XX   Eukaryota; not an OC line."))
+    )
+    return docs.select(
+        "doc_id", E.is_drop_taxonomy_line(line).alias("record_voided")
+    )
+
+
+SQL_F3 = """
+SELECT doc_id, (doc_id % 4 = 1) AS record_voided FROM documents
+"""
+
+
+def q_f5_malformed_id_drop(spark, sf_dir):
+    """F5 (+F4): dead-letter encoding of the ID-line parser
+    (parse_embl.py:309-361) — regex miss and unknown topology reject;
+    valid lines parse topology + length."""
+    from ena_database_build_spark.functions import embl as E
+
+    docs = t(spark, sf_dir, "documents")
+    bp = (F.col("doc_id") * 7 % 99991 + 1).cast("long")
+    line = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("ID   AB"), F.col("doc_id"), F.lit("; SV 1; linear; "),
+                F.lit("genomic DNA; STD; PRO; "), bp, F.lit(" BP."),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("ID   CC"), F.col("doc_id"), F.lit("; SV 2; circular; "),
+                F.lit("genomic DNA; STD; FUN; "), bp, F.lit(" BP."),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("ID   DD"), F.col("doc_id"), F.lit("; SV 1; helical; "),
+                F.lit("genomic DNA; STD; PRO; "), bp, F.lit(" BP."),
+            ),
+        )
+        .otherwise(
+            # regex miss: no '<n> BP' tail
+            F.concat(F.lit("ID   EE"), F.col("doc_id"), F.lit("; SV 1; linear;"))
+        )
+    )
+    parsed = E.parse_id_line(line)
+    return docs.select(
+        "doc_id",
+        parsed["ena_id"].alias("ena_id"),
+        parsed["chr_struct"].alias("chr_struct"),
+        parsed["chr_len"].alias("chr_len"),
+        parsed["reject_reason"].alias("reject_reason"),
+    )
+
+
+SQL_F5 = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'AB' || doc_id
+            WHEN doc_id % 4 = 1 THEN 'CC' || doc_id
+            ELSE '' END AS ena_id,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 1
+                 WHEN doc_id % 4 = 1 THEN 0
+                 ELSE -1 END AS INTEGER) AS chr_struct,
+       CAST(CASE WHEN doc_id % 4 <= 1 THEN doc_id * 7 % 99991 + 1
+                 ELSE 0 END AS BIGINT) AS chr_len,
+       CASE WHEN doc_id % 4 = 2 THEN 'unknown_topology'
+            WHEN doc_id % 4 = 3 THEN 'ill_formatted_id'
+            ELSE NULL END AS reject_reason
+FROM documents
+"""
+
+
+def q_f6_empty_record_guard(spark, sf_dir):
+    """F6: a record whose CDS collection is empty emits nothing
+    (parse_embl.py:352-359 analog): left-join orders to their 'R'
+    lineitems, then guard size>0 — orders with no match vanish."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    collected = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left"
+    ).groupBy("o_orderkey").agg(
+        F.collect_list("l_linenumber").alias("_ranges")
+    )
+    return (
+        collected.where(F.size("_ranges") > 0)
+        .select("o_orderkey", F.size("_ranges").alias("n_ranges"))
+    )
+
+
+SQL_F6 = """
+SELECT o_orderkey, CAST(count(*) AS INTEGER) AS n_ranges
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY o_orderkey
+"""
+
+
+def q_f7_unparseable_cds_drop(spark, sf_dir):
+    """F7 + G4 quirk: blocks whose location string yields no x..y range
+    are dropped BEFORE ordinal assignment (parse_embl.py:150-154; the
+    counter at :190 never increments for them)."""
+    li = t(spark, sf_dir, "lineitem")
+    a = F.col("l_partkey").cast("string")
+    b = (F.col("l_partkey") + F.col("l_suppkey")).cast("string")
+    loc = (
+        F.when(
+            F.col("l_linenumber") % 3 == 0,
+            F.concat(F.lit("join("), a, F.lit(".."), b, F.lit(")")),
+        )
+        .when(
+            F.col("l_linenumber") % 3 == 1,
+            F.concat(F.lit("complement("), a, F.lit("..>"), b, F.lit(")")),
+        )
+        .otherwise(a)  # single base position: no range -> unparseable
+    )
+    parsed = li.select(
+        "l_orderkey", "l_linenumber", location_ranges(loc).alias("ranges")
+    )
+    good = parsed.where(F.size("ranges") > 0)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return good.select(
+        "l_orderkey", "l_linenumber", F.row_number().over(w).alias("ordinal")
+    )
+
+
+SQL_F7 = """
+SELECT l_orderkey, l_linenumber,
+       CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+            AS INTEGER) AS ordinal
+FROM lineitem WHERE l_linenumber % 3 <> 2
+"""
+
+
+def q_f8_empty_input_guard(spark, sf_dir):
+    """F8: aggregation over a provably empty input returns an empty
+    (not failing) result with the declared schema."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") < 0)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+SQL_F8 = """
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem WHERE l_quantity < 0
+GROUP BY l_returnflag
+"""
+
+
+def _ft_line(doc_id):
+    """Constructed feature-table lines covering every detector branch."""
+    return (
+        F.when(doc_id % 5 == 0, F.lit("FT   CDS             1..50"))
+        .when(doc_id % 5 == 1, F.lit('FT                   /gene="abc"'))
+        .when(doc_id % 5 == 2, F.lit("FT   source          1..100"))
+        .when(doc_id % 5 == 3, F.lit("SQ   Sequence 100 BP;"))
+        .otherwise(F.lit("FT   misc-feature    2..3"))
+    )
+
+
+def q_p4_feature_start(spark, sf_dir):
+    """P4: feature-block-start detector (parse_embl.py:47) — 'FT' + 3
+    spaces + a feature class character; qualifier continuations (4+
+    spaces) and non-FT lines do not match."""
+    from ena_database_build_spark.functions import embl as E
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", E.is_feature_start(_ft_line(F.col("doc_id"))).alias("is_start")
+    )
+
+
+SQL_P4 = """
+SELECT doc_id, (doc_id % 5 IN (0, 2, 4)) AS is_start FROM documents
+"""
+
+
+def q_p5_cds_head(spark, sf_dir):
+    """P5: CDS head detector (parse_embl.py:557) — only the 'FT   CDS '
+    feature start opens a CDS block."""
+    from ena_database_build_spark.functions import embl as E
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", E.is_cds_head(_ft_line(F.col("doc_id"))).alias("is_cds")
+    )
+
+
+SQL_P5 = """
+SELECT doc_id, (doc_id % 5 = 0) AS is_cds FROM documents
+"""
+
+
+def q_p6_qualifier_continuation(spark, sf_dir):
+    """P6: qualifier-continuation detector (parse_embl.py:564) — 'FT'
+    followed by 4+ spaces."""
+    from ena_database_build_spark.functions import embl as E
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        E.is_qualifier_continuation(_ft_line(F.col("doc_id"))).alias("is_cont"),
+    )
+
+
+SQL_P6 = """
+SELECT doc_id, (doc_id % 5 = 1) AS is_cont FROM documents
+"""
+
+
+def q_p7_location_normalizer(spark, sf_dir):
+    """P7: multi-line location descriptor normalization
+    (parse_embl.py:129-132) — join block lines, cut at the first '/',
+    strip 'FT '/'CDS '/newlines/spaces.  The oracle composes the
+    expected descriptor directly from the ground-truth numbers."""
+    from ena_database_build_spark.functions import embl as E
+
+    li = t(spark, sf_dir, "lineitem")
+    a = F.col("l_partkey").cast("string")
+    b = (F.col("l_partkey") + F.col("l_suppkey")).cast("string")
+    c = (F.col("l_linenumber") * 100).cast("string")
+    d = (F.col("l_linenumber") * 100 + 50).cast("string")
+    block_lines = F.array(
+        F.concat(F.lit("FT   CDS             join("), a, F.lit(".."), b, F.lit(",")),
+        F.concat(F.lit("FT                   "), c, F.lit(".."), d, F.lit(")")),
+        F.lit('FT                   /product="hypothetical protein"'),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        E.cds_location_string(block_lines).alias("loc_str"),
+    )
+
+
+SQL_P7 = """
+SELECT l_orderkey, l_linenumber,
+       'join(' || l_partkey || '..' || (l_partkey + l_suppkey) || ','
+               || (l_linenumber * 100) || '..' || (l_linenumber * 100 + 50) || ')'
+         AS loc_str
+FROM lineitem
+"""
+
+
+def q_p8_strand_detector(spark, sf_dir):
+    """P8: strand direction from the location string
+    (parse_embl.py:147) — 0 iff it mentions 'complement'."""
+    from ena_database_build_spark.functions import embl as E
+
+    li = t(spark, sf_dir, "lineitem")
+    a = F.col("l_partkey").cast("string")
+    b = (F.col("l_partkey") + F.col("l_suppkey")).cast("string")
+    loc = F.when(
+        F.col("l_linenumber") % 2 == 0,
+        F.concat(F.lit("complement("), a, F.lit(".."), b, F.lit(")")),
+    ).otherwise(F.concat(a, F.lit(".."), b))
+    return li.select(
+        "l_orderkey", "l_linenumber", E.strand_direction(loc).alias("direction")
+    )
+
+
+SQL_P8 = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CASE WHEN l_linenumber % 2 = 0 THEN 0 ELSE 1 END AS INTEGER)
+         AS direction
+FROM lineitem
+"""
+
+
+def q_p9_path_components(spark, sf_dir):
+    """P9: shard name + file stem from the ENA directory layout
+    (dask_tasks.py:138-148)."""
+    from ena_database_build_spark.functions import embl as E
+
+    docs = t(spark, sf_dir, "documents")
+    path = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("wgs/public/abc/")
+        ).when(
+            F.col("doc_id") % 3 == 1, F.lit("wgs/suppressed/xyz/")
+        ).otherwise(F.lit("sequence/con/")),
+        F.lit("d"), F.col("doc_id"), F.lit(".dat.gz"),
+    )
+    return docs.select(
+        "doc_id",
+        E.source_dir_name(path).alias("source_dir"),
+        E.file_stem(path).alias("stem"),
+    )
+
+
+SQL_P9 = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'wgs-public-abc'
+            WHEN doc_id % 3 = 1 THEN 'wgs-suppressed-xyz'
+            ELSE 'sequence-con' END AS source_dir,
+       'd' || doc_id AS stem
+FROM documents
+"""
+
+
+def q_g2_nested_sessionize(spark, sf_dir):
+    """G2: two-level segmentation over one ordered stream — level 1
+    (records) opens on a >600s gap, level 2 (blocks) is a running count
+    of block-start events, keyed (session, block) exactly like the EMBL
+    (record_idx, block_idx) pair (parse_embl.py:545-559)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 600), 1).otherwise(0)
+    is_block_start = F.col("event_type").startswith("p").cast("int")
+    seg = ev.select(
+        "*",
+        F.sum(new_sess).over(wrun).alias("session_idx"),
+        F.sum(is_block_start).over(wrun).alias("block_idx"),
+    )
+    return seg.groupBy("user_id", "session_idx", "block_idx").agg(
+        F.count("*").alias("n_lines"), F.min("ts_s").alias("first_ts_s")
+    )
+
+
+SQL_G2 = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id,
+         event_type
+  FROM events
+), flagged AS (
+  SELECT *,
+         CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w > 600
+              THEN 1 ELSE 0 END AS new_sess,
+         CASE WHEN event_type LIKE 'p%' THEN 1 ELSE 0 END AS is_block_start
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+), seg AS (
+  SELECT user_id, ts_s,
+         CAST(sum(new_sess) OVER wr AS BIGINT) AS session_idx,
+         CAST(sum(is_block_start) OVER wr AS BIGINT) AS block_idx
+  FROM flagged
+  WINDOW wr AS (PARTITION BY user_id ORDER BY ts_s, event_id
+                ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id, session_idx, block_idx,
+       count(*) AS n_lines, min(ts_s) AS first_ts_s
+FROM seg GROUP BY user_id, session_idx, block_idx
+"""
+
+
+def q_g3_final_flush(spark, sf_dir):
+    """G3: the stream's LAST group is emitted complete without an EOF
+    sentinel (free by window/groupBy construction, parse_embl.py:568-570
+    analog) — return each user's final session."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("ts_s"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 600), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"), F.max("ts_s").alias("session_end")
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("last_session_id"),
+        F.max_by("n_events", "session_id").alias("n_events"),
+        F.max_by("session_end", "session_id").alias("session_end"),
+    )
+
+
+SQL_G3 = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w > 600
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+), sess AS (
+  SELECT user_id, ts_s,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM flagged
+), agg AS (
+  SELECT user_id, sid, count(*) AS n_events, max(ts_s) AS session_end
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, max(sid) AS last_session_id,
+       max_by(n_events, sid) AS n_events,
+       max_by(session_end, sid) AS session_end
+FROM agg GROUP BY user_id
+"""
+
+
+def q_a2_record_set_union(spark, sf_dir):
+    """A2: record-grain union of per-locus sets — collect per-session
+    event-type sets, then flatten-distinct to user grain
+    (parse_embl.py:156-177's record-level roll-up)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("ts_s"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 600), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_locus = sess.groupBy("user_id", "session_id").agg(
+        F.collect_set("event_type").alias("types")
+    )
+    return per_locus.groupBy("user_id").agg(
+        F.concat_ws(
+            "|", F.array_sort(F.array_distinct(F.flatten(F.collect_list("types"))))
+        ).alias("event_types"),
+        F.count("*").alias("n_sessions"),
+    )
+
+
+SQL_A2 = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id, event_type
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w > 600
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+), sess AS (
+  SELECT user_id, event_type,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), '|') AS event_types,
+       count(DISTINCT sid) AS n_sessions
+FROM sess GROUP BY user_id
+"""
+
+
+def q_o2_seven_col_projection(spark, sf_dir):
+    """O2: the reference's 7-column output projection in its exact
+    column set (parse_embl.py:255)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("ENA"), F.col("l_orderkey")).alias("ena_id"),
+        F.concat(F.lit("U"), F.col("l_suppkey") % 50).alias("uniprot_id"),
+        F.col("l_linenumber").alias("locus_num"),
+        (F.col("l_orderkey") % 2).cast("int").alias("chr_struct"),
+        (F.col("l_suppkey") % 2).cast("int").alias("direction"),
+        F.least("l_partkey", "l_suppkey").cast("long").alias("start"),
+        F.greatest("l_partkey", "l_suppkey").cast("long").alias("end"),
+    )
+
+
+SQL_O2 = """
+SELECT 'ENA' || l_orderkey AS ena_id,
+       'U' || (l_suppkey % 50) AS uniprot_id,
+       l_linenumber AS locus_num,
+       CAST(l_orderkey % 2 AS INTEGER) AS chr_struct,
+       CAST(l_suppkey % 2 AS INTEGER) AS direction,
+       CAST(least(l_partkey, l_suppkey) AS BIGINT) AS "start",
+       CAST(greatest(l_partkey, l_suppkey) AS BIGINT) AS "end"
+FROM lineitem
+"""
+
+
+def q_o5_stable_range_sort(spark, sf_dir):
+    """O5: stable in-block range sort (parse_embl.py:401) — ranges sort
+    by start; equal starts keep their original (input) order, pinned
+    here by sorting (start, pos, end) structs."""
+    li = t(spark, sf_dir, "lineitem")
+    ranges = li.select(
+        "l_orderkey",
+        (F.col("l_partkey") % 50).cast("long").alias("s"),
+        (F.col("l_suppkey") % 90 + 1).cast("long").alias("e"),
+        F.col("l_linenumber").alias("pos"),
+    )
+    agg = ranges.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.struct("s", "pos", "e"))).alias("_sorted")
+    )
+    return agg.select(
+        "l_orderkey",
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.col("_sorted"),
+                lambda r: F.concat_ws(":", r["s"].cast("string"), r["e"].cast("string")),
+            ),
+        ).alias("ordered_ranges"),
+    )
+
+
+SQL_O5 = """
+SELECT l_orderkey,
+       array_to_string(
+         list(CAST(l_partkey % 50 AS BIGINT) || ':' ||
+              CAST(l_suppkey % 90 + 1 AS BIGINT)
+              ORDER BY l_partkey % 50, l_linenumber, l_suppkey % 90 + 1),
+         '|') AS ordered_ranges
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# --- S5-S7: sink roundtrips — the query WRITES through the real sink and
+# returns what a reader sees; the oracle recomputes expected content
+# straight from the source table.  /tmp scratch, deterministic path per
+# sf so reruns overwrite.  ---------------------------------------------------
+
+_ENA_TAB_READ_SCHEMA = (
+    "ena_id string, uniprot_id string, locus_num int, chr_struct int, "
+    "direction int, start long, end long"
+)
+
+
+def _sink_df(spark, sf_dir):
+    """documents -> a small ena-tab-shaped table (no nulls, int-exact)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("ENA"), F.col("doc_id")).alias("ena_id"),
+        F.concat(F.lit("U"), F.col("doc_id") % 50).alias("uniprot_id"),
+        (F.col("doc_id") % 7 + 1).cast("int").alias("locus_num"),
+        (F.col("doc_id") % 2).cast("int").alias("chr_struct"),
+        ((F.col("doc_id") / 2).cast("int") % 2).alias("direction"),
+        (F.col("doc_id") * 3 + 1).cast("long").alias("start"),
+        (F.col("doc_id") * 3 + 500).cast("long").alias("end"),
+    )
+
+
+_SINK_SQL_BASE = """
+SELECT 'ENA' || doc_id AS ena_id,
+       'U' || (doc_id % 50) AS uniprot_id,
+       CAST(doc_id % 7 + 1 AS INTEGER) AS locus_num,
+       CAST(doc_id % 2 AS INTEGER) AS chr_struct,
+       CAST((doc_id // 2) % 2 AS INTEGER) AS direction,
+       CAST(doc_id * 3 + 1 AS BIGINT) AS "start",
+       CAST(doc_id * 3 + 500 AS BIGINT) AS "end"
+FROM documents
+"""
+
+
+def _sink_path(sf_dir: str, name: str) -> str:
+    from pathlib import Path
+
+    return f"/tmp/spark_graft_sink_check/{Path(sf_dir).name}/{name}"
+
+
+def q_s5_tsv_roundtrip(spark, sf_dir):
+    """S5: headerless-TSV append sink (dask_tasks.py:148-166 analog) —
+    write through the real sink, read the bytes back, compare content
+    to the oracle's direct recomputation."""
+    from ena_database_build_spark.sources.sinks import write_ena_tab
+
+    path = _sink_path(sf_dir, "s5")
+    write_ena_tab(_sink_df(spark, sf_dir), path)
+    return (
+        spark.read.schema(_ENA_TAB_READ_SCHEMA)
+        .option("sep", "\t")
+        .option("header", "false")
+        .csv(path)
+    )
+
+
+SQL_S5 = _SINK_SQL_BASE
+
+
+def q_s6_partitioned_shards(spark, sf_dir):
+    """S6: shard-per-source-dir sink (dask_tasks.py:168-211) — write
+    partitioned by the P9-derived shard name, read back with partition
+    discovery, count rows per shard."""
+    from ena_database_build_spark.sources.sinks import write_ena_tab
+
+    path = _sink_path(sf_dir, "s6")
+    docs = t(spark, sf_dir, "documents")
+    df = docs.select(
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("wgs/public/abc/")).otherwise(
+                F.lit("sequence/con/")
+            ),
+            F.lit("d"), F.col("doc_id"), F.lit(".dat.gz"),
+        ).alias("file"),
+        F.concat(F.lit("ENA"), F.col("doc_id")).alias("ena_id"),
+        F.concat(F.lit("U"), F.col("doc_id") % 50).alias("uniprot_id"),
+        (F.col("doc_id") % 7 + 1).cast("int").alias("locus_num"),
+        (F.col("doc_id") % 2).cast("int").alias("chr_struct"),
+        ((F.col("doc_id") / 2).cast("int") % 2).alias("direction"),
+        (F.col("doc_id") * 3 + 1).cast("long").alias("start"),
+        (F.col("doc_id") * 3 + 500).cast("long").alias("end"),
+    )
+    write_ena_tab(df, path, partition_by_source_dir=True)
+    back = (
+        spark.read.schema(_ENA_TAB_READ_SCHEMA)
+        .option("sep", "\t")
+        .option("header", "false")
+        .csv(path)
+    )
+    return back.groupBy(F.col("source_dir").cast("string").alias("source_dir")).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("ena_id").alias("n_ids"),
+    )
+
+
+SQL_S6 = """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'wgs-public-abc' ELSE 'sequence-con' END
+         AS source_dir,
+       count(*) AS n_rows,
+       count(DISTINCT 'ENA' || doc_id) AS n_ids
+FROM documents GROUP BY 1
+"""
+
+
+def q_s7_concat_single_file(spark, sf_dir):
+    """S7: concat-all single-file sink (dask_tskmgr.py:232-241) — the
+    read-back must come from exactly ONE part file with every row
+    present."""
+    from ena_database_build_spark.sources.sinks import write_ena_tab
+
+    path = _sink_path(sf_dir, "s7")
+    write_ena_tab(_sink_df(spark, sf_dir), path, single_file=True)
+    back = (
+        spark.read.schema(_ENA_TAB_READ_SCHEMA)
+        .option("sep", "\t")
+        .option("header", "false")
+        .csv(path)
+    )
+    return back.select(
+        "ena_id", F.input_file_name().alias("_part")
+    ).agg(
+        F.countDistinct("_part").alias("n_files"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("ena_id").alias("n_ids"),
+    )
+
+
+SQL_S7 = """
+SELECT CAST(1 AS BIGINT) AS n_files,
+       count(*) AS n_rows,
+       count(DISTINCT doc_id) AS n_ids
+FROM documents
+"""
+
+
 def q_ena_context_analog(spark, sf_dir):
     """Flagship: the reference's 'chromosome neighborhood context' shape
     on TPC-H — customers as chromosomes, orders as ordered loci
@@ -1038,8 +1709,10 @@ WHERE list_cosine_similarity(
 def q_ivf_topk(spark, sf_dir):
     """IVF-style ANN: deterministic coarse centroids (mean of each
     label group — 'training' is one aggregation), probe the nearest 2
-    centroids, exact-score only vectors in probed cells.  Rows-only
-    check (approximate by construction)."""
+    centroids, exact-score only vectors in probed cells.  Every step is
+    deterministic (probe ranking compares ROUNDED similarities with a
+    label tie-break), so the oracle mirrors the whole procedure in SQL
+    and the check is exact."""
     emb = t(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     cells = emb.select(F.col("vec_id"), F.col("label"), v.alias("v"))
@@ -1053,9 +1726,14 @@ def q_ivf_topk(spark, sf_dir):
         "label", F.transform("_dc", lambda s: s["c"]).alias("centroid")
     )
     qrow = emb.where(F.col("vec_id") == 0).select(v.alias("qv"))
+    # order by the ROUNDED centroid similarity so sub-1e-6 float jitter
+    # (summation order differs across engines) cannot flip the probe set
     probe = (
         centroids.crossJoin(F.broadcast(qrow))
-        .select("label", SIM.cosine(F.col("centroid"), F.col("qv")).alias("cc"))
+        .select(
+            "label",
+            F.round(SIM.cosine(F.col("centroid"), F.col("qv")), 6).alias("cc"),
+        )
         .orderBy(F.desc("cc"), "label")
         .limit(2)
         .select("label")
@@ -1069,6 +1747,30 @@ def q_ivf_topk(spark, sf_dir):
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+SQL_IVF_TOPK = """
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT v AS qv FROM v WHERE vec_id = 0
+), comp AS (
+  SELECT label, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS dim FROM v
+), cent AS (
+  SELECT label, list(c ORDER BY dim) AS centroid FROM (
+    SELECT label, dim, avg(val) AS c FROM comp GROUP BY label, dim
+  ) GROUP BY label
+), probe AS (
+  SELECT label FROM cent, q
+  ORDER BY round(list_cosine_similarity(centroid, qv), 6) DESC, label
+  LIMIT 2
+)
+SELECT vec_id, round(list_cosine_similarity(v.v, q.qv), 6) AS cos_sim
+FROM v JOIN probe USING (label), q
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
 
 
 def q_lang_id(spark, sf_dir):
@@ -1325,12 +2027,34 @@ FROM assigned GROUP BY win_start_s
 
 
 def q_approx_distinct(spark, sf_dir):
-    """approx_count_distinct — approximate by design: rows-only check."""
+    """approx_count_distinct (HLL++) with a BOUNDED oracle: the sketch
+    estimate is approximate, so the query outputs whether the estimate
+    landed within 4% of the exact count (rsd=0.01 -> 4% is a 4-sigma
+    bound) and the oracle asserts TRUE — converting the error-bound
+    check into an exact hash match."""
     return (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.col("exact_users") * 0.04
+            ).alias("within_bounds"),
+        )
     )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bounds
+FROM events GROUP BY event_type
+"""
 
 
 def q_exact_distinct(spark, sf_dir):
@@ -1379,21 +2103,40 @@ CATALOG: dict[str, QueryDef] = {
     "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),
     "f1_division_filter": QueryDef(q_f1_division_filter, SQL_F1),
     "f2_prefix_filter": QueryDef(q_f2_prefix_filter, SQL_F2),
+    "f3_fungi_gate": QueryDef(q_f3_fungi_gate, SQL_F3),
     "f4_whitelist_deadletter": QueryDef(q_f4_whitelist_deadletter, SQL_F4),
+    "f5_malformed_id_drop": QueryDef(q_f5_malformed_id_drop, SQL_F5),
+    "f6_empty_record_guard": QueryDef(q_f6_empty_record_guard, SQL_F6),
+    "f7_unparseable_cds_drop": QueryDef(q_f7_unparseable_cds_drop, SQL_F7),
+    "f8_empty_input_guard": QueryDef(q_f8_empty_input_guard, SQL_F8),
     "p1_regex_extract": QueryDef(q_p1_regex_extract, SQL_P1),
     "p2_alternation_extract": QueryDef(q_p2_alternation_extract, SQL_P2),
     "p3_range_extract": QueryDef(q_p3_range_extract, SQL_P3),
+    "p4_feature_start": QueryDef(q_p4_feature_start, SQL_P4),
+    "p5_cds_head": QueryDef(q_p5_cds_head, SQL_P5),
+    "p6_qualifier_continuation": QueryDef(q_p6_qualifier_continuation, SQL_P6),
+    "p7_location_normalizer": QueryDef(q_p7_location_normalizer, SQL_P7),
+    "p8_strand_detector": QueryDef(q_p8_strand_detector, SQL_P8),
+    "p9_path_components": QueryDef(q_p9_path_components, SQL_P9),
     "g1_sessionize": QueryDef(q_g1_sessionize, SQL_G1),
+    "g2_nested_sessionize": QueryDef(q_g2_nested_sessionize, SQL_G2),
+    "g3_final_flush": QueryDef(q_g3_final_flush, SQL_G3),
     "g4_ordinals": QueryDef(q_g4_ordinals, SQL_G4),
     "a1_collect_set": QueryDef(q_a1_collect_set, SQL_A1),
+    "a2_record_set_union": QueryDef(q_a2_record_set_union, SQL_A2),
     "a3_flat_minmax": QueryDef(q_a3_flat_minmax, SQL_A3),
     "a4_circular_resolution": QueryDef(q_a4_circular_resolution, SQL_A4),
     "j1_lookup_join": QueryDef(q_j1_lookup_join, SQL_J1),
     "j2_anti_join": QueryDef(q_j2_anti_join, SQL_J2),
     "j3_fallback_coalesce": QueryDef(q_j3_fallback_coalesce, SQL_J3),
     "o1_explode": QueryDef(q_o1_explode, SQL_O1),
+    "o2_seven_col_projection": QueryDef(q_o2_seven_col_projection, SQL_O2),
     "o3_union": QueryDef(q_o3_union, SQL_O3),
     "o4_topk": QueryDef(q_o4_topk, SQL_O4),
+    "o5_stable_range_sort": QueryDef(q_o5_stable_range_sort, SQL_O5),
+    "s5_tsv_roundtrip": QueryDef(q_s5_tsv_roundtrip, SQL_S5),
+    "s6_partitioned_shards": QueryDef(q_s6_partitioned_shards, SQL_S6),
+    "s7_concat_single_file": QueryDef(q_s7_concat_single_file, SQL_S7),
     "ena_context_analog": QueryDef(q_ena_context_analog, SQL_ENA_CONTEXT),
     "tpch_q1_pricing": QueryDef(q_tpch_q1_pricing, SQL_TPCH_Q1),
     "tpch_q3_shipping": QueryDef(q_tpch_q3_shipping, SQL_TPCH_Q3),
@@ -1407,7 +2150,7 @@ CATALOG: dict[str, QueryDef] = {
     "cosine_topk": QueryDef(q_cosine_topk, SQL_COSINE_TOPK),
     "srp_buckets": QueryDef(q_srp_buckets, SQL_SRP_BUCKETS),
     "dedup_embedding": QueryDef(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
-    "ivf_topk": QueryDef(q_ivf_topk, None),
+    "ivf_topk": QueryDef(q_ivf_topk, SQL_IVF_TOPK),
     "lang_id": QueryDef(q_lang_id, SQL_LANG_ID),
     "quality_scores": QueryDef(q_quality_scores, SQL_QUALITY),
     "token_counts": QueryDef(q_token_counts, SQL_TOKEN_COUNTS),
@@ -1417,7 +2160,7 @@ CATALOG: dict[str, QueryDef] = {
     "events_tumbling": QueryDef(q_events_tumbling, SQL_TUMBLING),
     "events_sliding": QueryDef(q_events_sliding, SQL_SLIDING),
     "events_sessions": QueryDef(q_events_sessions, SQL_SESSIONS),
-    "approx_distinct": QueryDef(q_approx_distinct, None),
+    "approx_distinct": QueryDef(q_approx_distinct, SQL_APPROX_DISTINCT),
     "exact_distinct": QueryDef(q_exact_distinct, SQL_EXACT_DISTINCT),
     "multimodal_decode": QueryDef(q_multimodal_decode, SQL_MULTIMODAL),
 }
