@@ -34,6 +34,15 @@ def get_spark(
         # read TIMESTAMP(NANOS) parquet (unsupported natively) as long
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # collect_set/collect_list aggregations (ObjectHashAggregate)
+        # fall back to sort-based after 128 in-memory groups by default
+        # — a measured ~15% penalty on the per-order set-collects at
+        # sf0.1.  4096 keeps typical per-partition group counts in the
+        # hash path without the allocation churn a very large cap
+        # showed (1M measured SLOWER than 128).
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096"
+        )
         .config("spark.ui.enabled", "false")
         .config(
             "spark.sql.warehouse.dir",
