@@ -1,0 +1,5 @@
+"""``python -m ena_database_build_spark`` — see cli.py."""
+
+from ena_database_build_spark.cli import main
+
+main()
