@@ -14,6 +14,7 @@ sides; floats are rounded before comparison; arrays are rendered as
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable
 
@@ -44,8 +45,42 @@ TABLES = [
 ]
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# Natural partitioning key per fact-sized table.  Dimension tables
+# (region/nation/supplier/part) are deliberately absent: they broadcast.
+_SPREAD_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "events": "user_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+# A parquet scan parallelizes across files x row groups.  Production
+# inputs arrive pre-split (many files, many row groups), so the scan
+# alone feeds every core.  The test fixtures are SINGLE files with ONE
+# row group, which pins the scan — and everything Catalyst pipelines
+# into the scan stage (tokenization, hashing, partial aggregation) —
+# onto one core.  ``spread=True`` compensates when (and only when) the
+# input is such a single-split file: repartition by the table's natural
+# key, so the exchange moves pre-explode rows (strictly fewer bytes
+# than the exploded rows downstream windows/aggs would otherwise
+# shuffle) and hash-partitioning by the key satisfies the
+# ClusteredDistribution the keyed windows/groupBys require — no second
+# shuffle appears.  It is deliberately OPT-IN per query: where the scan
+# stage itself collapses the data before any exchange (map-side partial
+# aggregation in q1, the per-partition top-k heap in o4, broadcast-hash
+# probes in q5), an up-front repartition is a pure extra shuffle of the
+# full fact and measures strictly slower — those queries keep the
+# default.  At production scale the size gate makes this a no-op.
+_SINGLE_SPLIT_BYTES = 128 << 20  # spark.sql.files.maxPartitionBytes default
+
+
+def t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet arrives as long via nanosAsLong;
         # normalize to a microsecond timestamp column.  Integer `div`,
@@ -53,6 +88,14 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (the long doesn't fit double's 53-bit mantissa), which can
         # flip values across second boundaries vs the exact oracle.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if (
+        spread
+        and os.path.isfile(path)
+        and os.path.getsize(path) < _SINGLE_SPLIT_BYTES
+    ):
+        df = df.repartition(
+            spark.sparkContext.defaultParallelism, _SPREAD_KEYS[name]
+        )
     return df
 
 
@@ -253,7 +296,7 @@ def q_g1_sessionize(spark, sf_dir):
     """G1: gap-based sessionization as a conditional running sum over an
     ordered stream (the record-segmentation pattern,
     parse_embl.py:494-520)."""
-    ev = t(spark, sf_dir, "events").select(
+    ev = t(spark, sf_dir, "events", spread=True).select(
         "user_id", F.col("ts").cast("long").alias("ts_s"), "event_id"
     )
     w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
@@ -299,7 +342,7 @@ def q_g4_ordinals(spark, sf_dir):
     (row_number locus numbering, parse_embl.py:181-190)."""
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
-        t(spark, sf_dir, "events")
+        t(spark, sf_dir, "events", spread=True)
         .withColumn("ordinal", F.row_number().over(w))
         .where(F.col("ordinal") <= 3)
         .select("user_id", "event_type", "event_id", "ordinal")
@@ -346,7 +389,7 @@ def q_a3_flat_minmax(spark, sf_dir):
     """A3: min/max over flattened range endpoints
     (parse_embl.py:392-396)."""
     return (
-        t(spark, sf_dir, "lineitem")
+        t(spark, sf_dir, "lineitem", spread=True)
         .groupBy("l_orderkey")
         .agg(
             F.least(F.min("l_partkey"), F.min("l_suppkey")).alias("flat_min"),
@@ -368,7 +411,7 @@ def q_a4_circular_resolution(spark, sf_dir):
     the engine runs the pure-expression resolver
     (functions/locations.py); the oracle re-derives the algorithm
     relationally with window functions (parse_embl.py:364-441)."""
-    li = t(spark, sf_dir, "lineitem")
+    li = t(spark, sf_dir, "lineitem", spread=True)
     ranges = li.select(
         F.col("l_orderkey"),
         (F.col("l_orderkey") % 2).cast("int").alias("chr_struct"),
@@ -897,7 +940,7 @@ def q_g2_nested_sessionize(spark, sf_dir):
     (records) opens on a >600s gap, level 2 (blocks) is a running count
     of block-start events, keyed (session, block) exactly like the EMBL
     (record_idx, block_idx) pair (parse_embl.py:545-559)."""
-    ev = t(spark, sf_dir, "events").select(
+    ev = t(spark, sf_dir, "events", spread=True).select(
         "user_id",
         F.col("ts").cast("long").alias("ts_s"),
         "event_id",
@@ -947,7 +990,7 @@ def q_g3_final_flush(spark, sf_dir):
     """G3: the stream's LAST group is emitted complete without an EOF
     sentinel (free by window/groupBy construction, parse_embl.py:568-570
     analog) — return each user's final session."""
-    ev = t(spark, sf_dir, "events").select(
+    ev = t(spark, sf_dir, "events", spread=True).select(
         "user_id", F.col("ts").cast("long").alias("ts_s"), "event_id"
     )
     w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
@@ -996,7 +1039,7 @@ def q_a2_record_set_union(spark, sf_dir):
     """A2: record-grain union of per-locus sets — collect per-session
     event-type sets, then flatten-distinct to user grain
     (parse_embl.py:156-177's record-level roll-up)."""
-    ev = t(spark, sf_dir, "events").select(
+    ev = t(spark, sf_dir, "events", spread=True).select(
         "user_id", F.col("ts").cast("long").alias("ts_s"), "event_id", "event_type"
     )
     w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
@@ -1248,7 +1291,7 @@ def q_ena_context_analog(spark, sf_dir):
     (G4 ordinal), lineitem suppliers as mapped ids (J1), with the J3
     fallback and O1-style output grain (dask_tskmgr.py:236-241)."""
     orders = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
+    li = t(spark, sf_dir, "lineitem", spread=True)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     ordered = orders.withColumn("locus_num", F.row_number().over(w))
     mapped = li.groupBy("l_orderkey").agg(
@@ -1465,7 +1508,7 @@ def _shingle_sql(k: int = 3) -> str:
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (4 hashes over 3-shingles) per document."""
     return D.minhash_signatures(
-        t(spark, sf_dir, "documents"), num_hashes=4, k=3
+        t(spark, sf_dir, "documents", spread=True), num_hashes=4, k=3
     )
 
 
@@ -1488,7 +1531,7 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     """LSH near-dup candidates: 4 bands of 1 minhash over 2-shingles —
     one equi-join on (band, signature), no cross product."""
     return D.lsh_candidate_pairs(
-        t(spark, sf_dir, "documents"), num_hashes=4, band_size=1, k=2
+        t(spark, sf_dir, "documents", spread=True), num_hashes=4, band_size=1, k=2
     )
 
 
@@ -1511,7 +1554,7 @@ FROM sig l JOIN sig r
 
 def q_simhash(spark, sf_dir):
     """16-bit SimHash bit-string per document (explode + hash-agg)."""
-    return D.simhash_signatures(t(spark, sf_dir, "documents"))
+    return D.simhash_signatures(t(spark, sf_dir, "documents", spread=True))
 
 
 def _simhash_sql() -> str:
@@ -1534,7 +1577,7 @@ SELECT doc_id, {_simhash_sql()} AS simhash FROM toks
 def q_jaccard_pairs(spark, sf_dir):
     """Exact 2-shingle Jaccard on the LSH candidate pairs (verify step
     of near-dedup)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents", spread=True)
     pairs = D.lsh_candidate_pairs(docs, num_hashes=4, band_size=1, k=2)
     return D.jaccard_pairs(docs, pairs, k=2).select(
         "left_id", "right_id", F.round("jaccard", 6).alias("jaccard")
@@ -1776,7 +1819,7 @@ LIMIT 10
 def q_lang_id(spark, sf_dir):
     """n-gram/stopword language id vs the labeled lang column
     (confusion counts)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents", spread=True)
     return (
         docs.select("lang", T.detect_lang(F.col("text")).alias("predicted"))
         .groupBy("lang", "predicted")
@@ -1917,7 +1960,7 @@ LIMIT 50
 
 def q_rolling_fingerprints(spark, sf_dir):
     """Rolling-hash (winnowing-style) k-gram document fingerprints."""
-    return T.rolling_fingerprints(t(spark, sf_dir, "documents"))
+    return T.rolling_fingerprints(t(spark, sf_dir, "documents", spread=True))
 
 
 def _rolling_sql() -> str:
@@ -1967,7 +2010,7 @@ FROM events GROUP BY 1, 2
 def q_events_sessions(spark, sf_dir):
     """session_window(gap=10min) per user (batch run of the streaming
     operator); oracle sessionizes with window SQL."""
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events", spread=True)
     out = STR.session_aggregates(ev, "10 minutes")
     return out.select(
         "user_id",
