@@ -53,6 +53,29 @@ def tokens(text: Column) -> Column:
     return F.split(normalized_text(text), " ")
 
 
+def spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-partition ``df`` by ``id_col`` across the cluster's full
+    parallelism, placed BEFORE a compute-amplifying explode.
+
+    Two scale effects, both independent of data size:
+
+    * The per-id exchange the downstream window/groupBy would otherwise
+      force moves to the PRE-explode rows — one row per document instead
+      of one per token/k-gram/character, i.e. the shuffle carries k-to-
+      1000x fewer rows for the same result.
+    * The partition count is pinned explicitly.  AQE's byte-based
+      coalescing sizes partitions for ~64 MB of *input*, but an
+      exploding stage multiplies work per input byte; letting AQE
+      coalesce a small-but-heavy input (e.g. docs whose char explode is
+      1000x) serializes the whole stage onto one core.  Explicit
+      ``defaultParallelism`` keeps the compute spread regardless of how
+      few input bytes feed it.
+    """
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """ARRAY<STRING> of word ``k``-shingles (distinct, order-free)."""
     toks = tokens(text)
@@ -90,6 +113,7 @@ def shingle_rows(
     shingle (``concat_ws`` skips the null leads), matching
     :func:`shingles`.
     """
+    df = spread_by_id(df, id_col)
     tok = df.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
     )
@@ -242,6 +266,7 @@ def simhash_signatures(
     (16 conditional sums), semantically identical to :func:`simhash16`
     but with map-side partial aggregation instead of 16 per-row array
     folds.  Output: ``id_col, simhash STRING``."""
+    df = spread_by_id(df, id_col)
     tk = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )

@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ena_database_build_spark.operators.dedup import normalized_text, tokens
+from ena_database_build_spark.operators.dedup import (
+    normalized_text,
+    spread_by_id,
+    tokens,
+)
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # (A production lang-id would plug a real model in via pandas_udf; the
@@ -152,6 +156,7 @@ def rolling_fingerprints(df, text_col: str = "text", id_col: str = "doc_id"):
     """
     from pyspark.sql import Window
 
+    df = spread_by_id(df, id_col)
     nt = normalized_text(F.col(text_col))
     chars = df.select(
         F.col(id_col), F.posexplode(F.split(nt, "")).alias("pos", "ch")

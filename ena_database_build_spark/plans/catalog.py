@@ -1508,7 +1508,7 @@ def _shingle_sql(k: int = 3) -> str:
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (4 hashes over 3-shingles) per document."""
     return D.minhash_signatures(
-        t(spark, sf_dir, "documents", spread=True), num_hashes=4, k=3
+        t(spark, sf_dir, "documents"), num_hashes=4, k=3
     )
 
 
@@ -1531,7 +1531,7 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     """LSH near-dup candidates: 4 bands of 1 minhash over 2-shingles —
     one equi-join on (band, signature), no cross product."""
     return D.lsh_candidate_pairs(
-        t(spark, sf_dir, "documents", spread=True), num_hashes=4, band_size=1, k=2
+        t(spark, sf_dir, "documents"), num_hashes=4, band_size=1, k=2
     )
 
 
@@ -1554,7 +1554,7 @@ FROM sig l JOIN sig r
 
 def q_simhash(spark, sf_dir):
     """16-bit SimHash bit-string per document (explode + hash-agg)."""
-    return D.simhash_signatures(t(spark, sf_dir, "documents", spread=True))
+    return D.simhash_signatures(t(spark, sf_dir, "documents"))
 
 
 def _simhash_sql() -> str:
@@ -1577,7 +1577,7 @@ SELECT doc_id, {_simhash_sql()} AS simhash FROM toks
 def q_jaccard_pairs(spark, sf_dir):
     """Exact 2-shingle Jaccard on the LSH candidate pairs (verify step
     of near-dedup)."""
-    docs = t(spark, sf_dir, "documents", spread=True)
+    docs = t(spark, sf_dir, "documents")
     pairs = D.lsh_candidate_pairs(docs, num_hashes=4, band_size=1, k=2)
     return D.jaccard_pairs(docs, pairs, k=2).select(
         "left_id", "right_id", F.round("jaccard", 6).alias("jaccard")
@@ -1960,7 +1960,7 @@ LIMIT 50
 
 def q_rolling_fingerprints(spark, sf_dir):
     """Rolling-hash (winnowing-style) k-gram document fingerprints."""
-    return T.rolling_fingerprints(t(spark, sf_dir, "documents", spread=True))
+    return T.rolling_fingerprints(t(spark, sf_dir, "documents"))
 
 
 def _rolling_sql() -> str:

@@ -1,0 +1,173 @@
+"""Scale-up differential bench: Spark vs the DuckDB oracle at sf1.
+
+The per-round gate (bench.py) runs at sf0.1, where Spark's fixed
+per-stage overhead (~0.1-0.3 s/job on local[32]) dominates and skews
+the ratio against Spark.  This harness builds a 10x corpus (~sf1,
+6 M lineitem rows) by replicating sf0.1 with disjoint key offsets and
+times BOTH engines on the same headline queries — the scale where
+engine throughput, not stage latency, decides the ratio.
+
+The generated corpus is MULTI-FILE parquet (one file per replica), so
+Spark's scans parallelize the way production inputs do; the catalog's
+single-split ``spread`` compensator stays dormant (dir, not file).
+
+Usage:  python tools/bench_scale.py [replicas] [out_dir]
+Prints one JSON line mirroring bench.py's shape, plus DuckDB timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import pyarrow.compute as pc  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+from ena_database_build_spark.plans.catalog import CATALOG, TABLES  # noqa: E402
+from ena_database_build_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+OFFSET = 10_000_000  # disjoint key space per replica; joins stay intra-replica
+
+# key columns shifted per replica so every equi-join matches exactly as
+# it does at sf0.1 (no cross-replica fan-in)
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+HEADLINE = [
+    "ena_context_analog",
+    "tpch_q1_pricing",
+    "tpch_q5_volume",
+    "a4_circular_resolution",
+    "g1_sessionize",
+    "j1_lookup_join",
+    "o4_topk",
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash",
+    "cosine_topk",
+    "lang_id",
+    "token_counts",
+    "events_sessions",
+]
+
+
+def generate(out_dir: str, replicas: int) -> None:
+    out = Path(out_dir)
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    for name in TABLES:
+        tbl = pq.read_table(f"{SRC}/{name}.parquet")
+        keys = KEY_COLS.get(name)
+        dest = out / f"{name}.parquet"
+        if not keys:  # region/nation: tiny dims, copy once
+            pq.write_table(tbl, dest)
+            continue
+        dest.mkdir()
+        for i in range(replicas):
+            rep = tbl
+            off = i * OFFSET
+            if off:
+                for k in keys:
+                    rep = rep.set_column(
+                        rep.schema.get_field_index(k),
+                        k,
+                        pc.add(rep.column(k), off),
+                    )
+            if name == "documents":
+                # vary the text per replica so exact/near-dedup keeps
+                # sf0.1's duplicate structure instead of a degenerate
+                # everything-matches-everything corpus
+                idx = rep.schema.get_field_index("text")
+                rep = rep.set_column(
+                    idx,
+                    "text",
+                    pc.binary_join_element_wise(
+                        rep.column("text").cast(pa.string()), f" r{i}", " "
+                    ),
+                )
+            pq.write_table(rep, dest / f"part-{i:03d}.parquet")
+
+
+def time_best2(fn) -> float:
+    fn()  # warm-up
+    runs = []
+    for _ in range(2):
+        st = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - st)
+    return round(min(runs), 3)
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf1"
+    marker = Path(out_dir) / ".complete"
+    if not marker.exists():
+        generate(out_dir, replicas)
+        marker.touch()
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        "ena-bench-sf1", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    spark_t: dict[str, float] = {}
+    for name in HEADLINE:
+        df = CATALOG[name].spark(spark, out_dir)
+        spark_t[name] = time_best2(
+            lambda: df.write.format("noop").mode("overwrite").save()
+        )
+
+    con = duckdb.connect()
+    for name in TABLES:
+        p = Path(out_dir) / f"{name}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
+    # .arrow() fully materializes the result vectorized — comparable to
+    # Spark's noop sink (full compute, no row-at-a-time driver transfer)
+    duck_t: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = CATALOG[name].oracle
+        duck_t[name] = time_best2(lambda: con.sql(sql).arrow())
+
+    total_s = round(sum(spark_t.values()), 3)
+    total_d = round(sum(duck_t.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sf1_headline_total_wall",
+                "value": total_s,
+                "unit": "sec",
+                "queries": spark_t,
+                "duckdb_sec": total_d,
+                "duckdb_queries": duck_t,
+                "ratio": round(total_s / total_d, 2) if total_d else None,
+                "replicas": replicas,
+                "sf": 1.0,
+                "loadavg_1m": round(os.getloadavg()[0], 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
