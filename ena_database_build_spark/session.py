@@ -33,7 +33,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # read TIMESTAMP(NANOS) parquet (unsupported natively) as long
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # near Spark's stock 10 MB default, NOT higher: the broadcast
+        # build (collect + hashed-relation construction + exchange) is a
+        # serial step, and past ~10 MB a sort-merge/shuffled-hash join
+        # that reuses the build side's existing hash partitioning
+        # measures faster (sf1: 1.5 M-row aggregated build side joined
+        # broadcast 2.5 s vs SMJ 1.2 s).  Small dims still broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
         # collect_set/collect_list aggregations (ObjectHashAggregate)
         # fall back to sort-based after 128 in-memory groups by default
         # — a measured ~15% penalty on the per-order set-collects at
