@@ -1,0 +1,122 @@
+"""Connected components + near-duplicate cluster resolution.
+
+The missing END stage of near-dedup: LSH gives candidate pairs
+(``operators/dedup.py``), Jaccard verifies them — but a training-data
+pipeline must then pick ONE canonical document per duplicate *cluster*,
+and clusters are the connected components of the verified-pair graph
+(A~B, B~C => {A,B,C} even when A,C never met in a band).
+
+Scale design (the reference has no analog; this is §2.11+ surface):
+
+* Min-label propagation over the edge list: every iteration is one
+  equi-join (labels onto edge destinations) + one map-side-combinable
+  ``min`` aggregation — the same two-shuffle shape GraphX/Pregel jobs
+  run.  No adjacency lists are materialized per node, so a hot node
+  (boilerplate duplicated millions of times) is just many edge ROWS,
+  spread across partitions, never one giant row.
+* Labels only ever decrease, so convergence is monotone; iterations
+  needed = graph diameter.  Duplicate-cluster graphs are
+  near-cliques (diameter 2-3) — the loop exits after 3-4 rounds.
+* Each iteration ``localCheckpoint``s the label frame: iterative
+  self-referential lineage otherwise grows Catalyst's analysis time
+  super-linearly and re-executes the whole chain per action.  On a
+  production cluster with retries, configure
+  ``spark.sparkContext.setCheckpointDir`` and pass
+  ``reliable_checkpoint=True`` (executor loss discards localCheckpoint
+  blocks; a reliable checkpoint survives).
+* The per-iteration convergence test is a ``count`` on the changed-row
+  side — the one unavoidable driver action of any fixpoint algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup as D
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "left_id",
+    dst: str = "right_id",
+    max_iter: int = 25,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Label every node of the undirected edge graph with the minimum
+    node id reachable from it (= its component id).
+
+    Returns ``(node, component)`` for every node that appears in at
+    least one edge.  Deterministic: component ids are min ids, not
+    partition-dependent.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("min_nbr"))
+        .select(
+            F.col("a").alias("node"),
+            F.least("a", "min_nbr").alias("component"),
+        )
+    )
+    labels = _truncate(labels, reliable_checkpoint)
+    for _ in range(max_iter):
+        # neighbor minimum: one join keyed on the edge destination, one
+        # min-agg keyed on the source — both shuffles carry (int, int)
+        nbr = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        stepped = (
+            labels.join(nbr, labels.node == nbr.a, "left")
+            .select(
+                "node",
+                F.col("component").alias("old_component"),
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+        )
+        stepped = _truncate(stepped, reliable_checkpoint)
+        changed = stepped.where(
+            F.col("component") < F.col("old_component")
+        ).count()
+        labels = stepped.select("node", "component")
+        if changed == 0:
+            break
+    return labels
+
+
+def _truncate(df: DataFrame, reliable: bool) -> DataFrame:
+    return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+        eager=True
+    )
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 4,
+    band_size: int = 1,
+    k: int = 2,
+) -> DataFrame:
+    """Drop near-duplicates, keeping the min-id document per duplicate
+    cluster: LSH candidates -> exact-Jaccard verify -> connected
+    components -> anti-join the losers.  Every stage is banded/keyed —
+    no all-pairs work anywhere."""
+    pairs = D.lsh_candidate_pairs(df, text_col, id_col, num_hashes, band_size, k)
+    verified = D.jaccard_pairs(df, pairs, text_col, id_col, k).where(
+        F.col("jaccard") >= threshold
+    )
+    comp = connected_components(verified)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

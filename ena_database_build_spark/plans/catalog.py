@@ -25,6 +25,7 @@ from ena_database_build_spark.functions.locations import (
     location_ranges,
     resolved_span_relational,
 )
+from ena_database_build_spark.operators import cc as CC
 from ena_database_build_spark.operators import dedup as D
 from ena_database_build_spark.operators import multimodal as M
 from ena_database_build_spark.operators import similarity as SIM
@@ -1647,6 +1648,42 @@ JOIN sizes sb ON sb.doc_id = p.right_id
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: LSH candidates -> exact-Jaccard
+    verify (>= 0.8) -> connected components via iterative min-label
+    propagation (operators/cc.py).  Output: every clustered doc with
+    its cluster id (= min doc_id reachable through verified pairs).
+
+    The genuinely iterative operator of the catalog — each round is an
+    equi-join + min-agg over (int, int) rows; duplicate graphs are
+    near-cliques so it converges in 2-3 rounds.  The DuckDB oracle
+    recomputes the same components with a recursive transitive-closure
+    CTE."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs, num_hashes=4, band_size=1, k=2)
+    verified = D.jaccard_pairs(docs, pairs, k=2).where(
+        F.col("jaccard") >= 0.8
+    )
+    return CC.connected_components(verified).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE e AS (
+  SELECT left_id AS a, right_id AS b FROM ({SQL_JACCARD}) WHERE jaccard >= 0.8
+), sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+), reach(n, m) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+)
+SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+FROM reach GROUP BY n
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force ANN baseline: cosine top-20 to the vec_id=0 vector.
     The query vector joins in as a broadcast 1-row relation — no driver
@@ -2221,6 +2258,7 @@ CATALOG: dict[str, QueryDef] = {
     "lsh_candidate_pairs": QueryDef(q_lsh_candidate_pairs, SQL_LSH_PAIRS),
     "simhash": QueryDef(q_simhash, SQL_SIMHASH),
     "jaccard_pairs": QueryDef(q_jaccard_pairs, SQL_JACCARD),
+    "dedup_clusters": QueryDef(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "cosine_topk": QueryDef(q_cosine_topk, SQL_COSINE_TOPK),
     "srp_buckets": QueryDef(q_srp_buckets, SQL_SRP_BUCKETS),
     "dedup_embedding": QueryDef(q_dedup_embedding, SQL_DEDUP_EMBEDDING),

@@ -3,6 +3,7 @@
 
 from pyspark.sql import functions as F
 
+from ena_database_build_spark.operators import cc as CCOMP
 from ena_database_build_spark.operators import dedup as D
 from ena_database_build_spark.operators import multimodal as M
 from ena_database_build_spark.operators import similarity as SIM
@@ -194,3 +195,35 @@ def test_embedding_near_dup_via_srp_buckets(spark):
     )
     got = [(r["left_id"], r["right_id"]) for r in pairs.collect()]
     assert got == [(0, 1)]
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3 (transitive: 1,3 never share an edge), island 7-8,
+    # 5-6 pair; labels must be the min id of each component
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (5, 6)], "left_id long, right_id long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in CCOMP.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7}
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 12-node path needs multiple propagation rounds (diameter 11)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "left_id long, right_id long"
+    )
+    got = CCOMP.connected_components(edges)
+    assert {r["component"] for r in got.collect()} == {1}
+    assert got.count() == 12
+
+
+def test_near_dedup_keeps_min_id_per_cluster(spark):
+    out = CCOMP.near_dedup(_docs(spark), threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 1,2,5 are one cluster (exact dups modulo norm), 3 is a near dup
+    # of them at jaccard>=0.5 on 2-shingles; 4 is alone
+    assert 1 in kept and 4 in kept
+    assert 2 not in kept and 5 not in kept
