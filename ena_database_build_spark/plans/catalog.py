@@ -25,8 +25,10 @@ from ena_database_build_spark.functions.locations import (
     location_ranges,
     resolved_span_relational,
 )
+from ena_database_build_spark.operators import asof as ASOF
 from ena_database_build_spark.operators import cc as CC
 from ena_database_build_spark.operators import dedup as D
+from ena_database_build_spark.operators import rangejoin as RJ
 from ena_database_build_spark.operators import multimodal as M
 from ena_database_build_spark.operators import similarity as SIM
 from ena_database_build_spark.operators import textstats as T
@@ -1648,6 +1650,126 @@ JOIN sizes sb ON sb.doc_id = p.right_id
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: each 'view' event enriched with the most recent
+    prior 'purchase' of the same user (operators/asof.py — union +
+    single window carry, one shuffle).  Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    ev = t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = ASOF.asof_join(
+        views, buys, on="ts", by="user_id", right_cols=["event_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_right").alias("prior_purchase_id"),
+    )
+
+
+SQL_ASOF = """
+WITH views AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), buys AS (
+  SELECT user_id, ts, max(event_id) AS prior_purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT v.event_id, v.user_id, b.prior_purchase_id
+FROM views v ASOF LEFT JOIN buys b
+  ON v.user_id = b.user_id AND v.ts >= b.ts
+"""
+
+
+def q_range_join_transit(spark, sf_dir):
+    """Point-in-interval range join (operators/rangejoin.py): for each
+    distinct order date, how many lineitems were in transit
+    (shipdate <= d <= receiptdate).  The fixture lineitem carries no
+    receipt date, so transit time is derived deterministically as
+    ``(l_quantity % 30) + 1`` days.  Bucketed equi-join — intervals
+    explode to ~2 month-buckets each, a point lands in exactly one, no
+    cross product anywhere."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    points = (
+        orders.select(F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+        .withColumn("day", F.unix_date("d"))
+    )
+    sd = F.unix_date(F.col("l_shipdate").cast("date"))
+    intervals = li.select(
+        sd.alias("sd"),
+        (sd + (F.col("l_quantity").cast("int") % 30) + 1).alias("ed"),
+    )
+    joined = RJ.range_join(
+        points, intervals, point_col="day", start_col="sd", end_col="ed",
+        bucket_width=32,
+    )
+    return joined.groupBy(F.col("d").cast("string").alias("order_date")).agg(
+        F.count("*").alias("n_in_transit")
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH pts AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders),
+iv AS (
+  SELECT CAST(l_shipdate AS DATE) AS sd,
+         CAST(l_shipdate AS DATE)
+           + CAST((CAST(l_quantity AS INTEGER) % 30) + 1 AS INTEGER) AS ed
+  FROM lineitem
+)
+SELECT CAST(p.d AS VARCHAR) AS order_date, count(*) AS n_in_transit
+FROM pts p JOIN iv ON iv.sd <= p.d AND p.d <= iv.ed
+GROUP BY p.d
+"""
+
+
+def q_transit_sweepline(spark, sf_dir):
+    """The same in-transit coverage as a sweep line
+    (operators/rangejoin.py:concurrent_intervals): 2 boundary rows per
+    interval, one running sum — the shape that wins when the range
+    join's only purpose is counting.  n_active at pos holds for
+    [pos, next_pos)."""
+    li = t(spark, sf_dir, "lineitem")
+    sd = F.unix_date(F.col("l_shipdate").cast("date"))
+    intervals = li.select(
+        sd.alias("sd"),
+        (sd + (F.col("l_quantity").cast("int") % 30) + 1).alias("ed"),
+    )
+    out = RJ.concurrent_intervals(intervals, "sd", "ed")
+    return out.select(
+        F.date_from_unix_date(F.col("pos").cast("int"))
+        .cast("string")
+        .alias("pos"),
+        F.col("n_active").cast("long").alias("n_active"),
+    )
+
+
+SQL_SWEEPLINE = """
+WITH iv AS (
+  SELECT CAST(l_shipdate AS DATE) AS sd,
+         CAST(l_shipdate AS DATE)
+           + CAST((CAST(l_quantity AS INTEGER) % 30) + 1 AS INTEGER) AS ed
+  FROM lineitem
+), deltas AS (
+  SELECT sd AS pos, 1 AS d FROM iv
+  UNION ALL
+  SELECT ed + 1, -1 FROM iv
+), per_pos AS (
+  SELECT pos, sum(d) AS delta FROM deltas GROUP BY pos
+)
+SELECT CAST(pos AS VARCHAR) AS pos,
+       CAST(sum(delta) OVER (ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_active
+FROM per_pos
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup cluster resolution: LSH candidates -> exact-Jaccard
     verify (>= 0.8) -> connected components via iterative min-label
@@ -2259,6 +2381,9 @@ CATALOG: dict[str, QueryDef] = {
     "simhash": QueryDef(q_simhash, SQL_SIMHASH),
     "jaccard_pairs": QueryDef(q_jaccard_pairs, SQL_JACCARD),
     "dedup_clusters": QueryDef(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "asof_join": QueryDef(q_asof_join, SQL_ASOF),
+    "range_join_transit": QueryDef(q_range_join_transit, SQL_RANGE_JOIN),
+    "transit_sweepline": QueryDef(q_transit_sweepline, SQL_SWEEPLINE),
     "cosine_topk": QueryDef(q_cosine_topk, SQL_COSINE_TOPK),
     "srp_buckets": QueryDef(q_srp_buckets, SQL_SRP_BUCKETS),
     "dedup_embedding": QueryDef(q_dedup_embedding, SQL_DEDUP_EMBEDDING),

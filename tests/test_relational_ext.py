@@ -1,0 +1,76 @@
+"""Unit tests for the extended relational operators: as-of join
+(operators/asof.py) and range/interval joins (operators/rangejoin.py).
+Semantics are pinned with hand-computable fixtures; the catalog's
+DuckDB oracles (ASOF JOIN / inequality join) pin them at data scale."""
+
+from pyspark.sql import functions as F
+
+from ena_database_build_spark.operators import asof as A
+from ena_database_build_spark.operators import rangejoin as RJ
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 20, 100)],
+        "id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 7.0), (10, 200, 8.0), (10, 300, 9.0), (30, 50, 1.0)],
+        "user_id long, ts long, px double",
+    )
+    out = {
+        r["id"]: r["px_right"]
+        for r in A.asof_join(left, right, on="ts", by="user_id").collect()
+    }
+    # id=1: right row AT ts=100 matches (inclusive); id=2: latest <=205
+    # is 200; id=3: user 20 has no right rows -> null
+    assert out == {1: 7.0, 2: 8.0, 3: None}
+
+
+def test_asof_tie_break_deterministic(spark):
+    left = spark.createDataFrame([(1, 1, 100)], "id long, user_id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 100, 5.0), (1, 100, 6.0)], "user_id long, ts long, px double"
+    )
+    out = A.asof_join(left, right, on="ts", by="user_id").collect()
+    assert out[0]["px_right"] == 6.0  # max-struct winner, not partition order
+
+
+def test_range_join_boundaries(spark):
+    points = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 11), (4, 64)], "pid long, day long"
+    )
+    intervals = spark.createDataFrame(
+        [(100, 5, 10), (200, 60, 70)], "iid long, sd long, ed long"
+    )
+    out = RJ.range_join(
+        points, intervals, "day", "sd", "ed", bucket_width=7
+    ).select("pid", "iid")
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    # 5 and 10 hit [5,10] (both ends inclusive), 11 misses, 64 hits the
+    # interval even though it spans bucket boundaries
+    assert got == [(1, 100), (2, 100), (4, 200)]
+
+
+def test_interval_overlap_exactly_once(spark):
+    # [0, 100] overlaps [50, 150] across many 7-wide buckets; the
+    # first-overlap-bucket rule must emit the pair exactly once
+    left = spark.createDataFrame([(1, 0, 100)], "lid long, ls long, le long")
+    right = spark.createDataFrame(
+        [(2, 50, 150), (3, 101, 200)], "rid long, rs long, re long"
+    )
+    out = RJ.interval_overlap_join(left, right, "ls", "le", "rs", "re", 7)
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    assert got == [(1, 2)]  # (1,3) touches only at 101 > le=100
+
+
+def test_sweepline_matches_bruteforce(spark):
+    intervals = spark.createDataFrame(
+        [(0, 10), (5, 15), (5, 15), (20, 20)], "sd long, ed long"
+    )
+    out = {
+        r["pos"]: r["n_active"]
+        for r in RJ.concurrent_intervals(intervals, "sd", "ed").collect()
+    }
+    # boundaries: 0(+1) 5(+2) 11(-1) 16(-2) 20(+1) 21(-1)
+    assert out == {0: 1, 5: 3, 11: 2, 16: 0, 20: 1, 21: 0}
