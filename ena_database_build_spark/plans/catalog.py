@@ -1503,6 +1503,143 @@ GROUP BY n_name
 """
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """Multi-level aggregation via ROLLUP: revenue at (flag, status),
+    per-flag subtotal, and grand total in ONE pass — Spark expands the
+    grouping sets before the exchange, so partial aggregation covers
+    every level with a single shuffle (vs 3 separate scans+shuffles)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_order_analytics(spark, sf_dir):
+    """Window-function breadth on one partitioning: per customer, the
+    gap in days since the previous order (lag), the order's price rank
+    (deterministic tie-break), and its spend quartile (ntile) — all
+    three windows share partitionBy(o_custkey), so Catalyst plans ONE
+    exchange + sort and evaluates the functions in two Window ops over
+    it (ntile needs its own frame)."""
+    orders = t(spark, sf_dir, "orders")
+    w_seq = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w_seq),
+        ).alias("days_since_prev"),
+        F.rank().over(w_price).alias("price_rank"),
+        F.ntile(4).over(w_price).alias("spend_quartile"),
+    )
+
+
+SQL_ORDER_ANALYTICS = """
+SELECT o_custkey, o_orderkey,
+       datediff('day',
+                lag(CAST(o_orderdate AS DATE)) OVER
+                  (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey),
+                CAST(o_orderdate AS DATE)) AS days_since_prev,
+       rank() OVER w_price AS price_rank,
+       ntile(4) OVER w_price AS spend_quartile
+FROM orders
+WINDOW w_price AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+def q_quantiles_exact(spark, sf_dir):
+    """Exact interpolated quartiles of extended price per return flag
+    (Spark `percentile` == DuckDB `quantile_cont`, both linear
+    interpolation).  Exact percentile sorts within the group — fine for
+    bounded group counts; the approx_quantiles query is the sketch path
+    for high-cardinality groups."""
+    li = t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("q"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("q")[0], 4).alias("p25"),
+            F.round(F.col("q")[1], 4).alias("p50"),
+            F.round(F.col("q")[2], 4).alias("p75"),
+        )
+    )
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_approx_quantiles(spark, sf_dir):
+    """percentile_approx (KLL-style sketch, mergeable map-side — the
+    100 TB path for quantiles) with a BOUNDED oracle: the sketch
+    guarantees rank error <= n/accuracy, so a second pass computes the
+    returned value's true rank and the query outputs whether it landed
+    within the guaranteed band (+/- 2/accuracy for slack at value
+    ties); the oracle asserts TRUE."""
+    li = t(spark, sf_dir, "lineitem")
+    acc = 100
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("ap")
+    )
+    checked = (
+        li.join(F.broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("ap"), 1).otherwise(0)
+            ).alias("n_le"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("ap"), 1).otherwise(0)
+            ).alias("n_lt"),
+            F.count("*").alias("n"),
+        )
+    )
+    tol = 2.0 / acc
+    return checked.select(
+        "l_returnflag",
+        "n",
+        (
+            (F.col("n_le") >= (F.col("n") * (0.5 - tol)))
+            & (F.col("n_lt") <= (F.col("n") * (0.5 + tol)))
+        ).alias("within_bounds"),
+    )
+
+
+SQL_APPROX_QUANTILES = """
+SELECT l_returnflag, count(*) AS n, TRUE AS within_bounds
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline extensions (SURVEY.md §2.11)
 # --------------------------------------------------------------------------
@@ -2384,6 +2521,10 @@ CATALOG: dict[str, QueryDef] = {
     "asof_join": QueryDef(q_asof_join, SQL_ASOF),
     "range_join_transit": QueryDef(q_range_join_transit, SQL_RANGE_JOIN),
     "transit_sweepline": QueryDef(q_transit_sweepline, SQL_SWEEPLINE),
+    "rollup_revenue": QueryDef(q_rollup_revenue, SQL_ROLLUP),
+    "order_analytics": QueryDef(q_order_analytics, SQL_ORDER_ANALYTICS),
+    "quantiles_exact": QueryDef(q_quantiles_exact, SQL_QUANTILES),
+    "approx_quantiles": QueryDef(q_approx_quantiles, SQL_APPROX_QUANTILES),
     "cosine_topk": QueryDef(q_cosine_topk, SQL_COSINE_TOPK),
     "srp_buckets": QueryDef(q_srp_buckets, SQL_SRP_BUCKETS),
     "dedup_embedding": QueryDef(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
