@@ -28,6 +28,7 @@ from ena_database_build_spark.functions.locations import (
 from ena_database_build_spark.operators import asof as ASOF
 from ena_database_build_spark.operators import cc as CC
 from ena_database_build_spark.operators import dedup as D
+from ena_database_build_spark.operators import kmeans as KM
 from ena_database_build_spark.operators import rangejoin as RJ
 from ena_database_build_spark.operators import multimodal as M
 from ena_database_build_spark.operators import similarity as SIM
@@ -2143,6 +2144,66 @@ LIMIT 10
 """
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Fixed-iteration Lloyd's k-means (operators/kmeans.py): k=4 seeds
+    = lowest vec_ids, 2 (assign -> mean) rounds, output the final
+    assignment of every vector.  Assignment is a pure projection with
+    driver-held centroid literals (no join/shuffle); the DuckDB oracle
+    replays the identical procedure as a CTE chain, with rounded-
+    distance argmin on both sides so summation-order jitter cannot
+    flip a cell."""
+    _, assigned = KM.kmeans_train(
+        t(spark, sf_dir, "embeddings"), k=4, max_iter=2
+    )
+    return assigned.select("vec_id", "cluster")
+
+
+def _kmeans_sql(k: int = 4, max_iter: int = 2) -> str:
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, (min(struct_pack(
+           d := round(list_sum(list_transform(
+               range(1, len(v.v) + 1), i -> (v.v[i] - {cents}.c[i]) ^ 2)), 6),
+           cid := {cents}.cid))).cid AS cluster
+  FROM v, {cents} GROUP BY vec_id
+)"""
+
+    parts = [
+        f"""v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+  FROM v ORDER BY vec_id LIMIT {k}
+)""",
+    ]
+    cents = "c0"
+    for it in range(1, max_iter + 1):
+        parts.append(assign(f"a{it}", cents))
+        parts.append(
+            f"""c{it} AS (
+  SELECT cid, list(m ORDER BY dim) AS c FROM (
+    SELECT a{it}.cluster AS cid, dim, avg(val) AS m FROM (
+      SELECT vec_id, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS val
+      FROM v
+    ) e JOIN a{it} USING (vec_id)
+    GROUP BY a{it}.cluster, dim
+  ) GROUP BY cid
+)"""
+        )
+        cents = f"c{it}"
+    parts.append(assign("af", cents))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT vec_id, cluster FROM af"
+    )
+
+
+SQL_KMEANS = _kmeans_sql(4, 2)
+
+
 def q_lang_id(spark, sf_dir):
     """n-gram/stopword language id vs the labeled lang column
     (confusion counts)."""
@@ -2525,6 +2586,7 @@ CATALOG: dict[str, QueryDef] = {
     "order_analytics": QueryDef(q_order_analytics, SQL_ORDER_ANALYTICS),
     "quantiles_exact": QueryDef(q_quantiles_exact, SQL_QUANTILES),
     "approx_quantiles": QueryDef(q_approx_quantiles, SQL_APPROX_QUANTILES),
+    "kmeans_clusters": QueryDef(q_kmeans_clusters, SQL_KMEANS),
     "cosine_topk": QueryDef(q_cosine_topk, SQL_COSINE_TOPK),
     "srp_buckets": QueryDef(q_srp_buckets, SQL_SRP_BUCKETS),
     "dedup_embedding": QueryDef(q_dedup_embedding, SQL_DEDUP_EMBEDDING),

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from ena_database_build_spark.operators import cc as CCOMP
 from ena_database_build_spark.operators import dedup as D
+from ena_database_build_spark.operators import kmeans as KM
 from ena_database_build_spark.operators import multimodal as M
 from ena_database_build_spark.operators import similarity as SIM
 from ena_database_build_spark.operators import textstats as T
@@ -227,3 +228,17 @@ def test_near_dedup_keeps_min_id_per_cluster(spark):
     # of them at jaccard>=0.5 on 2-shingles; 4 is alone
     assert 1 in kept and 4 in kept
     assert 2 not in kept and 5 not in kept
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    # two tight blobs around (0,0) and (10,10); seeds (ids 0,1) start
+    # one in each blob, so 2 Lloyd rounds must separate them cleanly
+    vecs = [
+        (0, [0.1, 0.0]), (2, [0.0, 0.2]), (4, [0.2, 0.1]),
+        (1, [10.0, 9.9]), (3, [9.8, 10.1]), (5, [10.2, 10.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents, assigned = KM.kmeans_train(df, k=2, max_iter=2)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+    assert abs(cents[0][0] - 0.1) < 1e-9 and abs(cents[1][0] - 10.0) < 1e-9
