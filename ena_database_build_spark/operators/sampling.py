@@ -1,0 +1,88 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is partition-order-dependent and unrepeatable across
+retries/engines — useless for reproducible corpus construction.  These
+operators derive every decision from ``md5(seed || id)``, so a sample
+is a pure function of the row, stable under re-partitioning, task
+retry, incremental re-runs, and even engine swaps (any md5 agrees):
+
+* :func:`hash_sample` — Bernoulli-style p-sample, one stateless map
+  pass, no count/shuffle.  The threshold is compared as a lowercase
+  HEX STRING (first 8 digest chars vs ``format(p * 16^8, '08x')``) —
+  lexicographic hex order == numeric order, so no engine-specific
+  hex-to-int conversion can disagree.
+* :func:`train_test_split` — disjoint labeled buckets from the same
+  hash axis; a row's split never changes as the corpus grows.
+* :func:`stratified_sample` — exactly ``n`` rows per stratum, winners
+  = lowest hash (one window pass over the stratum partitioning).  The
+  per-stratum sort is the inherent cost of exact-n semantics; for
+  proportional sampling at scale prefer :func:`hash_sample`, which
+  needs no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hex_threshold(fraction: float) -> str:
+    return format(int(fraction * (16**8)), "08x")
+
+
+def sample_hash(id_col: Column, seed: str = "") -> Column:
+    """First 8 hex chars of md5(seed || '|' || id) — the sampling axis."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{seed}|"), id_col.cast("string"))), 1, 8
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """~``fraction`` of rows, chosen deterministically by content of
+    ``id_col`` alone."""
+    return df.where(
+        sample_hash(F.col(id_col), seed) < F.lit(_hex_threshold(fraction))
+    )
+
+
+def train_test_split(
+    df: DataFrame,
+    test_fraction: float = 0.1,
+    id_col: str = "doc_id",
+    seed: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Adds ``split`` = 'test' for the lowest ``test_fraction`` of the
+    hash axis, else 'train'.  Disjoint, exhaustive, growth-stable."""
+    return df.withColumn(
+        split_col,
+        F.when(
+            sample_hash(F.col(id_col), seed)
+            < F.lit(_hex_threshold(test_fraction)),
+            F.lit("test"),
+        ).otherwise(F.lit("train")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    n: int,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum — the lowest-hash
+    winners, deterministic and partition-independent."""
+    w = Window.partitionBy(*strata).orderBy(
+        sample_hash(F.col(id_col), seed), id_col
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )

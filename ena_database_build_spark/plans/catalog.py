@@ -30,6 +30,7 @@ from ena_database_build_spark.operators import cc as CC
 from ena_database_build_spark.operators import dedup as D
 from ena_database_build_spark.operators import kmeans as KM
 from ena_database_build_spark.operators import rangejoin as RJ
+from ena_database_build_spark.operators import sampling as SMP
 from ena_database_build_spark.operators import multimodal as M
 from ena_database_build_spark.operators import similarity as SIM
 from ena_database_build_spark.operators import textstats as T
@@ -2144,6 +2145,75 @@ LIMIT 10
 """
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 25% Bernoulli sample of documents by md5 hash of
+    doc_id (operators/sampling.py) — repeatable across retries,
+    partitionings, and engines; per-source counts + sampled token mass.
+    The hex-string threshold compare needs no hex->int conversion, so
+    the DuckDB oracle is the identical expression."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        SMP.hash_sample(docs, 0.25, seed="s1")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.size(F.split(F.col("text"), r"\s+"))).alias("n_tokens"),
+        )
+    )
+
+
+SQL_HASH_SAMPLE = """
+SELECT source, count(*) AS n_sampled,
+       CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+         AS n_tokens
+FROM documents
+WHERE substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+GROUP BY source
+"""
+
+
+def q_train_test_split(spark, sf_dir):
+    """Growth-stable train/test split on the doc_id hash axis: a doc's
+    split never changes as the corpus grows.  Output: per (source,
+    split) counts."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        SMP.train_test_split(docs, test_fraction=0.1, seed="tt")
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_TRAIN_TEST = """
+SELECT source,
+       CASE WHEN substr(md5('tt|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < '19999999' THEN 'test' ELSE 'train' END AS split,
+       count(*) AS n
+FROM documents GROUP BY source, split
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exactly 3 lowest-hash docs per (source, lang) stratum — one
+    window pass, partition-independent winners."""
+    docs = t(spark, sf_dir, "documents")
+    return SMP.stratified_sample(docs, ["source", "lang"], 3).select(
+        "source", "lang", "doc_id"
+    )
+
+
+SQL_STRATIFIED = """
+SELECT source, lang, doc_id FROM (
+  SELECT source, lang, doc_id,
+         row_number() OVER (
+           PARTITION BY source, lang
+           ORDER BY substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8),
+                    doc_id) AS rn
+  FROM documents
+) WHERE rn <= 3
+"""
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Fixed-iteration Lloyd's k-means (operators/kmeans.py): k=4 seeds
     = lowest vec_ids, 2 (assign -> mean) rounds, output the final
@@ -2587,6 +2657,9 @@ CATALOG: dict[str, QueryDef] = {
     "quantiles_exact": QueryDef(q_quantiles_exact, SQL_QUANTILES),
     "approx_quantiles": QueryDef(q_approx_quantiles, SQL_APPROX_QUANTILES),
     "kmeans_clusters": QueryDef(q_kmeans_clusters, SQL_KMEANS),
+    "hash_sample": QueryDef(q_hash_sample, SQL_HASH_SAMPLE),
+    "train_test_split": QueryDef(q_train_test_split, SQL_TRAIN_TEST),
+    "stratified_sample": QueryDef(q_stratified_sample, SQL_STRATIFIED),
     "cosine_topk": QueryDef(q_cosine_topk, SQL_COSINE_TOPK),
     "srp_buckets": QueryDef(q_srp_buckets, SQL_SRP_BUCKETS),
     "dedup_embedding": QueryDef(q_dedup_embedding, SQL_DEDUP_EMBEDDING),

@@ -7,6 +7,7 @@ from ena_database_build_spark.operators import cc as CCOMP
 from ena_database_build_spark.operators import dedup as D
 from ena_database_build_spark.operators import kmeans as KM
 from ena_database_build_spark.operators import multimodal as M
+from ena_database_build_spark.operators import sampling as SMP
 from ena_database_build_spark.operators import similarity as SIM
 from ena_database_build_spark.operators import textstats as T
 
@@ -242,3 +243,34 @@ def test_kmeans_separates_obvious_clusters(spark):
     got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
     assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
     assert abs(cents[0][0] - 0.1) < 1e-9 and abs(cents[1][0] - 10.0) < 1e-9
+
+
+def test_hash_sample_deterministic_and_partition_free(spark):
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = SMP.hash_sample(docs, 0.3, id_col="doc_id", seed="x")
+    b = SMP.hash_sample(docs.repartition(7), 0.3, id_col="doc_id", seed="x")
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    assert ids_a == sorted(r["doc_id"] for r in b.collect())
+    assert 200 < len(ids_a) < 400  # ~30%
+
+
+def test_train_test_split_disjoint_and_growth_stable(spark):
+    small = spark.range(500).withColumnRenamed("id", "doc_id")
+    big = spark.range(1000).withColumnRenamed("id", "doc_id")
+    s = {r["doc_id"]: r["split"] for r in SMP.train_test_split(small).collect()}
+    g = {r["doc_id"]: r["split"] for r in SMP.train_test_split(big).collect()}
+    assert all(g[k] == v for k, v in s.items())  # split stable under growth
+    assert set(s.values()) == {"train", "test"}
+
+
+def test_stratified_sample_exact_n(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(40)],
+        "doc_id long, grp string",
+    )
+    out = SMP.stratified_sample(df, ["grp"], 5)
+    counts = {
+        r["grp"]: r["n"]
+        for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"a": 5, "b": 5}
