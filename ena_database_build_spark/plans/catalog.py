@@ -2145,6 +2145,76 @@ LIMIT 10
 """
 
 
+def q_corpus_curation(spark, sf_dir):
+    """Flagship LLM-pipeline composition — the curation flow a
+    training-data team runs, END TO END in one lazy plan: quality
+    score -> language + quality gate -> exact dedup (stable min-id
+    winner) -> deterministic train/test split -> per-(source, split)
+    corpus stats.  One scan feeds everything; the only shuffles are the
+    dedup groupBy/semi-join and the final aggregation.  The DuckDB
+    oracle replays the whole flow from the same reused SQL pieces."""
+    docs = t(spark, sf_dir, "documents", spread=True)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    kept = scored.where(
+        F.col("lang").isin("en", "de") & (F.col("quality") >= 0.55)
+    )
+    deduped = D.exact_dedup(kept)
+    split = SMP.train_test_split(deduped, test_fraction=0.1, seed="cur")
+    return split.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.regexp_token_count(F.col("text"))).alias("n_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
+SQL_CURATION = f"""
+WITH base AS (
+  SELECT doc_id, source, lang, text,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         {_TOKS_SQL} AS tk
+  FROM documents
+), feats AS (
+  SELECT doc_id, source, lang, text,
+         least(n / 500.0, 1.0) AS length_term,
+         1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n, 1) * 5, 1.0) AS punct_term,
+         CAST(len(list_filter(tk, s -> s IN ('the','and','of','to','a','in','is'))) AS DOUBLE)
+           / greatest(len(tk), 1) AS sw,
+         CAST(list_sum(list_transform(tk, s -> length(s))) AS DOUBLE)
+           / greatest(len(tk), 1) AS mwl
+  FROM base
+), scored AS (
+  SELECT doc_id, source, lang, text,
+         round((length_term + punct_term
+                + (1.0 - least(abs(sw - 0.4) * 2, 1.0))
+                + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END)) / 4,
+               6) AS quality
+  FROM feats
+), kept AS (
+  SELECT * FROM scored WHERE lang IN ('en', 'de') AND quality >= 0.55
+), winners AS (
+  SELECT min(doc_id) AS doc_id
+  FROM kept GROUP BY md5({_NORM_SQL})
+), sp AS (
+  SELECT k.*,
+         CASE WHEN substr(md5('cur|' || CAST(k.doc_id AS VARCHAR)), 1, 8)
+                   < '19999999' THEN 'test' ELSE 'train' END AS split
+  FROM kept k JOIN winners USING (doc_id)
+)
+SELECT source, split, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]'))) AS BIGINT)
+         AS n_tokens,
+       round(avg(quality), 4) AS avg_quality
+FROM sp GROUP BY source, split
+"""
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic 25% Bernoulli sample of documents by md5 hash of
     doc_id (operators/sampling.py) — repeatable across retries,
@@ -2657,6 +2727,7 @@ CATALOG: dict[str, QueryDef] = {
     "quantiles_exact": QueryDef(q_quantiles_exact, SQL_QUANTILES),
     "approx_quantiles": QueryDef(q_approx_quantiles, SQL_APPROX_QUANTILES),
     "kmeans_clusters": QueryDef(q_kmeans_clusters, SQL_KMEANS),
+    "corpus_curation": QueryDef(q_corpus_curation, SQL_CURATION),
     "hash_sample": QueryDef(q_hash_sample, SQL_HASH_SAMPLE),
     "train_test_split": QueryDef(q_train_test_split, SQL_TRAIN_TEST),
     "stratified_sample": QueryDef(q_stratified_sample, SQL_STRATIFIED),
