@@ -55,6 +55,11 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    # Materialize the edge list ONCE before iterating: sym is referenced
+    # 2x per round, and without truncation each reference re-executes
+    # the whole upstream lineage (e.g. an LSH+Jaccard pipeline) every
+    # iteration — measured minutes instead of seconds at sf0.1.
+    sym = _truncate(sym, reliable_checkpoint)
     labels = (
         sym.groupBy("a")
         .agg(F.min("b").alias("min_nbr"))
