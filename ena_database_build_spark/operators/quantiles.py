@@ -1,0 +1,116 @@
+"""Exact interpolated quantiles, relationally — the at-scale form.
+
+Spark's built-in exact ``percentile`` aggregate buffers EVERY group
+value in the aggregation state (an in-memory array per group): exact,
+but it cannot survive a 100 TB group.  ``percentile_approx`` survives
+anything but is approximate.  This operator is both exact and
+bounded-state:
+
+1. one hash aggregation to per-(group, value) counts — map-side
+   combinable, shuffle volume = distinct values, not rows (duplicated
+   distributions — prices, lengths, scores — compress by their
+   duplication factor);
+2. a DISTRIBUTED PREFIX SUM for the cumulative count: values range-
+   bucket by ``value / bucket_width``, each (group, bucket) sorts in
+   parallel for its local running sum, bucket totals (a few rows per
+   group) cumsum on the tiny side and broadcast back as offsets —
+   no single task ever sorts a whole group (with ``bucket_width=None``
+   it degrades to one ordered window per group, fine for small groups);
+3. a broadcast join against the quantile list finds, per target rank
+   ``r = 1 + (n-1) * q`` (``percentile_cont`` semantics), the bracketing
+   values ``v_floor(r)`` / ``v_ceil(r)`` and linearly interpolates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cumulative_counts(
+    counts: DataFrame, value_col: str, by: list[str], bucket_width: float | None
+) -> DataFrame:
+    """per (by, value): running count <= value (``_cum``), the same
+    minus own count (``_cum_prev``), and the group total (``_n``)."""
+    totals = counts.groupBy(*by).agg(F.sum("_c").alias("_n"))
+    if bucket_width is None:
+        w = Window.partitionBy(*by).orderBy(value_col)
+        return (
+            counts.select(
+                *by,
+                F.col(value_col).alias("_v"),
+                F.sum("_c").over(w).alias("_cum"),
+                (F.sum("_c").over(w) - F.col("_c")).alias("_cum_prev"),
+            )
+            .join(F.broadcast(totals), by)
+        )
+    bkt = F.floor(F.col(value_col) / F.lit(float(bucket_width)))
+    local = counts.withColumn("_bkt", bkt)
+    w_local = Window.partitionBy(*by, "_bkt").orderBy(value_col)
+    cum_local = local.select(
+        *by,
+        "_bkt",
+        F.col(value_col).alias("_v"),
+        F.col("_c"),
+        F.sum("_c").over(w_local).alias("_lcum"),
+    )
+    # bucket totals are one row per (group, bucket) — tiny; their
+    # exclusive running sum is each bucket's offset into the group
+    w_bkt = Window.partitionBy(*by).orderBy("_bkt")
+    offsets = (
+        local.groupBy(*by, "_bkt")
+        .agg(F.sum("_c").alias("_bc"))
+        .select(
+            *by,
+            "_bkt",
+            (F.sum("_bc").over(w_bkt) - F.col("_bc")).alias("_off"),
+        )
+    )
+    return (
+        cum_local.join(F.broadcast(offsets), [*by, "_bkt"])
+        .select(
+            *by,
+            "_v",
+            (F.col("_lcum") + F.col("_off")).alias("_cum"),
+            (F.col("_lcum") + F.col("_off") - F.col("_c")).alias("_cum_prev"),
+        )
+        .join(F.broadcast(totals), by)
+    )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    qs: list[float],
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """``by... , q, value`` — the exact interpolated ``q``-quantile of
+    ``value_col`` per group, for each q in ``qs``.  Pass
+    ``bucket_width`` (in value units) to parallelize the per-group
+    cumulative sort across range buckets."""
+    counts = df.groupBy(*by, value_col).agg(F.count("*").alias("_c"))
+    cum = _cumulative_counts(counts, value_col, by, bucket_width)
+    quants = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    # target rank r in [1, n]; the value at integer rank k is the first
+    # value whose cumulative count reaches k: _cum_prev < k <= _cum
+    r = F.lit(1.0) + (F.col("_n") - 1) * F.col("q")
+    lo_k = F.floor(r)
+    hi_k = F.ceil(r)
+    serves_lo = (F.col("_cum_prev") < lo_k) & (lo_k <= F.col("_cum"))
+    serves_hi = (F.col("_cum_prev") < hi_k) & (hi_k <= F.col("_cum"))
+    hit = cum.join(F.broadcast(quants)).where(serves_lo | serves_hi)
+    agg = hit.groupBy(*by, "q").agg(
+        F.max(F.when(serves_lo, F.col("_v"))).alias("vlo"),
+        F.max(F.when(serves_hi, F.col("_v"))).alias("vhi"),
+        F.max("_n").alias("n"),
+    )
+    rr = F.lit(1.0) + (F.col("n") - 1) * F.col("q")
+    frac = rr - F.floor(rr)
+    return agg.select(
+        *by,
+        "q",
+        (F.col("vlo") + frac * (F.col("vhi") - F.col("vlo"))).alias("value"),
+    )

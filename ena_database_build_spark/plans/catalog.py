@@ -29,6 +29,7 @@ from ena_database_build_spark.operators import asof as ASOF
 from ena_database_build_spark.operators import cc as CC
 from ena_database_build_spark.operators import dedup as D
 from ena_database_build_spark.operators import kmeans as KM
+from ena_database_build_spark.operators import quantiles as QNT
 from ena_database_build_spark.operators import rangejoin as RJ
 from ena_database_build_spark.operators import sampling as SMP
 from ena_database_build_spark.operators import multimodal as M
@@ -1572,22 +1573,27 @@ WINDOW w_price AS (PARTITION BY o_custkey
 
 
 def q_quantiles_exact(spark, sf_dir):
-    """Exact interpolated quartiles of extended price per return flag
-    (Spark `percentile` == DuckDB `quantile_cont`, both linear
-    interpolation).  Exact percentile sorts within the group — fine for
-    bounded group counts; the approx_quantiles query is the sketch path
-    for high-cardinality groups."""
+    """Exact interpolated quartiles of extended price per return flag,
+    computed relationally (operators/quantiles.py: counts -> cumulative
+    window over DISTINCT values -> broadcast rank bracket + interpolate)
+    — percentile_cont semantics with bounded state, unlike Spark's
+    built-in exact `percentile` whose aggregation buffer holds every
+    group value in memory.  Matches DuckDB `quantile_cont` exactly."""
     li = t(spark, sf_dir, "lineitem")
-    pct = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75]))
-    return (
-        li.groupBy("l_returnflag")
-        .agg(pct.alias("q"))
-        .select(
-            "l_returnflag",
-            F.round(F.col("q")[0], 4).alias("p25"),
-            F.round(F.col("q")[1], 4).alias("p50"),
-            F.round(F.col("q")[2], 4).alias("p75"),
-        )
+    # bucket_width=None: at sf0.1 the single ordered window (2.2 s)
+    # beats the range-bucketed prefix sum (3.0 s) — the extra offset
+    # joins cost more than the parallel sorts save until a group's
+    # distinct values exceed one task's sort capacity.  The bucketed
+    # path stays unit-tested for that regime.
+    qv = QNT.exact_quantiles(
+        li, "l_extendedprice", ["l_returnflag"], [0.25, 0.5, 0.75]
+    )
+    def at(q: float):
+        return F.max(F.when(F.col("q") == q, F.col("value")))
+    return qv.groupBy("l_returnflag").agg(
+        F.round(at(0.25), 4).alias("p25"),
+        F.round(at(0.5), 4).alias("p50"),
+        F.round(at(0.75), 4).alias("p75"),
     )
 
 

@@ -1,0 +1,38 @@
+"""Relational exact quantiles (operators/quantiles.py) vs Spark's
+built-in exact percentile — both implement percentile_cont."""
+
+import pyspark.sql.functions as F
+
+from ena_database_build_spark.operators import quantiles as QNT
+
+
+def _ref(spark, df, qs):
+    row = df.groupBy("g").agg(
+        F.percentile("v", F.lit(qs)).alias("p")
+    ).collect()
+    return {
+        (r["g"], q): r["p"][i] for r in row for i, q in enumerate(qs)
+    }
+
+
+def test_matches_builtin_percentile(spark):
+    data = [("a", float(v)) for v in [1, 2, 2, 3, 10, 10, 10, 50]] + [
+        ("b", float(v)) for v in range(1, 101)
+    ]
+    df = spark.createDataFrame(data, "g string, v double")
+    qs = [0.0, 0.1, 0.25, 0.5, 0.9, 1.0]
+    want = _ref(spark, df, qs)
+    for width in (None, 7.0):
+        got = {
+            (r["g"], r["q"]): r["value"]
+            for r in QNT.exact_quantiles(df, "v", ["g"], qs, width).collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, (width, k, got[k], want[k])
+
+
+def test_single_row_group(spark):
+    df = spark.createDataFrame([("a", 42.0)], "g string, v double")
+    got = QNT.exact_quantiles(df, "v", ["g"], [0.25, 0.75]).collect()
+    assert all(r["value"] == 42.0 for r in got)
