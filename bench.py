@@ -38,6 +38,9 @@ HEADLINE = [
     "lang_id",
     "token_counts",
     "events_sessions",
+    # round 2: the end-to-end curation composition (quality gate ->
+    # dedup -> split -> stats) — the engine's flagship LLM-pipeline shape
+    "corpus_curation",
 ]
 
 

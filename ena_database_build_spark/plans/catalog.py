@@ -2290,6 +2290,53 @@ SELECT source, lang, doc_id FROM (
 """
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector int8 scalar quantization (the storage/serving format
+    for large embedding corpora): min-max scale each vector to [0,255],
+    output range + a quantization checksum per vector.  Pure column
+    expressions over the array — one map pass, no shuffle; the rounded
+    scale boundaries make the checksum engine-portable."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    scale = F.when(mx > mn, (mx - mn) / 255.0).otherwise(F.lit(1.0))
+    # min/scale pre-projected to plain columns: referencing array_min(v)
+    # inside the transform lambda would re-scan the array per element
+    # (no CSE into HOF lambda bodies — the shingle_rows trap)
+    staged = emb.select(
+        F.col("vec_id"), v.alias("_v"), mn.alias("_mn"), scale.alias("_s")
+    )
+    quant = F.transform(
+        F.col("_v"), lambda x: F.round((x - F.col("_mn")) / F.col("_s"))
+    )
+    return staged.select(
+        "vec_id",
+        F.round(F.col("_mn"), 6).alias("v_min"),
+        F.round(F.array_max("_v"), 6).alias("v_max"),
+        F.aggregate(quant, F.lit(0.0), lambda acc, x: acc + x)
+        .cast("long")
+        .alias("q_sum"),
+    )
+
+
+SQL_EMBED_QUANT = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+         CASE WHEN list_max(v) > list_min(v)
+              THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS sc
+  FROM v
+)
+SELECT vec_id, round(mn, 6) AS v_min, round(mx, 6) AS v_max,
+       CAST(list_sum(list_transform(v, x -> round((x - mn) / sc))) AS BIGINT)
+         AS q_sum
+FROM s
+"""
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Fixed-iteration Lloyd's k-means (operators/kmeans.py): k=4 seeds
     = lowest vec_ids, 2 (assign -> mean) rounds, output the final
@@ -2733,6 +2780,7 @@ CATALOG: dict[str, QueryDef] = {
     "quantiles_exact": QueryDef(q_quantiles_exact, SQL_QUANTILES),
     "approx_quantiles": QueryDef(q_approx_quantiles, SQL_APPROX_QUANTILES),
     "kmeans_clusters": QueryDef(q_kmeans_clusters, SQL_KMEANS),
+    "embedding_quantize": QueryDef(q_embedding_quantize, SQL_EMBED_QUANT),
     "corpus_curation": QueryDef(q_corpus_curation, SQL_CURATION),
     "hash_sample": QueryDef(q_hash_sample, SQL_HASH_SAMPLE),
     "train_test_split": QueryDef(q_train_test_split, SQL_TRAIN_TEST),

@@ -65,6 +65,7 @@ HEADLINE = [
     "lang_id",
     "token_counts",
     "events_sessions",
+    "corpus_curation",
 ]
 
 
