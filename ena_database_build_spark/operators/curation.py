@@ -1,0 +1,235 @@
+"""Corpus-curation quality operators for LLM training-data pipelines
+(SURVEY.md §2.11 extension surface): Gopher-style repetition statistics,
+PII redaction, TF-IDF term ranking, and train/eval decontamination.
+
+Scale notes (the design constraint for every operator here):
+
+* Repetition stats split per-document work into a map-side array pass
+  (token counts — zero shuffle) and a relational bigram count keyed by
+  ``(doc_id, bigram)`` — the same explode + partial-agg shape the dedup
+  stack uses, so two giant documents never meet in one row buffer.
+* PII redaction is a pure column expression — one map pass, no shuffle,
+  whole-stage codegen.
+* TF-IDF is two hash aggregations (term frequency, document frequency)
+  plus a 1-row broadcast of the corpus size; ranking is one window over
+  the per-document partitioning.
+* Decontamination is an equi-join on shingle hash — ONE shuffle, never
+  an all-pairs comparison, identical to the LSH candidate-pair shape
+  (reference behavior parity: the reference has no curation layer; this
+  extends its tabular pipeline per the §2.11 mandate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ena_database_build_spark.operators.dedup import shingle_rows, tokens
+from ena_database_build_spark.operators.sampling import train_test_split
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition statistics
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (Gopher/MassiveText-style
+    quality filters, token-level):
+
+    * ``n_tokens`` — whitespace token count
+    * ``dup_token_frac`` — ``1 - distinct_tokens / n_tokens``
+    * ``top_bigram_frac`` — fraction of tokens covered by occurrences
+      of the single most frequent bigram (``2 * max_count / n_tokens``)
+
+    Token stats are a single map pass over the token *array* (the
+    tokenization is materialized once per row — Catalyst performs no CSE
+    across expressions, the trap documented in dedup.shingle_rows).
+    The bigram mode needs a count per (doc, bigram); that runs as the
+    relational explode + hash-agg shape so a pathological document
+    streams through partial aggregation instead of building a per-row
+    frequency map.
+    """
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).alias("_n_distinct"),
+    )
+    token_stats = toks.select(
+        F.col(id_col),
+        "n_tokens",
+        (
+            F.lit(1.0)
+            - F.col("_n_distinct")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+        ).alias("dup_token_frac"),
+    )
+    bigram_max = (
+        shingle_rows(df, text_col=text_col, id_col=id_col, k=2, distinct=False)
+        .groupBy(id_col, "shingle")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_max_bigram"))
+    )
+    return token_stats.join(bigram_max, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.round("dup_token_frac", 6).alias("dup_token_frac"),
+        F.round(
+            F.coalesce(F.col("_max_bigram"), F.lit(0))
+            * 2.0
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 (the DuckDB oracle)
+# agree on: no lookaround, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+PII_REPLACEMENTS: dict[str, str] = {
+    "email": "<EMAIL>",
+    "ipv4": "<IP>",
+    "phone": "<PHONE>",
+}
+# Redaction order matters: emails first (their domain cannot then feed
+# the ipv4 pattern), phones last.
+PII_ORDER = ["email", "ipv4", "phone"]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match count per PII category — pure column expressions."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(f"({pat})"), 1))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII span with its placeholder token.  Spark's
+    ``regexp_replace`` is global by construction (parity with the
+    oracle's ``regexp_replace(..., 'g')``)."""
+    out = text
+    for kind in PII_ORDER:
+        out = F.regexp_replace(
+            out, PII_PATTERNS[kind], PII_REPLACEMENTS[kind]
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term ranking
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` terms per document with their tf, document frequency
+    and tf-idf score (natural-log idf).
+
+    Ranking is by ``(tf DESC, doc_freq ASC, term ASC)`` — integer keys
+    only.  Ranking by the float score itself would make the selected
+    rows depend on last-ulp ``ln`` differences between engines; with
+    integer ranking the score is *reported* (checked to 6 dp) but never
+    *compared*.
+
+    Shape: two hash aggregations (term frequency per (doc, term);
+    document frequency per term) + a 1-row corpus-size broadcast + one
+    window over the per-document partitioning.  No step holds more than
+    one document's terms in memory; doc_freq is a map-side-combinable
+    count — the whole plan survives a 100x corpus.
+    """
+    tok_rows = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok_rows.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = df.select(
+        F.countDistinct(id_col).alias("_n_docs")
+    )  # 1 row -> broadcast
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("doc_freq"), F.asc("term")
+    )
+    return (
+        tf.join(doc_freq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "doc_freq",
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("doc_freq")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    df: DataFrame,
+    k: int = 5,
+    eval_fraction: float = 0.1,
+    seed: str = "decon",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination report: train documents sharing any
+    word ``k``-gram with the held-out eval split.
+
+    The split reuses the deterministic md5 hash axis
+    (:func:`~ena_database_build_spark.operators.sampling.train_test_split`),
+    so the eval set is stable under corpus growth.  Overlap detection is
+    a distinct-shingle equi-join — one shuffle keyed by the shingle
+    string, the same shape as LSH candidate generation; a hot shingle
+    (boilerplate) fans out in the join but AQE skew-split handles it.
+
+    Returns one row per contaminated train document:
+    ``(doc_id, n_shared_shingles, n_eval_docs)``.
+    """
+    split = train_test_split(
+        df, test_fraction=eval_fraction, id_col=id_col, seed=seed
+    )
+    train_sh = shingle_rows(
+        split.where(F.col("split") == "train"),
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        distinct=True,
+    )
+    eval_sh = shingle_rows(
+        split.where(F.col("split") == "test"),
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        distinct=True,
+    ).select(F.col(id_col).alias("_eval_id"), "shingle")
+    return (
+        train_sh.join(eval_sh, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("_eval_id").alias("n_eval_docs"),
+        )
+    )

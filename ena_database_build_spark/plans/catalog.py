@@ -27,6 +27,7 @@ from ena_database_build_spark.functions.locations import (
 )
 from ena_database_build_spark.operators import asof as ASOF
 from ena_database_build_spark.operators import cc as CC
+from ena_database_build_spark.operators import curation as CUR
 from ena_database_build_spark.operators import dedup as D
 from ena_database_build_spark.operators import kmeans as KM
 from ena_database_build_spark.operators import quantiles as QNT
@@ -2720,6 +2721,174 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Corpus-curation quality operators (§2.11): repetition filters, PII
+# redaction, TF-IDF ranking, decontamination
+# --------------------------------------------------------------------------
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals per document: token count,
+    duplicate-token fraction, top-bigram coverage fraction."""
+    return CUR.repetition_stats(t(spark, sf_dir, "documents", spread=True))
+
+
+def _bigram_sql_nondistinct() -> str:
+    # non-distinct bigram list (the repetition count needs multiplicity;
+    # _shingle_sql dedups)
+    return (
+        "list_transform(range(1, greatest(len(tk)-1,1)+1), "
+        "i -> concat_ws(' ', tk[i], tk[i+1]))"
+    )
+
+
+SQL_REPETITION = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+base AS (
+  SELECT doc_id,
+         len(tk) AS n_tokens,
+         len(list_distinct(tk)) AS n_distinct,
+         {_bigram_sql_nondistinct()} AS bg
+  FROM toks
+), bgc AS (
+  SELECT doc_id, max(c) AS max_bigram FROM (
+    SELECT doc_id, bigram, count(*) AS c
+    FROM (SELECT doc_id, unnest(bg) AS bigram FROM base)
+    GROUP BY doc_id, bigram
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       b.n_tokens,
+       round(1.0 - CAST(b.n_distinct AS DOUBLE) / greatest(b.n_tokens, 1), 6)
+         AS dup_token_frac,
+       round(coalesce(c.max_bigram, 0) * 2.0 / greatest(b.n_tokens, 1), 6)
+         AS top_bigram_frac
+FROM base b LEFT JOIN bgc c USING (doc_id)
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction: per-category match counts + redacted text digest.
+
+    The fixture corpus is synthetic word soup with no organic PII, so
+    the query plants deterministic email/IP/phone spans in every third
+    document first — the operator under test is the scrub; the
+    injection just makes its effect visible to the oracle hash.
+    """
+    docs = t(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or 555-867-5"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    withp = docs.select(F.col("doc_id"), planted.alias("ptext"))
+    counts = CUR.pii_counts(F.col("ptext"))
+    return withp.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["ipv4"].alias("n_ips"),
+        counts["phone"].alias("n_phones"),
+        F.md5(CUR.pii_redact(F.col("ptext"))).alias("redacted_digest"),
+    )
+
+
+_PII_PLANT_SQL = """
+CASE WHEN doc_id % 3 = 0 THEN
+  text || ' contact user' || CAST(doc_id AS VARCHAR)
+       || '@mail.example.com from 10.2.' || CAST(doc_id % 256 AS VARCHAR)
+       || '.7 or 555-867-5' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+ELSE text END
+"""
+
+SQL_PII = f"""
+WITH p AS (SELECT doc_id, {_PII_PLANT_SQL} AS ptext FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(ptext,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+       len(regexp_extract_all(ptext,
+           '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ips,
+       len(regexp_extract_all(ptext, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+           '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+           '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g')) AS redacted_digest
+FROM p
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (integer-deterministic ranking;
+    float score reported, never compared)."""
+    return CUR.tfidf_top_terms(
+        t(spark, sf_dir, "documents", spread=True), k=3
+    )
+
+
+SQL_TFIDF = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+tr AS (
+  SELECT doc_id, term FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+  WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tr GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS doc_freq FROM tf GROUP BY term
+), nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+         round(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / df.doc_freq), 6)
+           AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, df.doc_freq ASC, tf.term ASC
+         ) AS rn
+  FROM tf JOIN df USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf, doc_freq, tfidf FROM ranked WHERE rn <= 3
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: train docs sharing any 5-gram with
+    the deterministic 10% eval split."""
+    return CUR.decontaminate(
+        t(spark, sf_dir, "documents", spread=True), k=5, eval_fraction=0.1
+    )
+
+
+def _decon_shingle_sql(k: int) -> str:
+    parts = ", ".join(f"tk[i+{j}]" for j in range(k))
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(tk)-{k - 1},1)+1), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+SQL_DECON = f"""
+WITH sp AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk,
+         CASE WHEN substr(md5('decon|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '19999999' THEN 'test' ELSE 'train' END AS split
+  FROM documents
+), sh AS (
+  SELECT doc_id, split, unnest({_decon_shingle_sql(5)}) AS shingle FROM sp
+)
+SELECT tr.doc_id,
+       count(DISTINCT tr.shingle) AS n_shared_shingles,
+       count(DISTINCT ev.doc_id) AS n_eval_docs
+FROM (SELECT * FROM sh WHERE split = 'train') tr
+JOIN (SELECT * FROM sh WHERE split = 'test') ev USING (shingle)
+GROUP BY tr.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2782,6 +2951,10 @@ CATALOG: dict[str, QueryDef] = {
     "kmeans_clusters": QueryDef(q_kmeans_clusters, SQL_KMEANS),
     "embedding_quantize": QueryDef(q_embedding_quantize, SQL_EMBED_QUANT),
     "corpus_curation": QueryDef(q_corpus_curation, SQL_CURATION),
+    "repetition_stats": QueryDef(q_repetition_stats, SQL_REPETITION),
+    "pii_scrub": QueryDef(q_pii_scrub, SQL_PII),
+    "tfidf_top_terms": QueryDef(q_tfidf_top_terms, SQL_TFIDF),
+    "decontaminate": QueryDef(q_decontaminate, SQL_DECON),
     "hash_sample": QueryDef(q_hash_sample, SQL_HASH_SAMPLE),
     "train_test_split": QueryDef(q_train_test_split, SQL_TRAIN_TEST),
     "stratified_sample": QueryDef(q_stratified_sample, SQL_STRATIFIED),

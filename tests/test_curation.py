@@ -1,0 +1,123 @@
+"""Unit tests for the corpus-curation operators (repetition stats,
+PII redaction, TF-IDF ranking, decontamination)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from ena_database_build_spark.operators import curation as CUR
+
+
+def test_repetition_stats_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),  # 4 toks, 2 distinct; bigrams: aa aa ab -> max 2
+            (2, "w x y z"),  # no repetition; bigram max 1
+            (3, "solo"),  # 1 token, partial bigram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CUR.repetition_stats(docs).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["dup_token_frac"] == 0.5
+    assert out[1]["top_bigram_frac"] == 1.0  # 2 * 2 / 4
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == 0.5  # 2 * 1 / 4
+    assert out[3]["n_tokens"] == 1
+
+
+def test_pii_redact_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith@corp.example.org now"),
+            (2, "host 192.168.1.7 then call 555-123-4567"),
+            (3, "clean text with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = CUR.pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            counts["email"].alias("e"),
+            counts["ipv4"].alias("i"),
+            counts["phone"].alias("p"),
+            CUR.pii_redact(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (1, 0, 0)
+    assert out[1]["red"] == "mail <EMAIL> now"
+    assert (out[2]["e"], out[2]["i"], out[2]["p"]) == (0, 1, 1)
+    assert out[2]["red"] == "host <IP> then call <PHONE>"
+    assert out[3]["red"] == "clean text with no identifiers"
+
+
+def test_tfidf_ranking_integer_deterministic(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry date common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = CUR.tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: apple tf=2 ranks first; 'common' (df=3) has idf 0
+    assert by_doc[1][0]["term"] == "apple"
+    assert by_doc[1][0]["tf"] == 2
+    # every doc capped at k=2 rows
+    assert all(len(v) == 2 for v in by_doc.values())
+    # a term in every doc scores exactly 0
+    common = [r for r in out if r["term"] == "common"]
+    assert all(r["tfidf"] == 0.0 for r in common)
+    # rank ties broken by rarity then term: doc 2's top is cherry
+    # (tf=1 ties with banana/common; banana df=2, cherry df=2, common df=3
+    #  -> banana before cherry alphabetically)
+    assert [r["term"] for r in by_doc[2]] == ["banana", "cherry"]
+
+
+def _split_of(doc_id: int, seed: str = "decon", frac: float = 0.5) -> str:
+    h = hashlib.md5(f"{seed}|{doc_id}".encode()).hexdigest()[:8]
+    return "test" if h < format(int(frac * 16**8), "08x") else "train"
+
+
+def test_decontaminate_matches_pure_python(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),  # shares the 5-gram prefix
+        (3, "one two three four five six"),
+        (4, "seven eight nine ten eleven twelve"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    frac = 0.5
+    out = {
+        r["doc_id"]: (r["n_shared_shingles"], r["n_eval_docs"])
+        for r in CUR.decontaminate(docs, k=5, eval_fraction=frac).collect()
+    }
+
+    def shingles(text, k=5):
+        w = text.split()
+        if len(w) < k:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    split = {d: _split_of(d, frac=frac) for d, _ in rows}
+    expected = {}
+    for d, txt in rows:
+        if split[d] != "train":
+            continue
+        shared, evals = set(), set()
+        for e, etxt in rows:
+            if split[e] != "test":
+                continue
+            ov = shingles(txt) & shingles(etxt)
+            if ov:
+                shared |= ov
+                evals.add(e)
+        if shared:
+            expected[d] = (len(shared), len(evals))
+    assert out == expected
