@@ -41,6 +41,10 @@ HEADLINE = [
     # round 2: the end-to-end curation composition (quality gate ->
     # dedup -> split -> stats) — the engine's flagship LLM-pipeline shape
     "corpus_curation",
+    # round 2: Gopher-style repetition filter (map-side token stats +
+    # relational bigram counts) and the 5-gram eval-decontamination join
+    "repetition_stats",
+    "decontaminate",
 ]
 
 
