@@ -183,6 +183,151 @@ def tfidf_top_terms(
 
 
 # ---------------------------------------------------------------------------
+# BM25 term ranking
+# ---------------------------------------------------------------------------
+
+
+def bm25_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` terms per document by BM25 (Okapi weighting with
+    document-length normalization).
+
+    Same integer-deterministic ranking contract as
+    :func:`tfidf_top_terms`: rows are selected by ``(tf DESC, doc_freq
+    ASC, term ASC)``; the float BM25 score is reported, never compared,
+    so engine ``ln`` ulp differences cannot change which rows appear.
+
+    Shape: term frequency and document length come out of ONE explode
+    (dl = sum of tf over the doc's terms, computed by a window over the
+    per-document partitioning the tf aggregation just produced — no
+    second scan of the corpus); document frequency is a map-side
+    combinable count; corpus size and average document length are a
+    1-row broadcast.
+    """
+    tok_rows = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok_rows.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy(id_col))
+    )
+    doc_freq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    corpus = tf.groupBy(id_col).agg(F.sum("tf").alias("_dl")).agg(
+        F.count("*").alias("_n_docs"), F.avg("_dl").alias("_avgdl")
+    )  # 1 row -> broadcast
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("doc_freq"), F.asc("term")
+    )
+    idf = F.log(
+        (F.col("_n_docs") - F.col("doc_freq") + 0.5)
+        / (F.col("doc_freq") + 0.5)
+        + 1.0
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))
+    )
+    return (
+        dl.join(doc_freq, "term")
+        .join(F.broadcast(corpus))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "doc_freq",
+            F.round(idf * norm, 6).alias("bm25"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index + positional phrase search
+# ---------------------------------------------------------------------------
+
+
+def position_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos, term) rows — the posting-list source relation."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    ).where(F.col("term") != "")
+
+
+def inverted_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Term -> posting-list index: document frequency, total term
+    frequency, and the sorted posting list rendered as a
+    '|'-joined string (the catalog's engine-portable array encoding).
+
+    One explode + one hash aggregation per term; posting lists are
+    built with ``sort_array(collect_list(...))`` so the result is
+    partition-order independent.  A term's posting list lives on one
+    reducer — the inherent inverted-index shape; a pathologically hot
+    term is bounded by the corpus's document count, not its token
+    count, because postings collapse to (doc, first_pos) granularity
+    before the collect.
+    """
+    first_pos = (
+        position_rows(df, text_col, id_col)
+        .groupBy("term", id_col)
+        .agg(F.min("pos").alias("first_pos"), F.count("*").alias("tf"))
+    )
+    return first_pos.groupBy("term").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat_ws(
+                        ":",
+                        F.col(id_col).cast("string"),
+                        F.col("first_pos").cast("string"),
+                    )
+                )
+            ),
+            "|",
+        ).alias("postings"),
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents containing ``phrase`` as consecutive tokens, with the
+    match count — the positional posting-list join: occurrences of
+    word i at position p survive only when word i+1 occurs at p+1.
+
+    Each join step filters on a term literal first, so the joined
+    relations are tiny slices of the position table (predicate reaches
+    the scan), and every join key is ``(doc, pos)`` — co-partitioned
+    equi-joins, no theta join anywhere.
+    """
+    pos = position_rows(df, text_col, id_col)
+    acc = pos.where(F.col("term") == phrase[0]).select(
+        F.col(id_col), F.col("pos").alias("_p0")
+    )
+    for i, word in enumerate(phrase[1:], start=1):
+        nxt = pos.where(F.col("term") == word).select(
+            F.col(id_col), (F.col("pos") - i).alias("_p0")
+        )
+        acc = acc.join(nxt, [id_col, "_p0"])
+    return acc.groupBy(id_col).agg(F.count("*").alias("n_matches"))
+
+
+# ---------------------------------------------------------------------------
 # Train/eval decontamination
 # ---------------------------------------------------------------------------
 

@@ -2854,6 +2854,124 @@ SELECT doc_id, term, tf, doc_freq, tfidf FROM ranked WHERE rn <= 3
 """
 
 
+def q_bm25_top_terms(spark, sf_dir):
+    """Top-3 BM25 terms per document (Okapi k1=1.2, b=0.75;
+    integer-deterministic ranking, float score reported only)."""
+    return CUR.bm25_top_terms(
+        t(spark, sf_dir, "documents", spread=True), k=3
+    )
+
+
+SQL_BM25 = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+tr AS (
+  SELECT doc_id, term FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+  WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tr GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf
+), df AS (
+  SELECT term, count(*) AS doc_freq FROM tf GROUP BY term
+), corpus AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id)
+), ranked AS (
+  SELECT dl.doc_id, dl.term, dl.tf, df.doc_freq,
+         round(ln((corpus.n_docs - df.doc_freq + 0.5) / (df.doc_freq + 0.5) + 1.0)
+               * dl.tf * 2.2 / (dl.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl)),
+               6) AS bm25,
+         row_number() OVER (
+           PARTITION BY dl.doc_id
+           ORDER BY dl.tf DESC, df.doc_freq ASC, dl.term ASC
+         ) AS rn
+  FROM dl JOIN df USING (term) CROSS JOIN corpus
+)
+SELECT doc_id, term, tf, doc_freq, bm25 FROM ranked WHERE rn <= 3
+"""
+
+
+def q_inverted_index(spark, sf_dir):
+    """Term -> posting-list inverted index (doc freq, total tf, sorted
+    'doc:first_pos' posting string)."""
+    return CUR.inverted_index(t(spark, sf_dir, "documents", spread=True))
+
+
+SQL_INVERTED = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+pos AS (
+  SELECT doc_id, unnest(range(0, len(tk))) AS pos, unnest(tk) AS term
+  FROM toks
+), fp AS (
+  SELECT term, doc_id, min(pos) AS first_pos, count(*) AS tf
+  FROM pos WHERE term <> '' GROUP BY term, doc_id
+)
+SELECT term,
+       count(*) AS doc_freq,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       array_to_string(
+         list_sort(list(CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(first_pos AS VARCHAR))),
+         '|') AS postings
+FROM fp GROUP BY term
+"""
+
+
+def q_phrase_search(spark, sf_dir):
+    """Positional phrase search: documents containing the corpus's most
+    frequent complete bigram as consecutive tokens, via the posting-list
+    (doc, pos) equi-join."""
+    docs = t(spark, sf_dir, "documents", spread=True)
+    top = (
+        D.shingle_rows(docs, k=2, distinct=False)
+        .where(F.col("shingle").contains(" "))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "shingle")
+        .limit(1)
+        .select(F.split("shingle", " ").alias("ws"))
+    )
+    pos = CUR.position_rows(docs)
+    p1 = (
+        pos.join(F.broadcast(top))
+        .where(F.col("term") == F.element_at("ws", 1))
+        .select("doc_id", F.col("pos").alias("_p0"))
+    )
+    p2 = (
+        pos.join(F.broadcast(top))
+        .where(F.col("term") == F.element_at("ws", 2))
+        .select("doc_id", (F.col("pos") - 1).alias("_p0"))
+    )
+    return (
+        p1.join(p2, ["doc_id", "_p0"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+    )
+
+
+SQL_PHRASE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+bg AS (
+  SELECT doc_id, unnest({_bigram_sql_nondistinct()}) AS bigram
+  FROM (SELECT doc_id, tk FROM toks)
+), top AS (
+  SELECT string_split(bigram, ' ') AS ws
+  FROM bg WHERE contains(bigram, ' ')
+  GROUP BY bigram ORDER BY count(*) DESC, bigram LIMIT 1
+), pos AS (
+  SELECT doc_id, unnest(range(0, len(tk))) AS pos, unnest(tk) AS term
+  FROM toks
+), p1 AS (
+  SELECT doc_id, pos AS p0 FROM pos, top WHERE term = ws[1]
+), p2 AS (
+  SELECT doc_id, pos - 1 AS p0 FROM pos, top WHERE term = ws[2]
+)
+SELECT doc_id, count(*) AS n_matches
+FROM p1 JOIN p2 USING (doc_id, p0)
+GROUP BY doc_id
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: train docs sharing any 5-gram with
     the deterministic 10% eval split."""
@@ -2954,6 +3072,9 @@ CATALOG: dict[str, QueryDef] = {
     "repetition_stats": QueryDef(q_repetition_stats, SQL_REPETITION),
     "pii_scrub": QueryDef(q_pii_scrub, SQL_PII),
     "tfidf_top_terms": QueryDef(q_tfidf_top_terms, SQL_TFIDF),
+    "bm25_top_terms": QueryDef(q_bm25_top_terms, SQL_BM25),
+    "inverted_index": QueryDef(q_inverted_index, SQL_INVERTED),
+    "phrase_search": QueryDef(q_phrase_search, SQL_PHRASE),
     "decontaminate": QueryDef(q_decontaminate, SQL_DECON),
     "hash_sample": QueryDef(q_hash_sample, SQL_HASH_SAMPLE),
     "train_test_split": QueryDef(q_train_test_split, SQL_TRAIN_TEST),

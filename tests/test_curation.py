@@ -80,6 +80,58 @@ def test_tfidf_ranking_integer_deterministic(spark):
     assert [r["term"] for r in by_doc[2]] == ["banana", "cherry"]
 
 
+def test_bm25_shorter_doc_scores_higher(spark):
+    # same tf for 'rare' in both docs; the shorter doc must score higher
+    docs = spark.createDataFrame(
+        [
+            (1, "rare filler"),
+            (2, "rare filler filler filler filler filler filler filler"),
+            (3, "other words entirely unique"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["term"]): r["bm25"]
+        for r in CUR.bm25_top_terms(docs, k=5).collect()
+    }
+    assert out[(1, "rare")] > out[(2, "rare")]
+    # idf is identical, so the gap is purely length normalization
+    assert out[(1, "rare")] > 0
+
+
+def test_inverted_index_postings(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a b"), (2, "a c"), (10, "a")],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in CUR.inverted_index(docs).collect()}
+    assert out["a"]["doc_freq"] == 3
+    assert out["a"]["total_tf"] == 3
+    # lexicographic sort of 'doc:first_pos' strings (':' > '0', so
+    # '10:0' precedes '1:1')
+    assert out["a"]["postings"] == "10:0|1:1|2:0"
+    assert out["b"]["doc_freq"] == 1
+    assert out["b"]["total_tf"] == 2
+    assert out["b"]["postings"] == "1:0"
+
+
+def test_phrase_search_consecutive_only(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "big data rocks"),  # match
+            (2, "big and data"),  # words present but not consecutive
+            (3, "big data big data"),  # two matches
+            (4, "data big"),  # reversed
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_matches"]
+        for r in CUR.phrase_search(docs, ["big", "data"]).collect()
+    }
+    assert out == {1: 1, 3: 2}
+
+
 def _split_of(doc_id: int, seed: str = "decon", frac: float = 0.5) -> str:
     h = hashlib.md5(f"{seed}|{doc_id}".encode()).hexdigest()[:8]
     return "test" if h < format(int(frac * 16**8), "08x") else "train"
