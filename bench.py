@@ -45,6 +45,9 @@ HEADLINE = [
     # relational bigram counts) and the 5-gram eval-decontamination join
     "repetition_stats",
     "decontaminate",
+    # round 2: BM25 ranking — one explode + exchange-reused doc_freq
+    # join + two window passes on one doc partitioning
+    "bm25_top_terms",
 ]
 
 

