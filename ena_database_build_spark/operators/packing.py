@@ -1,0 +1,185 @@
+"""Training-batch construction operators: deterministic sequence
+packing and source-mixture rebalancing (SURVEY.md §2.11 extension
+surface).
+
+Both are pure relational plans with deterministic, partition-
+independent results — the properties a 100 TB pre-training corpus
+build needs for retry-safety and incremental re-runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ena_database_build_spark.operators.dedup import tokens
+from ena_database_build_spark.operators.sampling import sample_hash
+
+
+def with_token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Adds ``n_tokens`` (whitespace tokens of the normalized text) —
+    one map pass, no shuffle."""
+    return df.withColumn("n_tokens", F.size(tokens(F.col(text_col))))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "pack",
+) -> DataFrame:
+    """Assign documents to training packs of ~``budget`` tokens.
+
+    Documents are ordered by a deterministic content hash (so the
+    packing is a pure function of the corpus, independent of partition
+    layout or arrival order), then cut into bins by the running token
+    total: a document lands in ``floor(cumsum_exclusive / budget)``.
+    This is the scalable streaming approximation of first-fit packing:
+    every pack except possibly the last holds ≥ ``budget`` - max_doc
+    and < ``budget`` + max_doc tokens; exact first-fit is inherently
+    sequential and cannot scale out.
+
+    The global running sum is the classic two-phase distributed prefix
+    sum — NEVER a global-order window, which Spark executes on a
+    single partition.  The hash's first two hex digits define 256
+    contiguous, uniformly-loaded hash ranges: phase 1 computes local
+    cumulative sums per bucket (one window over the bucket
+    partitioning); phase 2 prefix-sums the 256 bucket totals (a
+    windowed pass over 256 rows) and broadcasts the offsets back.
+    Concatenating buckets in order IS the global hash order, so
+    ``offset + local_cumsum`` equals the exact global cumulative sum.
+
+    Returns one row per pack: ``(pack_id, n_docs, n_tokens)``.
+    """
+    sized = with_token_counts(df, text_col, id_col).select(
+        F.col(id_col), "n_tokens", sample_hash(F.col(id_col), seed).alias("_h")
+    ).withColumn("_bucket", F.substring("_h", 1, 2))
+    w_local = (
+        Window.partitionBy("_bucket")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = sized.withColumn(
+        "_local_cum",
+        F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)),
+    )
+    w_off = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # 256 rows — single-partition here is by construction tiny
+    offsets = (
+        sized.groupBy("_bucket")
+        .agg(F.sum("n_tokens").alias("_btot"))
+        .withColumn(
+            "_offset", F.coalesce(F.sum("_btot").over(w_off), F.lit(0))
+        )
+        .select("_bucket", "_offset")
+    )
+    packed = local.join(F.broadcast(offsets), "_bucket").select(
+        F.col(id_col),
+        "n_tokens",
+        ((F.col("_offset") + F.col("_local_cum")) / budget)
+        .cast("long")
+        .alias("pack_id"),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Thin each source to approach a target token mixture.
+
+    ``weights`` maps source -> target share (normalized internally).
+    The feasible corpus is anchored by the most over-subscribed source:
+    every source keeps
+    ``fraction_s = min(1, target_share_s * T / tokens_s)`` where ``T``
+    is the largest total corpus size for which no source needs more
+    tokens than it has.  Thinning is the deterministic md5-hash
+    Bernoulli (:mod:`sampling`), so reruns and incremental builds keep
+    identical rows.
+
+    Returns per-source accounting:
+    ``(source, total_tokens, kept_docs, kept_tokens, keep_fraction)``.
+
+    Shape: one map pass for token counts, one per-source aggregation
+    (broadcast back — #sources rows), one filtered aggregation.  No
+    large shuffle: the only exchanges carry #sources rows.
+    """
+    total = sum(weights.values())
+    shares = {s: v / total for s, v in weights.items()}
+    sized = with_token_counts(df, text_col, id_col).select(
+        F.col(id_col), F.col(source_col), "n_tokens"
+    )
+    per_source = (
+        sized.where(F.col(source_col).isin(*weights))
+        .groupBy(source_col)
+        .agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    )
+    share_col = F.create_map(
+        *[x for s, v in shares.items() for x in (F.lit(s), F.lit(v))]
+    )
+    # T = min over sources of tokens_s / share_s — the largest feasible
+    # corpus size; computed from the #sources-row aggregate, so the
+    # min is a 1-row broadcast, not a second corpus pass
+    feasible = per_source.select(
+        F.min(
+            F.col("total_tokens") / share_col[F.col(source_col)]
+        ).alias("_T")
+    )
+    fractions = per_source.join(F.broadcast(feasible)).select(
+        source_col,
+        "total_tokens",
+        F.least(
+            F.lit(1.0),
+            share_col[F.col(source_col)]
+            * F.col("_T")
+            / F.col("total_tokens"),
+        ).alias("keep_fraction"),
+    )
+    # hex-STRING threshold comparison, the same engine-portable axis as
+    # hash_sample: format the per-source fraction as an 8-hex-digit
+    # string and compare lexicographically (== numerically for fixed
+    # width).  fraction >= 1 keeps everything (its threshold would need
+    # 9 digits and break the fixed-width comparison).
+    threshold = F.lpad(
+        F.hex(
+            F.floor(F.col("keep_fraction") * F.lit(float(16**8))).cast(
+                "bigint"
+            )
+        ),
+        8,
+        "0",
+    )
+    kept = (
+        sized.join(F.broadcast(fractions), source_col)
+        .where(
+            (F.col("keep_fraction") >= 1.0)
+            | (sample_hash(F.col(id_col), seed) < F.lower(threshold))
+        )
+        .groupBy(source_col)
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        )
+    )
+    return (
+        fractions.join(kept, source_col, "left")
+        .select(
+            source_col,
+            "total_tokens",
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            F.round("keep_fraction", 6).alias("keep_fraction"),
+        )
+    )

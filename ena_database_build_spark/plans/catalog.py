@@ -34,6 +34,7 @@ from ena_database_build_spark.operators import quantiles as QNT
 from ena_database_build_spark.operators import rangejoin as RJ
 from ena_database_build_spark.operators import sampling as SMP
 from ena_database_build_spark.operators import multimodal as M
+from ena_database_build_spark.operators import packing as PK
 from ena_database_build_spark.operators import similarity as SIM
 from ena_database_build_spark.operators import textstats as T
 from ena_database_build_spark.streaming import events as STR
@@ -2972,6 +2973,78 @@ GROUP BY doc_id
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing into ~2048-token training packs
+    via the two-phase (256 hash buckets) distributed prefix sum."""
+    return PK.pack_sequences(
+        t(spark, sf_dir, "documents", spread=True), budget=2048
+    )
+
+
+SQL_PACK = f"""
+WITH sized AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS n_tokens,
+         substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM sized
+)
+SELECT CAST(floor(c / 2048) AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM cum GROUP BY pack_id
+"""
+
+
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.4, "src2": 0.2}
+
+
+def q_mixture_rebalance(spark, sf_dir):
+    """Source-mixture rebalancing: thin three sources to a 40/40/20
+    token mixture with deterministic hash thinning."""
+    return PK.mixture_rebalance(
+        t(spark, sf_dir, "documents"), weights=_MIX_WEIGHTS
+    )
+
+
+SQL_MIXTURE = f"""
+WITH w(source, share) AS (VALUES ('src0', 0.4), ('src1', 0.4), ('src2', 0.2)),
+sized AS (
+  SELECT doc_id, source, len({_TOKS_SQL}) AS n_tokens FROM documents
+),
+ps AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM sized GROUP BY source
+),
+j AS (SELECT ps.source, ps.total_tokens, w.share FROM ps JOIN w USING (source)),
+t AS (SELECT min(total_tokens / share) AS T FROM j),
+fr AS (
+  SELECT j.source, j.total_tokens,
+         least(1.0, j.share * t.T / j.total_tokens) AS keep_fraction
+  FROM j CROSS JOIN t
+),
+kept AS (
+  SELECT s.source, count(*) AS kept_docs,
+         CAST(sum(s.n_tokens) AS BIGINT) AS kept_tokens
+  FROM sized s JOIN fr USING (source)
+  WHERE fr.keep_fraction >= 1.0
+     OR substr(md5('mix|' || CAST(s.doc_id AS VARCHAR)), 1, 8)
+        < lower(lpad(printf('%x',
+            CAST(floor(fr.keep_fraction * 4294967296.0) AS BIGINT)), 8, '0'))
+  GROUP BY s.source
+)
+SELECT fr.source, fr.total_tokens,
+       coalesce(kept.kept_docs, 0) AS kept_docs,
+       coalesce(kept.kept_tokens, 0) AS kept_tokens,
+       round(fr.keep_fraction, 6) AS keep_fraction
+FROM fr LEFT JOIN kept USING (source)
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: train docs sharing any 5-gram with
     the deterministic 10% eval split."""
@@ -3076,6 +3149,8 @@ CATALOG: dict[str, QueryDef] = {
     "inverted_index": QueryDef(q_inverted_index, SQL_INVERTED),
     "phrase_search": QueryDef(q_phrase_search, SQL_PHRASE),
     "decontaminate": QueryDef(q_decontaminate, SQL_DECON),
+    "pack_sequences": QueryDef(q_pack_sequences, SQL_PACK),
+    "mixture_rebalance": QueryDef(q_mixture_rebalance, SQL_MIXTURE),
     "hash_sample": QueryDef(q_hash_sample, SQL_HASH_SAMPLE),
     "train_test_split": QueryDef(q_train_test_split, SQL_TRAIN_TEST),
     "stratified_sample": QueryDef(q_stratified_sample, SQL_STRATIFIED),

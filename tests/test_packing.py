@@ -1,0 +1,81 @@
+"""Unit tests for sequence packing and mixture rebalancing."""
+
+import hashlib
+
+from ena_database_build_spark.operators import packing as PK
+
+
+def _hash(doc_id, seed):
+    return hashlib.md5(f"{seed}|{doc_id}".encode()).hexdigest()[:8]
+
+
+def test_pack_sequences_matches_serial_cumsum(spark):
+    rows = [(i, " ".join(["w"] * (i % 7 + 1))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 10
+    out = {
+        r["pack_id"]: (r["n_docs"], r["n_tokens"])
+        for r in PK.pack_sequences(docs, budget=budget).collect()
+    }
+    # serial reference: sort by (hash, id), exclusive cumsum, floor-div
+    order = sorted(rows, key=lambda r: (_hash(r[0], "pack"), r[0]))
+    expected = {}
+    cum = 0
+    for doc_id, text in order:
+        n = len(text.split())
+        pack = cum // budget
+        d, t = expected.get(pack, (0, 0))
+        expected[pack] = (d + 1, t + n)
+        cum += n
+    assert out == expected
+    # every pack holds at least one doc and pack ids are dense from 0
+    assert sorted(out) == list(range(len(out)))
+
+
+def test_pack_sequences_partition_independent(spark):
+    rows = [(i, " ".join(["tok"] * 5)) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        PK.pack_sequences(docs, budget=17).collect(),
+        key=lambda r: r["pack_id"],
+    )
+    b = sorted(
+        PK.pack_sequences(docs.repartition(13), budget=17).collect(),
+        key=lambda r: r["pack_id"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_mixture_rebalance_anchor_keeps_everything(spark):
+    rows = []
+    did = 0
+    for src, n_docs in [("a", 10), ("b", 40)]:
+        for _ in range(n_docs):
+            rows.append((did, src, "x y z w"))  # 4 tokens each
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # equal target shares but b has 4x the tokens: a anchors (keeps all),
+    # b thins to ~a's token count
+    out = {
+        r["source"]: r
+        for r in PK.mixture_rebalance(docs, {"a": 0.5, "b": 0.5}).collect()
+    }
+    assert out["a"]["keep_fraction"] == 1.0
+    assert out["a"]["kept_docs"] == 10
+    assert abs(out["b"]["keep_fraction"] - 0.25) < 1e-9
+    assert 0 < out["b"]["kept_docs"] < 40
+    # deterministic: rerun returns identical counts
+    again = {
+        r["source"]: r["kept_docs"]
+        for r in PK.mixture_rebalance(docs, {"a": 0.5, "b": 0.5}).collect()
+    }
+    assert again == {s: out[s]["kept_docs"] for s in out}
+
+
+def test_mixture_rebalance_ignores_unweighted_sources(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "x"), (2, "zz", "x y")],
+        "doc_id long, source string, text string",
+    )
+    out = PK.mixture_rebalance(docs, {"a": 1.0}).collect()
+    assert [r["source"] for r in out] == ["a"]

@@ -50,23 +50,7 @@ KEY_COLS = {
     "embeddings": ["vec_id"],
 }
 
-HEADLINE = [
-    "ena_context_analog",
-    "tpch_q1_pricing",
-    "tpch_q5_volume",
-    "a4_circular_resolution",
-    "g1_sessionize",
-    "j1_lookup_join",
-    "o4_topk",
-    "dedup_exact",
-    "minhash_signatures",
-    "simhash",
-    "cosine_topk",
-    "lang_id",
-    "token_counts",
-    "events_sessions",
-    "corpus_curation",
-]
+from bench import HEADLINE  # noqa: E402  — one source of truth
 
 
 def generate(out_dir: str, replicas: int) -> None:
