@@ -158,13 +158,15 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
     tf = tok_rows.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    # document frequency: aggregate + equi-join, NOT a window over the
-    # term partitioning.  The window variant measured 2.8x slower at
-    # sf0.1: it full-sorts the (doc, term) relation by term, while the
-    # join shuffles only the small aggregated doc_freq side and the
-    # shared tf exchange is deduplicated at runtime (exchange reuse).
-    doc_freq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
-    with_df = tf.join(doc_freq, "term")
+    # document frequency as a window over the term partitioning, NOT an
+    # aggregate + self-join: AQE does not reuse the tf exchange across
+    # join branches, so the join form re-runs the tokenize/explode/agg
+    # subtree (measured 2x slower at sf1 — 3.0 s vs 1.45 s).  The
+    # window's term shuffle carries the already-aggregated tf relation,
+    # strictly smaller than a second corpus pass.
+    with_df = tf.withColumn(
+        "doc_freq", F.count("*").over(Window.partitionBy("term"))
+    )
     # corpus size from the RAW table: a 1-row map-side count, no explode
     n_docs = df.select(F.countDistinct(id_col).alias("_n_docs"))
     w = Window.partitionBy(id_col).orderBy(
@@ -207,21 +209,25 @@ def bm25_top_terms(
     ASC, term ASC)``; the float BM25 score is reported, never compared,
     so engine ``ln`` ulp differences cannot change which rows appear.
 
-    Shape: one tokenize/explode feeds term frequency; document
-    frequency is its aggregate joined back (the shared tf exchange is
-    reused at runtime); per-document length rides the ranking window's
-    doc partitioning.  Corpus size and average document length come
-    from a MAP-SIDE pass over the raw table (``size(tokens(text))`` —
-    no explode) reduced to a 1-row broadcast.
+    Shape: ONE tokenize/explode feeds term frequency; document
+    frequency is a window over the term partitioning of that same
+    relation; per-document length rides the ranking window's doc
+    partitioning.  Corpus size and average document length come from a
+    MAP-SIDE pass over the raw table (``size(tokens(text))`` — no
+    explode) reduced to a 1-row broadcast.  The corpus is scanned
+    twice (once heavy, once map-side-cheap) and the tf relation never
+    recomputes.
     """
     tok_rows = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
     tf = tok_rows.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    # doc_freq via aggregate + join (see tfidf_top_terms: the window-
-    # over-term variant full-sorts the tf relation and measures slower)
-    doc_freq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
-    with_df = tf.join(doc_freq, "term")
+    # doc_freq via window over term (see tfidf_top_terms: the aggregate
+    # + self-join form re-runs the explode subtree — AQE exchange reuse
+    # does not fire across join branches; measured 2x slower at sf1)
+    with_df = tf.withColumn(
+        "doc_freq", F.count("*").over(Window.partitionBy("term"))
+    )
     # dl shares the ranking window's doc partitioning — one exchange,
     # two window passes
     with_dl = with_df.withColumn(
