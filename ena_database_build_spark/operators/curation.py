@@ -43,46 +43,71 @@ def repetition_stats(
     * ``top_bigram_frac`` — fraction of tokens covered by occurrences
       of the single most frequent bigram (``2 * max_count / n_tokens``)
 
-    Token stats are a single map pass over the token *array* (the
-    tokenization is materialized once per row — Catalyst performs no CSE
-    across expressions, the trap documented in dedup.shingle_rows).
-    The bigram mode needs a count per (doc, bigram); that runs as the
-    relational explode + hash-agg shape so a pathological document
-    streams through partial aggregation instead of building a per-row
-    frequency map.
+    Everything is ONE map pass over per-row token arrays — zero
+    shuffles, zero joins.  Each intermediate array is materialized by
+    its own projection before reuse (Catalyst performs no CSE across
+    expressions, the trap documented in dedup.shingle_rows).  The
+    bigram mode is ``array_sort`` + a longest-run fold; the interpreted
+    HOF fold beats the relational explode + double hash-agg + join
+    alternative (~2x at sf1) because the per-element work is a string
+    compare, the same regime as textstats.detect_lang.  Per-row memory
+    is O(doc tokens) — for corpora with pathological single documents
+    use the relational :func:`~ena_database_build_spark.operators.dedup.
+    shingle_rows` + hash-agg shape instead.
     """
-    toks = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-    ).select(
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    # bigram i = tok[i] + ' ' + tok[i+1]; built by zipping the array
+    # with its own tail.  NOTE: slice length must be a bounded column,
+    # not a huge literal — Spark computes start+length as int32 and a
+    # 2^31-1 literal overflows to an empty slice.
+    base = base.select(
         F.col(id_col),
         F.size("_toks").alias("n_tokens"),
         F.size(F.array_distinct("_toks")).alias("_n_distinct"),
+        F.zip_with(
+            "_toks",
+            F.concat(
+                F.slice("_toks", 2, F.size("_toks")),
+                F.array(F.lit(None).cast("string")),
+            ),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ).alias("_bgraw"),
     )
-    token_stats = toks.select(
+    # drop the trailing (token, NULL) pseudo-bigram, except for 1-token
+    # docs whose single partial shingle is kept (shingle_rows parity)
+    base = base.select(
         F.col(id_col),
         "n_tokens",
-        (
+        "_n_distinct",
+        F.array_sort(
+            F.slice("_bgraw", 1, F.greatest(F.col("n_tokens") - 1, F.lit(1)))
+        ).alias("_bg"),
+    )
+    # longest equal-run in the sorted bigram array == max bigram count
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    max_bigram = F.aggregate("_bg", zero, step)["best"]
+    return base.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(
             F.lit(1.0)
             - F.col("_n_distinct")
-            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
-        ).alias("dup_token_frac"),
-    )
-    bigram_max = (
-        shingle_rows(df, text_col=text_col, id_col=id_col, k=2, distinct=False)
-        .groupBy(id_col, "shingle")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("_max_bigram"))
-    )
-    return token_stats.join(bigram_max, id_col, "left").select(
-        F.col(id_col),
-        "n_tokens",
-        F.round("dup_token_frac", 6).alias("dup_token_frac"),
-        F.round(
-            F.coalesce(F.col("_max_bigram"), F.lit(0))
-            * 2.0
-            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
             6,
+        ).alias("dup_token_frac"),
+        F.round(
+            max_bigram * 2.0 / F.greatest(F.col("n_tokens"), F.lit(1)), 6
         ).alias("top_bigram_frac"),
     )
 
