@@ -214,6 +214,63 @@ def tfidf_top_terms(
 
 
 # ---------------------------------------------------------------------------
+# Unigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    unigram language model — the cheap relational analog of the
+    perplexity-based quality filters (CCNet/Gopher-style) that gate
+    pre-training data: documents whose tokens are corpus-atypical score
+    low.
+
+    Model and scoring in one lineage: token counts (one explode + one
+    hash agg), corpus total as a 1-row broadcast, per-document mean of
+    ``ln(count / total)`` grouped back per document.  The per-token
+    probability join carries the aggregated (doc, term, tf) relation —
+    the same single-explode discipline as tf-idf/BM25; a real LM would
+    swap the probability column for a pandas_udf model call, the
+    surrounding plan is identical.
+
+    Returns ``(doc_id, n_tokens, mean_logprob)``.
+    """
+    tok_rows = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok_rows.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # corpus term counts: window over term — one shuffle of the
+    # aggregated relation, no second corpus pass (see tfidf_top_terms)
+    with_cc = tf.withColumn(
+        "corpus_count", F.sum("tf").over(Window.partitionBy("term"))
+    )
+    total = df.select(
+        F.sum(
+            F.size(F.filter(tokens(F.col(text_col)), lambda t: t != ""))
+        ).cast("double").alias("_total")
+    )  # map-side pass, 1 row -> broadcast
+    return (
+        with_cc.join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                (
+                    F.sum(
+                        F.col("tf")
+                        * F.log(F.col("corpus_count") / F.col("_total"))
+                    )
+                    / F.sum("tf")
+                ),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # BM25 term ranking
 # ---------------------------------------------------------------------------
 

@@ -2973,6 +2973,32 @@ GROUP BY doc_id
 """
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram-LM mean token log-probability per document (the
+    perplexity-filter shape over the corpus's own unigram model)."""
+    return CUR.unigram_logprob(t(spark, sf_dir, "documents", spread=True))
+
+
+SQL_UNIGRAM = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+tr AS (
+  SELECT doc_id, term FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+  WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tr GROUP BY doc_id, term
+), cc AS (
+  SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY term) AS corpus_count
+  FROM tf
+), tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tr)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(tf * ln(corpus_count / tot.total)) / sum(tf), 6)
+         AS mean_logprob
+FROM cc CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Deterministic sequence packing into ~2048-token training packs
     via the two-phase (256 hash buckets) distributed prefix sum."""
@@ -3149,6 +3175,7 @@ CATALOG: dict[str, QueryDef] = {
     "inverted_index": QueryDef(q_inverted_index, SQL_INVERTED),
     "phrase_search": QueryDef(q_phrase_search, SQL_PHRASE),
     "decontaminate": QueryDef(q_decontaminate, SQL_DECON),
+    "unigram_logprob": QueryDef(q_unigram_logprob, SQL_UNIGRAM),
     "pack_sequences": QueryDef(q_pack_sequences, SQL_PACK),
     "mixture_rebalance": QueryDef(q_mixture_rebalance, SQL_MIXTURE),
     "hash_sample": QueryDef(q_hash_sample, SQL_HASH_SAMPLE),

@@ -80,6 +80,29 @@ def test_tfidf_ranking_integer_deterministic(spark):
     assert [r["term"] for r in by_doc[2]] == ["banana", "cherry"]
 
 
+def test_unigram_logprob_typical_beats_atypical(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common"),
+            (2, "common rare"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in CUR.unigram_logprob(docs).collect()
+    }
+    # corpus: common x4, rare x1, total 5
+    p_common, p_rare = 4 / 5, 1 / 5
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["mean_logprob"] - math.log(p_common)) < 1e-5
+    expect2 = (math.log(p_common) + math.log(p_rare)) / 2
+    assert abs(out[2]["mean_logprob"] - expect2) < 1e-5
+    # the all-common doc is more "typical" -> higher mean logprob
+    assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
+
+
 def test_bm25_shorter_doc_scores_higher(spark):
     # same tf for 'rare' in both docs; the shorter doc must score higher
     docs = spark.createDataFrame(
