@@ -46,6 +46,27 @@ def test_pack_sequences_partition_independent(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_pack_sequences_invariants(spark):
+    # irregular doc lengths incl. one over-budget doc
+    rows = [(i, " ".join(["t"] * n)) for i, n in enumerate(
+        [3, 50, 7, 1, 12, 9, 30, 2, 2, 18, 5, 41, 1, 6]
+    )]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 20
+    packs = PK.pack_sequences(docs, budget=budget).collect()
+    max_doc = 50
+    # token conservation
+    assert sum(r["n_tokens"] for r in packs) == sum(
+        len(t.split()) for _, t in rows
+    )
+    # every pack but the last (by id) is bounded by budget +/- max_doc
+    last = max(r["pack_id"] for r in packs)
+    for r in packs:
+        assert r["n_tokens"] < budget + max_doc
+        if r["pack_id"] != last:
+            assert r["n_tokens"] > budget - max_doc
+
+
 def test_mixture_rebalance_anchor_keeps_everything(spark):
     rows = []
     did = 0
