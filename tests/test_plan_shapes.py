@@ -1,0 +1,77 @@
+"""Physical-plan shape assertions for the curation/packing operators:
+the scale contracts (map-only where claimed, bounded exchange counts,
+no full-relation single-partition shuffles) pinned as regression tests.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from ena_database_build_spark.operators import curation as CUR
+from ena_database_build_spark.operators import packing as PK
+
+
+def _executed_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan: str) -> list[str]:
+    # one line per Exchange, excluding runtime-reused ones
+    return [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"\bExchange\b", ln)
+        and "ReusedExchange" not in ln
+        and "BroadcastExchange" not in ln
+    ]
+
+
+def _docs(spark, n=50):
+    return spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i} delta epsilon") for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def test_pii_scrub_is_map_only(spark):
+    df = _docs(spark).select(
+        "doc_id", CUR.pii_redact(F.col("text")).alias("red")
+    )
+    plan = _executed_plan(df)
+    assert not _exchanges(plan), plan
+
+
+def test_repetition_stats_is_map_only(spark):
+    plan = _executed_plan(CUR.repetition_stats(_docs(spark)))
+    assert not _exchanges(plan), plan
+
+
+def test_bm25_exchange_budget(spark):
+    # contract: tf agg shuffle + term window shuffle + doc window
+    # shuffle over the big relation — and nothing else (the corpus
+    # stats' SinglePartition exchange carries 1 aggregated row into a
+    # broadcast, not corpus rows)
+    plan = _executed_plan(CUR.bm25_top_terms(_docs(spark), k=2))
+    hashed = [ln for ln in _exchanges(plan) if "hashpartitioning" in ln]
+    assert len(hashed) <= 3, plan
+    assert "BroadcastExchange" in plan  # corpus stats joined by broadcast
+
+
+def test_pack_sequences_no_global_sort_of_rows(spark):
+    # the only SinglePartition exchange may carry the 256 bucket
+    # totals, never the full document relation
+    plan = _executed_plan(PK.pack_sequences(_docs(spark), budget=10))
+    single = [
+        ln for ln in plan.splitlines() if "Exchange SinglePartition" in ln
+    ]
+    assert len(single) <= 1, plan
+    # the doc-level cumsum partitions by bucket, so a hashpartitioning
+    # exchange on _bucket must exist
+    assert re.search(r"hashpartitioning\(_bucket", plan), plan
+
+
+def test_decontaminate_no_cartesian(spark):
+    plan = _executed_plan(CUR.decontaminate(_docs(spark), k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
