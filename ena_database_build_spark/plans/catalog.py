@@ -96,6 +96,22 @@ def t(
         # (the long doesn't fit double's 53-bit mantissa), which can
         # flip values across second boundaries vs the exact oracle.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # Spark >=4.1 infers tz-less parquet TIMESTAMP(MICROS) as
+        # TIMESTAMP_NTZ, which cannot cast to BIGINT.  Normalize to a
+        # TIMESTAMP (LTZ) carrying the identical microsecond value via
+        # pure wall-clock arithmetic — NO session-timezone dependence
+        # (a cast("timestamp") would shift by the session tz), so
+        # epoch-second casts keep matching DuckDB's epoch(naive_ts).
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
     if (
         spread
         and os.path.isfile(path)
