@@ -48,6 +48,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(winners, id_col, "left_semi")
 
 
+def dedup_incremental(
+    incoming: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuous-build dedup: keep the incoming rows whose content
+    fingerprint appears neither in the already-ingested corpus nor
+    earlier (lower id) in the batch itself.
+
+    Two anti-joins on the 128-bit fingerprint: (1) batch vs the
+    existing corpus's distinct fingerprints, (2) the in-batch stable
+    winner (min id per fingerprint), same rule as :func:`exact_dedup`.
+    Both join only fingerprint+id columns — the document text never
+    shuffles.  At 100 TB the existing side is the corpus fingerprint
+    index (tiny vs the text) and both joins hash-partition on the
+    fingerprint, so the plan is two one-shuffle equi-joins regardless
+    of corpus size; re-running with the same batch is a no-op
+    (idempotent ingestion).
+    """
+    fp = fingerprint(F.col(text_col)).alias("fp")
+    inc = incoming.withColumn("fp", fingerprint(F.col(text_col)))
+    seen = existing.select(fp).distinct()
+    fresh = inc.join(seen, "fp", "left_anti")
+    winners = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return fresh.join(winners, ["fp", id_col], "left_semi").drop("fp")
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokens of the normalized text."""
     return F.split(normalized_text(text), " ")

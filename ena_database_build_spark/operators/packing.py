@@ -90,6 +90,58 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    size: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document's token stream into training windows of
+    ``size`` tokens starting every ``stride`` tokens (``stride`` <
+    ``size`` gives overlapping context windows; default is
+    non-overlapping).
+
+    Chunk starts are ``0, stride, 2*stride, ...`` while the start lies
+    inside the document, so every token is covered and the final chunk
+    may be short.  The whole operator is a narrow per-row transform —
+    tokenize once into a materialized array column (Catalyst does not
+    CSE repeated calls inside HOF lambdas), ``sequence`` the starts,
+    ``posexplode``, ``slice`` — so it pipelines into the scan with NO
+    shuffle at any scale; output size is input tokens × size/stride.
+
+    Returns ``(id, chunk_idx, start, n_tokens, chunk_text)``.
+    """
+    if stride is None:
+        stride = size
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    sized = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .where(F.col("_n") > 0)
+    )
+    chunks = sized.select(
+        F.col(id_col),
+        "_toks",
+        "_n",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+        ).alias("chunk_idx", "_start"),
+    )
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("_start").cast("long").alias("start"),
+        F.least(F.lit(size), F.col("_n") - F.col("_start"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice("_toks", F.col("_start") + 1, F.lit(size))
+        ).alias("chunk_text"),
+    )
+
+
 def mixture_rebalance(
     df: DataFrame,
     weights: dict[str, float],

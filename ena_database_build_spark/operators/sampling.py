@@ -69,6 +69,58 @@ def train_test_split(
     )
 
 
+def global_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shuffle",
+) -> DataFrame:
+    """Deterministic corpus shuffle + round-robin shard assignment —
+    the "shuffle then shard" step of training-order construction, as a
+    pure function of ``(seed, id)``.
+
+    ``global_pos`` is the row's rank in ``md5(seed || id)`` order —
+    the shuffled training order.  ``shard_id = global_pos % n_shards``
+    and ``shard_pos = global_pos div n_shards`` round-robin that order
+    into ``n_shards`` exactly balanced output shards that interleave
+    the shuffled stream (reading shard files in step reproduces it).
+
+    The global rank deliberately NEVER uses a global-order window
+    (single-partition at scale).  Same two-phase distributed prefix
+    sum as :func:`packing.pack_sequences`: the hash's first two hex
+    digits form 256 contiguous uniform ranges; a per-bucket
+    ``row_number`` plus an exclusive prefix sum over the 256 bucket
+    counts (tiny, broadcast back) IS the exact global rank, because
+    bucket order concatenated equals global hash order.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    base = df.select(
+        F.col(id_col), sample_hash(F.col(id_col), seed).alias("_h")
+    ).withColumn("_bucket", F.substring("_h", 1, 2))
+    w_local = Window.partitionBy("_bucket").orderBy("_h", id_col)
+    local = base.withColumn("_rn", F.row_number().over(w_local))
+    w_off = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # 256 rows — single-partition here is tiny by construction
+    offsets = (
+        base.groupBy("_bucket")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+        .select("_bucket", "_off")
+    )
+    pos = local.join(F.broadcast(offsets), "_bucket").select(
+        F.col(id_col),
+        (F.col("_off") + F.col("_rn") - 1).cast("long").alias("global_pos"),
+    )
+    return pos.select(
+        id_col,
+        "global_pos",
+        (F.col("global_pos") % n_shards).alias("shard_id"),
+        F.expr(f"global_pos div {n_shards}").alias("shard_pos"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata: list[str],

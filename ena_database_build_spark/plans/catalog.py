@@ -3121,6 +3121,240 @@ GROUP BY tr.doc_id
 """
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking: 64-token windows every 48 tokens
+    (16-token overlap) — map-only, no shuffle; text replaced by its
+    md5 so the compared result stays narrow."""
+    ch = PK.chunk_documents(
+        t(spark, sf_dir, "documents"), size=64, stride=48
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "start",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_fp"),
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH sized AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk, len({_TOKS_SQL}) AS n
+  FROM documents
+), st AS (
+  SELECT doc_id, tk, n,
+         unnest(range(0, CAST(n AS BIGINT), 48)) AS s
+  FROM sized WHERE n > 0
+)
+SELECT doc_id,
+       CAST(s // 48 AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS start,
+       CAST(least(64, n - s) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(tk, s + 1, s + 64), ' ')) AS chunk_fp
+FROM st
+"""
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle + round-robin sharding into 8
+    shards via the two-phase distributed rank (no global-order
+    window)."""
+    return SMP.global_shuffle(
+        t(spark, sf_dir, "documents"), n_shards=8, seed="shuffle"
+    )
+
+
+SQL_CORPUS_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id,
+         substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 8) AS hh
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY hh, doc_id) - 1 AS BIGINT)
+           AS global_pos
+  FROM h
+)
+SELECT doc_id, global_pos,
+       global_pos % 8 AS shard_id,
+       global_pos // 8 AS shard_pos
+FROM p
+"""
+
+
+def q_json_roundtrip(spark, sf_dir):
+    """JSON-lines surface: serialize typed rows with to_json, re-parse
+    with from_json against an explicit schema plus a JSONPath probe —
+    the lossless-roundtrip contract a JSON source/sink needs."""
+    docs = t(spark, sf_dir, "documents")
+    js = docs.select(
+        F.col("doc_id").alias("k"),
+        F.to_json(F.struct("doc_id", "lang", "source", "n_chars")).alias(
+            "js"
+        ),
+    )
+    parsed = js.select(
+        "k",
+        F.from_json(
+            "js", "doc_id bigint, lang string, source string, n_chars bigint"
+        ).alias("r"),
+        F.get_json_object("js", "$.lang").alias("lang_jpath"),
+    )
+    return parsed.select(
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.lang").alias("lang"),
+        F.col("r.source").alias("source"),
+        F.col("r.n_chars").alias("n_chars"),
+        "lang_jpath",
+    )
+
+
+SQL_JSON_ROUNDTRIP = """
+SELECT doc_id, lang, source, n_chars, lang AS lang_jpath FROM documents
+"""
+
+
+def q_tpch_q4_priority(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS -> left-semi join): orders in a quarter
+    having at least one line shipped >60 days after the order date,
+    counted by priority.  The semi join keeps the probe side
+    duplicate-free without a distinct."""
+    ords = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    late = ords.join(
+        li,
+        (ords["o_orderkey"] == li["l_orderkey"])
+        & (
+            li["l_shipdate"]
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (agg -> having -> join back): orders whose
+    total quantity exceeds 300, with customer context.  The filtered
+    aggregate is small, so AQE broadcasts it against orders/customer
+    instead of shuffling the facts again."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    ords = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        big.join(ords, big["l_orderkey"] == ords["o_orderkey"])
+        .join(cust, ords["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+SQL_TPCH_Q18 = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       round(sum_qty, 2) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Continuous-build dedup: the deterministic 50% 'already ingested'
+    half of the corpus filters the incoming half by content
+    fingerprint; in-batch duplicates keep the min-id winner."""
+    docs = t(spark, sf_dir, "documents")
+    is_existing = SMP.sample_hash(F.col("doc_id"), "inc") < "80000000"
+    existing = docs.where(is_existing)
+    incoming = docs.where(~is_existing)
+    kept = D.dedup_incremental(incoming, existing)
+    return kept.select("doc_id", "source")
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH tagged AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         substr(md5('inc|' || CAST(doc_id AS VARCHAR)), 1, 8)
+           < '80000000' AS is_existing
+  FROM documents
+), fresh AS (
+  SELECT i.doc_id, i.source, i.fp
+  FROM tagged i
+  WHERE NOT i.is_existing
+    AND NOT EXISTS (SELECT 1 FROM tagged e
+                    WHERE e.is_existing AND e.fp = i.fp)
+)
+SELECT doc_id, source FROM fresh f
+WHERE doc_id = (SELECT min(doc_id) FROM fresh w WHERE w.fp = f.fp)
+"""
+
+
+def q_quality_gate(spark, sf_dir):
+    """Percentile-based quality filtering: drop the bottom decile by
+    the composite quality score.  The exact p10 threshold comes from
+    the bounded-state quantile operator (range-bucketed cumulative
+    counts) and broadcasts back as one row — two passes over scores,
+    zero passes over text beyond scoring."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.round(T.quality_score(F.col("text")), 6).alias("quality")
+    )
+    thr = QNT.exact_quantiles(
+        scored.withColumn("_g", F.lit(1)),
+        "quality",
+        by=["_g"],  # single global group (empty `by` trips Spark's
+        # empty-join-key path); the range buckets still parallelize
+        qs=[0.1],
+        bucket_width=0.05,
+    ).select(F.col("value").alias("_thr"))
+    return (
+        scored.join(F.broadcast(thr))
+        .where(F.col("quality") >= F.col("_thr"))
+        .select("doc_id", "quality")
+    )
+
+
+SQL_QUALITY_GATE = f"""
+WITH scored AS (
+  SELECT doc_id, quality FROM ({SQL_QUALITY}) q
+), thr AS (
+  SELECT quantile_cont(quality, 0.1) AS t FROM scored
+)
+SELECT doc_id, quality FROM scored, thr WHERE quality >= t
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3194,6 +3428,13 @@ CATALOG: dict[str, QueryDef] = {
     "unigram_logprob": QueryDef(q_unigram_logprob, SQL_UNIGRAM),
     "pack_sequences": QueryDef(q_pack_sequences, SQL_PACK),
     "mixture_rebalance": QueryDef(q_mixture_rebalance, SQL_MIXTURE),
+    "doc_chunks": QueryDef(q_doc_chunks, SQL_DOC_CHUNKS),
+    "corpus_shuffle": QueryDef(q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
+    "json_roundtrip": QueryDef(q_json_roundtrip, SQL_JSON_ROUNDTRIP),
+    "tpch_q4_priority": QueryDef(q_tpch_q4_priority, SQL_TPCH_Q4),
+    "tpch_q18_large_orders": QueryDef(q_tpch_q18_large_orders, SQL_TPCH_Q18),
+    "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "quality_gate": QueryDef(q_quality_gate, SQL_QUALITY_GATE),
     "hash_sample": QueryDef(q_hash_sample, SQL_HASH_SAMPLE),
     "train_test_split": QueryDef(q_train_test_split, SQL_TRAIN_TEST),
     "stratified_sample": QueryDef(q_stratified_sample, SQL_STRATIFIED),

@@ -274,3 +274,29 @@ def test_stratified_sample_exact_n(spark):
         for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
     }
     assert counts == {"a": 5, "b": 5}
+
+
+def test_dedup_incremental_semantics(spark):
+    from ena_database_build_spark.operators.dedup import dedup_incremental
+
+    existing = spark.createDataFrame(
+        [(1, "Alpha  beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "alpha beta"),   # dup of existing (normalized) -> dropped
+            (11, "delta"),        # fresh -> kept
+            (12, "delta"),        # in-batch dup, higher id -> dropped
+            (13, "GAMMA"),        # dup of existing -> dropped
+            (14, "epsilon"),      # fresh -> kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_incremental(incoming, existing).collect()
+    )
+    assert kept == [11, 14]
+    # idempotent: re-ingesting the kept batch against existing+kept drops all
+    kept_df = dedup_incremental(incoming, existing)
+    rerun = dedup_incremental(kept_df, existing.unionByName(kept_df))
+    assert rerun.count() == 0

@@ -100,3 +100,46 @@ def test_mixture_rebalance_ignores_unweighted_sources(spark):
     )
     out = PK.mixture_rebalance(docs, {"a": 1.0}).collect()
     assert [r["source"] for r in out] == ["a"]
+
+
+def test_chunk_documents_covers_all_tokens(spark):
+    texts = [
+        (0, " ".join(f"w{i}" for i in range(10))),
+        (1, " ".join(f"x{i}" for i in range(7))),   # shorter than size
+        (2, "single"),
+        (3, " ".join(f"y{i}" for i in range(23))),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    out = PK.chunk_documents(docs, size=8, stride=5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in texts:
+        toks = text.split()
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        # starts are 0, stride, ... while inside the doc
+        assert [c["start"] for c in chunks] == list(range(0, len(toks), 5))
+        # dense chunk indices
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            want = toks[c["start"]:c["start"] + 8]
+            assert c["chunk_text"].split() == want
+            assert c["n_tokens"] == len(want)
+        # stride <= size -> every token appears in at least one chunk
+        covered = set()
+        for c in chunks:
+            covered.update(range(c["start"], c["start"] + c["n_tokens"]))
+        assert covered == set(range(len(toks)))
+
+
+def test_chunk_documents_non_overlapping_partition(spark):
+    docs = spark.createDataFrame(
+        [(0, " ".join(["t"] * 17))], "doc_id long, text string"
+    )
+    out = sorted(
+        PK.chunk_documents(docs, size=5).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # default stride == size: exact partition, last chunk short
+    assert [r["n_tokens"] for r in out] == [5, 5, 5, 2]
+    assert sum(r["n_tokens"] for r in out) == 17

@@ -64,3 +64,39 @@ def test_bucketed_join_has_no_exchange(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert joined.count() == 1000
+
+
+def test_global_shuffle_matches_serial_rank(spark):
+    import hashlib
+
+    from ena_database_build_spark.operators.sampling import global_shuffle
+
+    ids = list(range(100))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r["doc_id"]: r for r in global_shuffle(df, n_shards=7).collect()}
+    order = sorted(
+        ids,
+        key=lambda i: (
+            hashlib.md5(f"shuffle|{i}".encode()).hexdigest()[:8],
+            i,
+        ),
+    )
+    for pos, doc_id in enumerate(order):
+        r = out[doc_id]
+        assert r["global_pos"] == pos
+        assert r["shard_id"] == pos % 7
+        assert r["shard_pos"] == pos // 7
+    # round-robin sharding is exactly balanced
+    sizes = {}
+    for r in out.values():
+        sizes[r["shard_id"]] = sizes.get(r["shard_id"], 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_global_shuffle_partition_independent(spark):
+    from ena_database_build_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    a = sorted(map(tuple, global_shuffle(df, 4).collect()))
+    b = sorted(map(tuple, global_shuffle(df.repartition(11), 4).collect()))
+    assert a == b
