@@ -58,22 +58,28 @@ def dedup_incremental(
     fingerprint appears neither in the already-ingested corpus nor
     earlier (lower id) in the batch itself.
 
-    Two anti-joins on the 128-bit fingerprint: (1) batch vs the
-    existing corpus's distinct fingerprints, (2) the in-batch stable
-    winner (min id per fingerprint), same rule as :func:`exact_dedup`.
-    Both join only fingerprint+id columns — the document text never
-    shuffles.  At 100 TB the existing side is the corpus fingerprint
-    index (tiny vs the text) and both joins hash-partition on the
-    fingerprint, so the plan is two one-shuffle equi-joins regardless
-    of corpus size; re-running with the same batch is a no-op
-    (idempotent ingestion).
+    One anti-join on the 128-bit fingerprint (batch vs the existing
+    corpus's distinct fingerprints) followed by a row_number window
+    keeping the in-batch stable winner (min id per fingerprint, same
+    rule as :func:`exact_dedup`).  The window partitions by the SAME
+    fingerprint key the anti-join just hash-partitioned on, so it
+    reuses that exchange — the whole operator is one shuffle of the
+    batch plus one of the corpus fingerprint index (tiny vs the
+    text), with no recomputation; a groupBy-min + semi-join here
+    would re-execute the anti-join subtree and add a second
+    ``(fp, id)`` shuffle of the batch.  Re-running with the same
+    batch is a no-op (idempotent ingestion).
     """
     fp = fingerprint(F.col(text_col)).alias("fp")
     inc = incoming.withColumn("fp", fingerprint(F.col(text_col)))
     seen = existing.select(fp).distinct()
     fresh = inc.join(seen, "fp", "left_anti")
-    winners = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    return fresh.join(winners, ["fp", id_col], "left_semi").drop("fp")
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("fp", "_rn")
+    )
 
 
 def tokens(text: Column) -> Column:

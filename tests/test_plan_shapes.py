@@ -75,3 +75,32 @@ def test_decontaminate_no_cartesian(spark):
     plan = _executed_plan(CUR.decontaminate(_docs(spark), k=3))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_documents_is_map_only(spark):
+    plan = _executed_plan(PK.chunk_documents(_docs(spark), size=4, stride=3))
+    assert not _exchanges(plan), plan
+
+
+def test_global_shuffle_exchange_budget(spark):
+    from ena_database_build_spark.operators.sampling import global_shuffle
+
+    plan = _executed_plan(global_shuffle(_docs(spark), n_shards=4))
+    # bucket-window shuffle + the 256-row offsets aggregation (tiny);
+    # the offsets join must come back as a broadcast, never a shuffle
+    # of the full relation
+    assert len(_exchanges(plan)) <= 3, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dedup_incremental_no_nested_loop(spark):
+    from ena_database_build_spark.operators.dedup import dedup_incremental
+
+    inc = _docs(spark)
+    exist = _docs(spark, 20)
+    plan = _executed_plan(dedup_incremental(inc, exist))
+    # both anti-joins and the winners semi-join are hash joins on the
+    # fingerprint — a nested-loop/cartesian here would be quadratic
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(_exchanges(plan)) <= 4, plan
