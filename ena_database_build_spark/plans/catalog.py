@@ -3289,6 +3289,25 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_purchase_attribution(spark, sf_dir):
+    """Purchase->view attribution: the watermarked stream-stream
+    interval self-join code path (streaming/events.py) run in batch
+    mode — one code path for both executions."""
+    return STR.purchase_attribution(t(spark, sf_dir, "events"))
+
+
+SQL_PURCHASE_ATTRIBUTION = """
+SELECT b.event_id AS purchase_id, v.event_id AS view_id,
+       b.user_id AS user_id,
+       (epoch_us(b.ts) - epoch_us(v.ts)) // 1000000 AS gap_s
+FROM events b JOIN events v
+  ON v.user_id = b.user_id
+ AND b.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts <= b.ts
+ AND v.ts >= b.ts - INTERVAL 10 MINUTE
+"""
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Continuous-build dedup: the deterministic 50% 'already ingested'
     half of the corpus filters the incoming half by content
@@ -3434,6 +3453,9 @@ CATALOG: dict[str, QueryDef] = {
     "tpch_q4_priority": QueryDef(q_tpch_q4_priority, SQL_TPCH_Q4),
     "tpch_q18_large_orders": QueryDef(q_tpch_q18_large_orders, SQL_TPCH_Q18),
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "purchase_attribution": QueryDef(
+        q_purchase_attribution, SQL_PURCHASE_ATTRIBUTION
+    ),
     "quality_gate": QueryDef(q_quality_gate, SQL_QUALITY_GATE),
     "hash_sample": QueryDef(q_hash_sample, SQL_HASH_SAMPLE),
     "train_test_split": QueryDef(q_train_test_split, SQL_TRAIN_TEST),

@@ -96,6 +96,60 @@ def session_aggregates(
     )
 
 
+def purchase_attribution(
+    events: DataFrame,
+    lookback: str = "10 minutes",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval self-join: every ``purchase`` event
+    attributed to the same user's ``view`` events in the preceding
+    ``lookback``.
+
+    On a streaming input both sides carry a watermark and the join
+    condition bounds the event-time range, so Spark keeps only
+    ``lookback + watermark`` of per-key state — the canonical
+    watermarked stream-stream join.  Events later than ``watermark``
+    out of order are dropped (that IS the state bound); pass
+    ``watermark=None`` for unbounded state and exact batch parity on
+    arbitrarily ordered input.  On a batch input the identical plan is
+    a plain interval equi-join.
+    """
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    buys = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if events.isStreaming and watermark is not None:
+        views = views.withWatermark("v_ts", watermark)
+        buys = buys.withWatermark("b_ts", watermark)
+    joined = buys.join(
+        views,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") <= F.col("b_ts"))
+        & (
+            F.col("v_ts")
+            >= F.col("b_ts") - F.expr(f"INTERVAL {lookback}")
+        ),
+    )
+    return joined.select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        # timestampdiff works for TIMESTAMP and TIMESTAMP_NTZ alike
+        # (a cast("long") is illegal on NTZ); whole elapsed seconds
+        # from exact elapsed micros, so engines can't disagree on
+        # sub-second rounding
+        F.expr("timestampdiff(MICROSECOND, v_ts, b_ts) div 1000000").alias(
+            "gap_s"
+        ),
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, mode: str = "append"
 ) -> "object":

@@ -121,3 +121,29 @@ def test_running_user_totals_stateful(spark, event_dir):
     )
     cols = ["user_id", "n_events", "total_value"]
     assert _rows(final, cols) == _rows(want, cols)
+
+
+def test_purchase_attribution_stream_matches_batch(spark, event_dir):
+    # stream-stream interval self-join (inner).  The fixture's files
+    # are randomly time-ordered, so exact parity needs unbounded state
+    # (watermark=None); the watermarked run may evict late rows but
+    # must emit a subset of the batch result.
+    cols = ["purchase_id", "view_id", "user_id", "gap_s"]
+    batch = _rows(
+        STR.purchase_attribution(_batch_events(spark, event_dir)), cols
+    )
+    unbounded = _run_stream(
+        spark,
+        STR.purchase_attribution(
+            STR.read_event_stream(spark, event_dir), watermark=None
+        ),
+        "attrib_unbounded",
+    )
+    assert _rows(unbounded, cols) == batch
+    assert all(0 <= r[3] <= 600 for r in batch)
+    bounded = _run_stream(
+        spark,
+        STR.purchase_attribution(STR.read_event_stream(spark, event_dir)),
+        "attrib_bounded",
+    )
+    assert set(_rows(bounded, cols)) <= set(batch)
