@@ -3289,6 +3289,29 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video-style frame sampling over BINARY payloads: every 10th
+    frame index from the (stubbed, deterministic) container header —
+    the explode stays map-only; a real decoder changes only where
+    n_frames comes from (multimodal.py:89)."""
+    payload = M.attach_binary_payload(t(spark, sf_dir, "documents"))
+    return M.frame_sample_plan(payload, every_n=10).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH p AS (
+  SELECT doc_id, octet_length(encode(text)) % 300 + 1 AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(range(0, CAST(n_frames AS BIGINT), 10)) AS BIGINT)
+         AS frame_idx
+FROM p
+"""
+
+
 def q_purchase_attribution(spark, sf_dir):
     """Purchase->view attribution: the watermarked stream-stream
     interval self-join code path (streaming/events.py) run in batch
@@ -3476,4 +3499,5 @@ CATALOG: dict[str, QueryDef] = {
     "approx_distinct": QueryDef(q_approx_distinct, SQL_APPROX_DISTINCT),
     "exact_distinct": QueryDef(q_exact_distinct, SQL_EXACT_DISTINCT),
     "multimodal_decode": QueryDef(q_multimodal_decode, SQL_MULTIMODAL),
+    "multimodal_frames": QueryDef(q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
 }

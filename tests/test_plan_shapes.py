@@ -104,3 +104,11 @@ def test_dedup_incremental_no_nested_loop(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert len(_exchanges(plan)) <= 4, plan
+
+
+def test_frame_sample_plan_is_map_only(spark):
+    from ena_database_build_spark.operators import multimodal as M
+
+    payload = M.attach_binary_payload(_docs(spark))
+    plan = _executed_plan(M.frame_sample_plan(payload, every_n=3))
+    assert not _exchanges(plan), plan
