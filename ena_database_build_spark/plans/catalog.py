@@ -3289,6 +3289,43 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """Wide-format pivot: per-user event-type counts.  Passing the
+    pivot values EXPLICITLY matters at scale — without them Spark runs
+    a separate distinct-scan job over the full input before it can
+    even plan; with them the pivot compiles to one hash aggregation
+    with map-side partials, same cost as a plain groupBy."""
+    wide = (
+        t(spark, sf_dir, "events", spread=True)
+        .groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))  # count("*") is rejected inside Pivot
+    )
+    # absent (user, type) combos pivot to NULL; the relational answer
+    # is 0
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in _EVENT_TYPES
+        ],
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'view')     AS view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'error')    AS error
+FROM events GROUP BY user_id
+"""
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Video-style frame sampling over BINARY payloads: every 10th
     frame index from the (stubbed, deterministic) container header —
@@ -3500,4 +3537,5 @@ CATALOG: dict[str, QueryDef] = {
     "exact_distinct": QueryDef(q_exact_distinct, SQL_EXACT_DISTINCT),
     "multimodal_decode": QueryDef(q_multimodal_decode, SQL_MULTIMODAL),
     "multimodal_frames": QueryDef(q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "events_pivot": QueryDef(q_events_pivot, SQL_EVENTS_PIVOT),
 }
