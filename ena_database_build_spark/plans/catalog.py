@@ -3289,6 +3289,34 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_props_extract(spark, sf_dir):
+    """Semi-structured column: schema-on-read over the events.props
+    JSON strings with from_json (JVM expression, no UDF), then a
+    typed aggregation of the extracted field — the common
+    log-enrichment shape."""
+    ev = t(spark, sf_dir, "events")
+    k = F.from_json("props", "k int")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+SQL_PROPS_EXTRACT = """
+SELECT event_type,
+       count(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_with_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS sum_k,
+       round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
@@ -3538,4 +3566,5 @@ CATALOG: dict[str, QueryDef] = {
     "multimodal_decode": QueryDef(q_multimodal_decode, SQL_MULTIMODAL),
     "multimodal_frames": QueryDef(q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "events_pivot": QueryDef(q_events_pivot, SQL_EVENTS_PIVOT),
+    "props_extract": QueryDef(q_props_extract, SQL_PROPS_EXTRACT),
 }
