@@ -52,6 +52,22 @@ KEY_COLS = {
 
 from bench import HEADLINE  # noqa: E402  — one source of truth
 
+# round-2 operators measured at scale here WITHOUT widening bench.py's
+# headline (keeping the per-round BENCH totals comparable round-over-
+# round); both engines run every query
+SCALE_EXTRAS = [
+    "doc_chunks",
+    "corpus_shuffle",
+    "dedup_incremental",
+    "quality_gate",
+    "purchase_attribution",
+    "events_pivot",
+    "props_extract",
+    "tpch_q4_priority",
+    "tpch_q18_large_orders",
+]
+SCALE_QUERIES = HEADLINE + SCALE_EXTRAS
+
 
 def generate(out_dir: str, replicas: int) -> None:
     out = Path(out_dir)
@@ -116,7 +132,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     spark_t: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in SCALE_QUERIES:
         df = CATALOG[name].spark(spark, out_dir)
         spark_t[name] = time_best2(
             lambda: df.write.format("noop").mode("overwrite").save()
@@ -130,7 +146,7 @@ def main() -> None:
     # .arrow() fully materializes the result vectorized — comparable to
     # Spark's noop sink (full compute, no row-at-a-time driver transfer)
     duck_t: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in SCALE_QUERIES:
         sql = CATALOG[name].oracle
         duck_t[name] = time_best2(lambda: con.sql(sql).arrow())
 
