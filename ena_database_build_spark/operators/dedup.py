@@ -69,16 +69,21 @@ def dedup_incremental(
     would re-execute the anti-join subtree and add a second
     ``(fp, id)`` shuffle of the batch.  Re-running with the same
     batch is a no-op (idempotent ingestion).
+
+    NULL text fingerprints as the empty string: a NULL md5 would
+    never satisfy the anti-join's equi-condition, so NULL-text rows
+    would be re-admitted on every re-ingestion — silently breaking
+    idempotence.
     """
-    fp = fingerprint(F.col(text_col)).alias("fp")
-    inc = incoming.withColumn("fp", fingerprint(F.col(text_col)))
-    seen = existing.select(fp).distinct()
-    fresh = inc.join(seen, "fp", "left_anti")
-    w = Window.partitionBy("fp").orderBy(id_col)
+    fp_expr = F.md5(F.coalesce(normalized_text(F.col(text_col)), F.lit("")))
+    inc = incoming.withColumn("_fp", fp_expr)
+    seen = existing.select(fp_expr.alias("_fp")).distinct()
+    fresh = inc.join(seen, "_fp", "left_anti")
+    w = Window.partitionBy("_fp").orderBy(id_col)
     return (
         fresh.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("fp", "_rn")
+        .drop("_fp", "_rn")
     )
 
 

@@ -119,7 +119,11 @@ def chunk_documents(
     sized = (
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         .withColumn("_n", F.size("_toks"))
-        .where(F.col("_n") > 0)
+        # split('') yields [''] (size 1, never 0), so "has tokens" is
+        # "more than one element, or a non-empty first element" —
+        # a plain _n > 0 is dead code and would emit a phantom chunk
+        # with one nonexistent token for every empty/whitespace doc
+        .where((F.col("_n") > 1) | (F.element_at("_toks", 1) != ""))
     )
     chunks = sized.select(
         F.col(id_col),

@@ -3144,7 +3144,9 @@ WITH sized AS (
 ), st AS (
   SELECT doc_id, tk, n,
          unnest(range(0, CAST(n AS BIGINT), 48)) AS s
-  FROM sized WHERE n > 0
+  -- string_split('') is [''] (len 1, never 0): "has tokens" means
+  -- more than one element or a non-empty first element
+  FROM sized WHERE n > 1 OR tk[1] <> ''
 )
 SELECT doc_id,
        CAST(s // 48 AS BIGINT) AS chunk_idx,
@@ -3411,7 +3413,8 @@ def q_dedup_incremental(spark, sf_dir):
 SQL_DEDUP_INCREMENTAL = """
 WITH tagged AS (
   SELECT doc_id, source,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         md5(coalesce(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''))
+           AS fp,
          substr(md5('inc|' || CAST(doc_id AS VARCHAR)), 1, 8)
            < '80000000' AS is_existing
   FROM documents
@@ -3431,8 +3434,11 @@ def q_quality_gate(spark, sf_dir):
     """Percentile-based quality filtering: drop the bottom decile by
     the composite quality score.  The exact p10 threshold comes from
     the bounded-state quantile operator (range-bucketed cumulative
-    counts) and broadcasts back as one row — two passes over scores,
-    zero passes over text beyond scoring."""
+    counts) and broadcasts back as one row.  The scored lineage feeds
+    two consumers, so the text is scored twice (threshold pass +
+    filter pass) — the honest lazy-engine cost, same as the oracle's
+    re-evaluated CTE; only the narrow (doc_id, quality) projection
+    ever crosses a stage boundary."""
     docs = t(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", F.round(T.quality_score(F.col("text")), 6).alias("quality")

@@ -296,6 +296,19 @@ def test_dedup_incremental_semantics(spark):
         r["doc_id"] for r in dedup_incremental(incoming, existing).collect()
     )
     assert kept == [11, 14]
+    # NULL text fingerprints as '' so idempotence survives NULL rows
+    existing_n = spark.createDataFrame(
+        [(1, None)], "doc_id long, text string"
+    )
+    incoming_n = spark.createDataFrame(
+        [(10, None), (11, None), (12, "delta")],
+        "doc_id long, text string",
+    )
+    kept_n = sorted(
+        r["doc_id"]
+        for r in dedup_incremental(incoming_n, existing_n).collect()
+    )
+    assert kept_n == [12]
     # idempotent: re-ingesting the kept batch against existing+kept drops all
     kept_df = dedup_incremental(incoming, existing)
     rerun = dedup_incremental(kept_df, existing.unionByName(kept_df))

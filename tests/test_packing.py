@@ -132,6 +132,17 @@ def test_chunk_documents_covers_all_tokens(spark):
         assert covered == set(range(len(toks)))
 
 
+def test_chunk_documents_skips_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, None), (3, "one two")],
+        "doc_id long, text string",
+    )
+    out = PK.chunk_documents(docs, size=4).collect()
+    # empty / whitespace-only / NULL text must emit NO phantom chunks
+    assert sorted(r["doc_id"] for r in out) == [3]
+    assert out[0]["chunk_text"] == "one two"
+
+
 def test_chunk_documents_non_overlapping_partition(spark):
     docs = spark.createDataFrame(
         [(0, " ".join(["t"] * 17))], "doc_id long, text string"

@@ -99,8 +99,9 @@ def test_dedup_incremental_no_nested_loop(spark):
     inc = _docs(spark)
     exist = _docs(spark, 20)
     plan = _executed_plan(dedup_incremental(inc, exist))
-    # both anti-joins and the winners semi-join are hash joins on the
-    # fingerprint — a nested-loop/cartesian here would be quadratic
+    # the corpus anti-join must be a hash join on the fingerprint (the
+    # winner selection is a window over the same partitioning, not a
+    # join) — a nested-loop/cartesian here would be quadratic
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert len(_exchanges(plan)) <= 4, plan
