@@ -2,4 +2,5 @@
 
 from ena_database_build_spark.cli import main
 
-main()
+if __name__ == "__main__":
+    main()

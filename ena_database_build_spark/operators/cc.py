@@ -94,6 +94,17 @@ def connected_components(
         labels = stepped.select("node", "component")
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with labels still moving means the graph
+        # diameter exceeds the iteration budget — returning here would
+        # silently split components (e.g. a long chain of
+        # incrementally-edited near-duplicates) into several clusters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iter — the iteration bound must exceed the graph "
+            "diameter"
+        )
     return labels
 
 

@@ -41,7 +41,10 @@ def repetition_stats(
     * ``n_tokens`` — whitespace token count
     * ``dup_token_frac`` — ``1 - distinct_tokens / n_tokens``
     * ``top_bigram_frac`` — fraction of tokens covered by occurrences
-      of the single most frequent bigram (``2 * max_count / n_tokens``)
+      of the single most frequent bigram
+      (``least(1, 2 * max_count / n_tokens)`` — overlapping
+      occurrences double-count positions, so the raw ratio is capped
+      into [0, 1])
 
     Everything is ONE map pass over per-row token arrays — zero
     shuffles, zero joins.  Each intermediate array is materialized by
@@ -106,8 +109,16 @@ def repetition_stats(
             / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
             6,
         ).alias("dup_token_frac"),
+        # least(1, ...): overlapping occurrences double-count positions
+        # ('a a a' -> bigram 'a a' twice over 3 tokens = raw 1.33) and
+        # a 1-token doc's kept partial shingle gives raw 2.0 — a gate
+        # like `top_bigram_frac <= 0.9` needs a genuine [0,1] range
         F.round(
-            max_bigram * 2.0 / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+            F.least(
+                F.lit(1.0),
+                max_bigram * 2.0 / F.greatest(F.col("n_tokens"), F.lit(1)),
+            ),
+            6,
         ).alias("top_bigram_frac"),
     )
 

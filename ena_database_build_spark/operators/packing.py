@@ -69,15 +69,30 @@ def pack_sequences(
     w_off = Window.orderBy("_bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )  # 256 rows — single-partition here is by construction tiny
+    # bucket totals come from the WINDOWED frame (last row's exclusive
+    # cumsum + own count), not from a second aggregation over `sized`:
+    # aggregating `sized` directly builds a second physical subtree
+    # whose scan + tokenization re-executes, while both consumers of
+    # `local` share one exchange (ReusedExchange) — the tokenize map
+    # pass runs once
     offsets = (
-        sized.groupBy("_bucket")
-        .agg(F.sum("n_tokens").alias("_btot"))
+        local.groupBy("_bucket")
+        .agg(
+            F.max(F.col("_local_cum") + F.col("n_tokens")).alias("_btot")
+        )
         .withColumn(
             "_offset", F.coalesce(F.sum("_btot").over(w_off), F.lit(0))
         )
         .select("_bucket", "_offset")
     )
-    packed = local.join(F.broadcast(offsets), "_bucket").select(
+    # LEFT join, not inner: an inner join infers isnotnull(_bucket)
+    # and pushes it into the window branch's scan but leaves it above
+    # the offsets branch's aggregate — the asymmetry makes the two
+    # otherwise-identical bucket exchanges non-canonical-equal and
+    # defeats ReusedExchange.  _bucket (an md5 substring) is never
+    # null, so left == inner here, and with the left join both
+    # branches share one exchange: the tokenize pass runs ONCE.
+    packed = local.join(F.broadcast(offsets), "_bucket", "left").select(
         F.col(id_col),
         "n_tokens",
         ((F.col("_offset") + F.col("_local_cum")) / budget)
@@ -168,9 +183,11 @@ def mixture_rebalance(
     Returns per-source accounting:
     ``(source, total_tokens, kept_docs, kept_tokens, keep_fraction)``.
 
-    Shape: one map pass for token counts, one per-source aggregation
-    (broadcast back — #sources rows), one filtered aggregation.  No
-    large shuffle: the only exchanges carry #sources rows.
+    Shape: two token-counting map passes (one feeding the per-source
+    totals, one feeding the filtered aggregation — separate lazy
+    consumers with no shared exchange to reuse), plus the #sources-row
+    aggregations broadcast back.  No large shuffle: the only exchanges
+    carry #sources rows.
     """
     total = sum(weights.values())
     shares = {s: v / total for s, v in weights.items()}

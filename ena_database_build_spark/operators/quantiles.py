@@ -89,6 +89,9 @@ def exact_quantiles(
     ``value_col`` per group, for each q in ``qs``.  Pass
     ``bucket_width`` (in value units) to parallelize the per-group
     cumulative sort across range buckets."""
+    # percentile_cont semantics ignore NULLs; counting them would both
+    # inflate _n and shift every rank (nulls sort first in the window)
+    df = df.where(F.col(value_col).isNotNull())
     counts = df.groupBy(*by, value_col).agg(F.count("*").alias("_c"))
     cum = _cumulative_counts(counts, value_col, by, bucket_width)
     quants = df.sparkSession.createDataFrame(

@@ -51,7 +51,18 @@ def range_join(
 
     ``point_col``/``start_col``/``end_col`` must be castable to long
     (epoch days/seconds, ints); ``bucket_width`` is in those units.
+
+    Only ``how='inner'`` is sound: the containment predicate runs as a
+    post-join filter, which would silently drop the null-extended rows
+    an outer join produces (turning 'left' back into 'inner') and
+    cannot reference interval columns after a semi/anti join.
     """
+    if how != "inner":
+        raise ValueError(
+            f"range_join supports only how='inner', not {how!r}: the "
+            "containment filter runs after the bucket join and would "
+            "drop outer-join null rows / fail on semi-anti output"
+        )
     iv = intervals.withColumn(
         "_b",
         F.explode(

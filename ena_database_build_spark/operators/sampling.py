@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 
 def _hex_threshold(fraction: float) -> str:
-    return format(int(fraction * (16**8)), "08x")
+    # fraction >= 1 would format to 9 hex digits ('100000000'), which
+    # BREAKS the fixed-width lexicographic compare (most hashes sort
+    # above '1...' and get dropped).  'g' sorts after every hex digit,
+    # so this threshold keeps all rows.
+    if fraction >= 1.0:
+        return "gggggggg"
+    return format(max(int(fraction * (16**8)), 0), "08x")
 
 
 def sample_hash(id_col: Column, seed: str = "") -> Column:

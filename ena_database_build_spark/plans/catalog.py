@@ -2777,7 +2777,8 @@ SELECT b.doc_id,
        b.n_tokens,
        round(1.0 - CAST(b.n_distinct AS DOUBLE) / greatest(b.n_tokens, 1), 6)
          AS dup_token_frac,
-       round(coalesce(c.max_bigram, 0) * 2.0 / greatest(b.n_tokens, 1), 6)
+       round(least(1.0,
+             coalesce(c.max_bigram, 0) * 2.0 / greatest(b.n_tokens, 1)), 6)
          AS top_bigram_frac
 FROM base b LEFT JOIN bgc c USING (doc_id)
 """

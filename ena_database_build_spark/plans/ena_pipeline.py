@@ -103,7 +103,7 @@ def parse_loci(
     )
 
     # Record join is 1:N on (file, record_idx).  Default
-    # broadcast_records=None: NO hint — a hint is always honored, and at
+    # broadcast_records=False: NO hint — a hint is always honored, and at
     # corpus scale the record-header relation (one row per chromosome)
     # can reach GBs; AQE decides from runtime sizes (broadcast when
     # small, shuffle join on the existing file-prefixed partitioning

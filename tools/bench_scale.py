@@ -120,7 +120,10 @@ def time_best2(fn) -> float:
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf1"
-    marker = Path(out_dir) / ".complete"
+    # replica-count-specific marker: a stale corpus from a different
+    # replicas argument must be regenerated, not silently reused with
+    # the new count stamped into the output JSON
+    marker = Path(out_dir) / f".complete_{replicas}"
     if not marker.exists():
         generate(out_dir, replicas)
         marker.touch()
