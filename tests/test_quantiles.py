@@ -36,3 +36,16 @@ def test_single_row_group(spark):
     df = spark.createDataFrame([("a", 42.0)], "g string, v double")
     got = QNT.exact_quantiles(df, "v", ["g"], [0.25, 0.75]).collect()
     assert all(r["value"] == 42.0 for r in got)
+
+
+def test_exact_quantiles_ignores_nulls(spark):
+    from ena_database_build_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", None)],
+        "grp string, v double",
+    )
+    out = exact_quantiles(df, "v", by=["grp"], qs=[0.5]).collect()
+    # percentile_cont ignores NULLs: median of {1,2,3} is 2.0, not the
+    # null-shifted 1.5
+    assert len(out) == 1 and out[0]["value"] == 2.0

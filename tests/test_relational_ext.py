@@ -74,3 +74,28 @@ def test_sweepline_matches_bruteforce(spark):
     }
     # boundaries: 0(+1) 5(+2) 11(-1) 16(-2) 20(+1) 21(-1)
     assert out == {0: 1, 5: 3, 11: 2, 16: 0, 20: 1, 21: 0}
+
+
+def test_range_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from ena_database_build_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame([(5,)], "p long")
+    ivs = spark.createDataFrame([(1, 10)], "s long, e long")
+    with _pytest.raises(ValueError, match="inner"):
+        range_join(pts, ivs, "p", "s", "e", bucket_width=8, how="left")
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest as _pytest
+
+    from ena_database_build_spark.operators.cc import connected_components
+
+    # a 8-node path has diameter 7 > max_iter=2: must raise, not
+    # silently return split components
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "left_id long, right_id long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)

@@ -100,3 +100,17 @@ def test_global_shuffle_partition_independent(spark):
     a = sorted(map(tuple, global_shuffle(df, 4).collect()))
     b = sorted(map(tuple, global_shuffle(df.repartition(11), 4).collect()))
     assert a == b
+
+
+def test_hash_sample_full_fraction_keeps_everything(spark):
+    from ena_database_build_spark.operators.sampling import (
+        hash_sample,
+        train_test_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # fraction >= 1 must keep all rows (a 9-hex-digit threshold used to
+    # break the fixed-width compare and keep only hashes under '1')
+    assert hash_sample(df, 1.0).count() == 200
+    splits = train_test_split(df, test_fraction=1.0).groupBy("split").count()
+    assert {r["split"]: r["count"] for r in splits.collect()} == {"test": 200}
