@@ -173,10 +173,8 @@ RH_K = 8
 RH_POWERS = [pow(RH_BASE, j, RH_MOD) for j in range(RH_K)]
 
 
-def rolling_fingerprints(df, text_col: str = "text", id_col: str = "doc_id"):
-    """Winnowing-style document fingerprint from polynomial rolling
-    hashes of character k-grams: per doc, the minimum k-gram hash and
-    the distinct k-gram count.
+def kgram_hashes(df, text_col: str = "text", id_col: str = "doc_id"):
+    """One row per (doc, character-k-gram polynomial hash).
 
     Computed relationally — explode characters once, compose each
     k-gram hash from window ``lead`` chars — so tokenization never
@@ -199,11 +197,38 @@ def rolling_fingerprints(df, text_col: str = "text", id_col: str = "doc_id"):
             F.ascii(ch_j).cast("long") * F.lit(RH_POWERS[RH_K - 1 - j])
         )
     complete = F.lead("ch", RH_K - 1).over(w).isNotNull()
-    hashed = chars.select(
+    return chars.select(
         F.col(id_col),
         F.when(complete, sum(terms) % F.lit(RH_MOD)).alias("kgram_hash"),
     ).where(F.col("kgram_hash").isNotNull())
-    return hashed.groupBy(id_col).agg(
+
+
+def rolling_fingerprints(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Winnowing-style document fingerprint from polynomial rolling
+    hashes of character k-grams: per doc, the minimum k-gram hash and
+    the distinct k-gram count (see :func:`kgram_hashes` for the
+    streaming relational hash construction)."""
+    return kgram_hashes(df, text_col, id_col).groupBy(id_col).agg(
         F.min("kgram_hash").alias("min_kgram_hash"),
         F.countDistinct("kgram_hash").alias("n_kgrams"),
+    )
+
+
+def boilerplate_kgrams(
+    df, min_docs: int = 5, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Character-k-gram hashes shared by at least ``min_docs`` distinct
+    documents — the shared-boilerplate index a C4/CCNet-style template
+    stripper subtracts from every document.
+
+    Shape: the k-gram hash stream grouped by hash with a distinct-doc
+    count — one shuffle keyed on the hash, map-side partial
+    aggregation, no joins; the output is only the shared tail of the
+    hash distribution, tiny next to the corpus.
+    """
+    return (
+        kgram_hashes(df, text_col, id_col)
+        .groupBy("kgram_hash")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
     )

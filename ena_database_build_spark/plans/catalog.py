@@ -2586,6 +2586,36 @@ FROM hashes GROUP BY doc_id
 SQL_ROLLING = _rolling_sql()
 
 
+def q_boilerplate_kgrams(spark, sf_dir):
+    """Shared-boilerplate index: character-8-gram hashes appearing in
+    >= 5 distinct documents (the set a template stripper subtracts)."""
+    return T.boilerplate_kgrams(
+        t(spark, sf_dir, "documents"), min_docs=5
+    )
+
+
+def _boilerplate_sql() -> str:
+    k, mod = T.RH_K, T.RH_MOD
+    terms = " + ".join(
+        f"CAST(ascii(substr(nt, i + {j}, 1)) AS BIGINT) * {T.RH_POWERS[k - 1 - j]}"
+        for j in range(k)
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+hashes AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(nt) - {k - 1}, 0) + 1),
+                               i -> ({terms}) % {mod})) AS kgram_hash
+  FROM base
+)
+SELECT kgram_hash, count(DISTINCT doc_id) AS n_docs
+FROM hashes GROUP BY kgram_hash HAVING count(DISTINCT doc_id) >= 5
+"""
+
+
+SQL_BOILERPLATE = _boilerplate_sql()
+
+
 def q_events_tumbling(spark, sf_dir):
     """Tumbling 5-min windows (batch run of the streaming operator —
     same code path as readStream)."""
@@ -3564,6 +3594,7 @@ CATALOG: dict[str, QueryDef] = {
     "token_counts": QueryDef(q_token_counts, SQL_TOKEN_COUNTS),
     "doc_fingerprints": QueryDef(q_doc_fingerprints, SQL_FINGERPRINTS),
     "rolling_fingerprints": QueryDef(q_rolling_fingerprints, SQL_ROLLING),
+    "boilerplate_kgrams": QueryDef(q_boilerplate_kgrams, SQL_BOILERPLATE),
     "top_ngrams": QueryDef(q_top_ngrams, SQL_TOP_NGRAMS),
     "events_tumbling": QueryDef(q_events_tumbling, SQL_TUMBLING),
     "events_sliding": QueryDef(q_events_sliding, SQL_SLIDING),
