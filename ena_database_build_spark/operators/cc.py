@@ -50,6 +50,8 @@ def connected_components(
     least one edge.  Deterministic: component ids are min ids, not
     partition-dependent.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -33,8 +33,14 @@ def normalized_text(text: Column) -> Column:
 
 def fingerprint(text: Column) -> Column:
     """Deterministic 128-bit content fingerprint (hex md5 of the
-    normalized text)."""
-    return F.md5(normalized_text(text))
+    normalized text).
+
+    NULL text fingerprints as the empty string, i.e. "no content" is
+    ONE identity whether it arrives as NULL or as whitespace — a NULL
+    md5 would fall out of every equi-join/group consistently only by
+    accident, and incremental vs batch dedup would disagree on which
+    no-content row survives."""
+    return F.md5(F.coalesce(normalized_text(text), F.lit("")))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -70,12 +76,12 @@ def dedup_incremental(
     ``(fp, id)`` shuffle of the batch.  Re-running with the same
     batch is a no-op (idempotent ingestion).
 
-    NULL text fingerprints as the empty string: a NULL md5 would
-    never satisfy the anti-join's equi-condition, so NULL-text rows
-    would be re-admitted on every re-ingestion — silently breaking
-    idempotence.
+    :func:`fingerprint` maps NULL text to the empty-string identity,
+    so no-content rows dedup here exactly like everywhere else (a
+    NULL md5 would never satisfy the anti-join's equi-condition and
+    NULL-text rows would be re-admitted on every re-ingestion).
     """
-    fp_expr = F.md5(F.coalesce(normalized_text(F.col(text_col)), F.lit("")))
+    fp_expr = fingerprint(F.col(text_col))
     inc = incoming.withColumn("_fp", fp_expr)
     seen = existing.select(fp_expr.alias("_fp")).distinct()
     fresh = inc.join(seen, "_fp", "left_anti")

@@ -20,8 +20,14 @@ def with_token_counts(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Adds ``n_tokens`` (whitespace tokens of the normalized text) —
-    one map pass, no shuffle."""
-    return df.withColumn("n_tokens", F.size(tokens(F.col(text_col))))
+    one map pass, no shuffle.  NULL text counts 0 tokens explicitly:
+    ``size(NULL)`` is -1 on pre-ANSI Spark (3.5) and NULL on 4.x, and
+    either value corrupts downstream cumulative sums."""
+    text = F.col(text_col)
+    return df.withColumn(
+        "n_tokens",
+        F.when(text.isNull(), F.lit(0)).otherwise(F.size(tokens(text))),
+    )
 
 
 def pack_sequences(
@@ -54,9 +60,20 @@ def pack_sequences(
 
     Returns one row per pack: ``(pack_id, n_docs, n_tokens)``.
     """
-    sized = with_token_counts(df, text_col, id_col).select(
-        F.col(id_col), "n_tokens", sample_hash(F.col(id_col), seed).alias("_h")
-    ).withColumn("_bucket", F.substring("_h", 1, 2))
+    sized = (
+        with_token_counts(df, text_col, id_col)
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            sample_hash(F.col(id_col), seed).alias("_h"),
+        )
+        # a NULL id hashes to NULL -> NULL bucket, which would miss
+        # the offsets join and surface as a phantom NULL pack; exclude
+        # explicitly (ids are the packing identity — a NULL id has no
+        # deterministic place in the order)
+        .where(F.col("_h").isNotNull())
+        .withColumn("_bucket", F.substring("_h", 1, 2))
+    )
     w_local = (
         Window.partitionBy("_bucket")
         .orderBy("_h", id_col)

@@ -88,7 +88,12 @@ def exact_quantiles(
     """``by... , q, value`` — the exact interpolated ``q``-quantile of
     ``value_col`` per group, for each q in ``qs``.  Pass
     ``bucket_width`` (in value units) to parallelize the per-group
-    cumulative sort across range buckets."""
+    cumulative sort across range buckets.
+
+    NULL values are ignored (percentile_cont semantics).  A group
+    whose values are ALL NULL is absent from the output (SQL would
+    return a NULL-valued row for it); left-join the result if callers
+    must see every group."""
     # percentile_cont semantics ignore NULLs; counting them would both
     # inflate _n and shift every rank (nulls sort first in the window)
     df = df.where(F.col(value_col).isNotNull())

@@ -1689,7 +1689,7 @@ def q_dedup_exact(spark, sf_dir):
 
 SQL_DEDUP_EXACT = f"""
 SELECT source, count(*) AS n_docs,
-       count(DISTINCT md5({_NORM_SQL})) AS n_unique
+       count(DISTINCT md5(coalesce({_NORM_SQL}, ''))) AS n_unique
 FROM documents GROUP BY source
 """
 
@@ -2224,7 +2224,7 @@ WITH base AS (
   SELECT * FROM scored WHERE lang IN ('en', 'de') AND quality >= 0.55
 ), winners AS (
   SELECT min(doc_id) AS doc_id
-  FROM kept GROUP BY md5({_NORM_SQL})
+  FROM kept GROUP BY md5(coalesce({_NORM_SQL}, ''))
 ), sp AS (
   SELECT k.*,
          CASE WHEN substr(md5('cur|' || CAST(k.doc_id AS VARCHAR)), 1, 8)
@@ -2530,7 +2530,7 @@ def q_doc_fingerprints(spark, sf_dir):
 
 
 SQL_FINGERPRINTS = f"""
-SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+SELECT doc_id, md5(coalesce({_NORM_SQL}, '')) AS fp FROM documents
 """
 
 

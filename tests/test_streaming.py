@@ -132,6 +132,8 @@ def test_purchase_attribution_stream_matches_batch(spark, event_dir):
     batch = _rows(
         STR.purchase_attribution(_batch_events(spark, event_dir)), cols
     )
+    # guard against vacuous parity: [] == [] proves nothing
+    assert len(batch) > 0
     unbounded = _run_stream(
         spark,
         STR.purchase_attribution(
