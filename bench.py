@@ -72,19 +72,24 @@ def main() -> None:
 
     # steady-state timing: one warm-up run (pays one-time codegen/JIT
     # compilation — amortized to nothing on real corpus sizes), then the
-    # best of two timed runs.  The DataFrame is built ONCE per query:
-    # driver-side plan construction (py4j expression building) is not
-    # execution and a real workload declares its plan once too.
+    # MEDIAN of three timed runs — robust to a loaded shared host, where
+    # best-of-N understates and mean-of-N overstates.  The DataFrame is
+    # built ONCE per query: driver-side plan construction (py4j
+    # expression building) is not execution and a real workload declares
+    # its plan once too.
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         df = CATALOG[name].spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             st = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - st)
-        timings[name] = round(min(runs), 3)
+        runs.sort()
+        timings[name] = round(runs[1], 3)
+        spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
 
     total = round(sum(timings.values()), 3)
     sf = float(Path(sf_dir).name.replace("sf", "") or 0)
@@ -95,6 +100,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
                 "loadavg_1m": round(os.getloadavg()[0], 1),
             }

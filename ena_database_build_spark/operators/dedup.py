@@ -85,7 +85,10 @@ def dedup_incremental(
     inc = incoming.withColumn("_fp", fp_expr)
     seen = existing.select(fp_expr.alias("_fp")).distinct()
     fresh = inc.join(seen, "_fp", "left_anti")
-    w = Window.partitionBy("_fp").orderBy(id_col)
+    # NULLS LAST: ids are the dedup identity, and the documented
+    # contract is "min id wins" — default NULLS FIRST would let a
+    # NULL-id row beat every real id for its fingerprint.
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc_nulls_last())
     return (
         fresh.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

@@ -20,13 +20,20 @@ def with_token_counts(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Adds ``n_tokens`` (whitespace tokens of the normalized text) —
-    one map pass, no shuffle.  NULL text counts 0 tokens explicitly:
-    ``size(NULL)`` is -1 on pre-ANSI Spark (3.5) and NULL on 4.x, and
-    either value corrupts downstream cumulative sums."""
+    one map pass, no shuffle.  No-content text (NULL, empty, or
+    whitespace-only) counts 0 tokens: ``size(NULL)`` is -1 on pre-ANSI
+    Spark (3.5) and NULL on 4.x, and ``split('')`` yields ``['']`` (a
+    phantom token) — either corrupts downstream cumulative sums, and
+    chunk_documents/dedup.fingerprint already treat such docs as
+    empty."""
     text = F.col(text_col)
+    toks = tokens(text)
+    has_tokens = (F.size(toks) > 1) | (F.element_at(toks, 1) != F.lit(""))
     return df.withColumn(
         "n_tokens",
-        F.when(text.isNull(), F.lit(0)).otherwise(F.size(tokens(text))),
+        F.when(text.isNull() | ~has_tokens, F.lit(0)).otherwise(
+            F.size(toks)
+        ),
     )
 
 

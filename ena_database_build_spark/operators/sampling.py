@@ -33,7 +33,10 @@ def _hex_threshold(fraction: float) -> str:
     # so this threshold keeps all rows.
     if fraction >= 1.0:
         return "gggggggg"
-    return format(max(int(fraction * (16**8)), 0), "08x")
+    # Clamp to 16^8 - 1: fractions just below 1.0 (e.g. 1 - 2**-53)
+    # would otherwise round up to 16^8 and format as 9 hex digits,
+    # breaking the fixed-width compare the 'g' branch exists to avoid.
+    return format(min(max(int(fraction * (16**8)), 0), 16**8 - 1), "08x")
 
 
 def sample_hash(id_col: Column, seed: str = "") -> Column:
@@ -101,9 +104,15 @@ def global_shuffle(
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
-    base = df.select(
-        F.col(id_col), sample_hash(F.col(id_col), seed).alias("_h")
-    ).withColumn("_bucket", F.substring("_h", 1, 2))
+    # NULL ids are excluded: a NULL hash would sort into a NULL bucket
+    # ahead of every real bucket in the offsets prefix sum (shifting
+    # every rank up) while its own rows fell out of the inner join.
+    # Ids are the shuffle identity; rows without one have no position.
+    base = (
+        df.select(F.col(id_col), sample_hash(F.col(id_col), seed).alias("_h"))
+        .where(F.col("_h").isNotNull())
+        .withColumn("_bucket", F.substring("_h", 1, 2))
+    )
     w_local = Window.partitionBy("_bucket").orderBy("_h", id_col)
     local = base.withColumn("_rn", F.row_number().over(w_local))
     w_off = Window.orderBy("_bucket").rowsBetween(

@@ -170,6 +170,19 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def user_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch anchor of :func:`running_user_totals`: the final state the
+    stateful streaming operator converges to after the last micro-batch
+    is exactly this per-user aggregation (asserted by the stream-vs-
+    batch parity test in tests/test_streaming.py).  Exposed as its own
+    function so the correctness catalog can pin the semantics with a
+    SQL oracle while the streaming form stays covered by parity."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running totals (count + value sum) updated each

@@ -63,3 +63,15 @@ def test_jdbc_normalize_dedups(spark, jdbc_url):
     raw = read_idmapping_jdbc(spark, jdbc_url, "idmapping", driver=DERBY_DRIVER)
     doubled = raw.unionAll(raw)
     assert normalize_idmapping(doubled).count() == len(ROWS)
+
+
+@pytest.mark.skip(
+    reason="known gap: no MySQL-wire server in this environment — the "
+    "reference's mysql.connector semantics (reference "
+    "ena_build/mysql_database.py:50-134) are covered only by the Derby "
+    "embedded JDBC contract tests above; a MySQL URL swap is exercised "
+    "nowhere and stays untested until an integration environment exists"
+)
+def test_jdbc_against_real_mysql(spark):
+    """Placeholder making the environment gap visible in pytest output
+    (-rs), per round-2 verdict item #8."""

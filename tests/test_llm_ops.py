@@ -313,3 +313,30 @@ def test_dedup_incremental_semantics(spark):
     kept_df = dedup_incremental(incoming, existing)
     rerun = dedup_incremental(kept_df, existing.unionByName(kept_df))
     assert rerun.count() == 0
+
+
+def test_dedup_incremental_null_id_never_beats_real_id(spark):
+    """Ids are the dedup identity and the contract is min-id-wins:
+    NULLS FIRST ordering would let a NULL-id row win its fingerprint."""
+    from ena_database_build_spark.operators.dedup import dedup_incremental
+
+    existing = spark.createDataFrame([], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(None, "alpha"), (5, "alpha"), (7, "beta")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_incremental(incoming, existing).collect()
+    )
+    assert kept == [5, 7]
+
+
+def test_hash_sample_fraction_just_below_one_keeps_width(spark):
+    """fraction = 1 - 2^-53 must not overflow the 8-hex-digit threshold
+    (a 9-digit '100000000' breaks the fixed-width compare and drops
+    most rows)."""
+    thr = SMP._hex_threshold(1 - 2**-53)
+    assert len(thr) == 8 and thr == "ffffffff"
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    n = SMP.hash_sample(docs, 1 - 2**-53, id_col="doc_id").count()
+    assert n >= 199  # keeps (essentially) everything; never collapses

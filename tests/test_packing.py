@@ -32,6 +32,21 @@ def test_pack_sequences_matches_serial_cumsum(spark):
     assert sorted(out) == list(range(len(out)))
 
 
+def test_with_token_counts_no_content_is_zero(spark):
+    """NULL, empty, and whitespace-only text all count 0 tokens —
+    consistent with chunk_documents and the unified no-content
+    fingerprint identity (split('') yields [''], a phantom token)."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "one two")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in PK.with_token_counts(docs).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0, 4: 2}
+
+
 def test_pack_sequences_partition_independent(spark):
     rows = [(i, " ".join(["tok"] * 5)) for i in range(30)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")

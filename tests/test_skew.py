@@ -102,6 +102,23 @@ def test_global_shuffle_partition_independent(spark):
     assert a == b
 
 
+def test_global_shuffle_excludes_null_ids_without_rank_shift(spark):
+    """A NULL id must neither appear in the output nor shift real
+    rows' ranks (a NULL bucket would sort first in the offsets prefix
+    sum and offset every rank by the NULL count)."""
+    from ena_database_build_spark.operators.sampling import global_shuffle
+
+    clean = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    dirty = clean.unionByName(
+        spark.createDataFrame([(None,), (None,)], "doc_id long")
+    )
+    a = sorted(map(tuple, global_shuffle(clean, 4).collect()))
+    b = sorted(map(tuple, global_shuffle(dirty, 4).collect()))
+    assert a == b
+    assert len(b) == 40  # ranks dense 0..39, NULL rows dropped
+    assert {r[1] for r in b} == set(range(40))
+
+
 def test_hash_sample_full_fraction_keeps_everything(spark):
     from ena_database_build_spark.operators.sampling import (
         hash_sample,
