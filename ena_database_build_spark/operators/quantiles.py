@@ -78,6 +78,86 @@ def _cumulative_counts(
     )
 
 
+def quantile_gate(
+    df: DataFrame,
+    value_col: str,
+    q: float,
+    id_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Keep rows with ``value_col >= `` the exact interpolated
+    ``q``-quantile — evaluating ``df`` ONCE.
+
+    Filtering by a percentile threshold naively consumes the scored
+    relation twice (threshold aggregation + the filter itself), and a
+    lazy engine re-executes the expensive upstream (e.g. text feature
+    scoring) for each consumer.  Here both consumers read the SAME
+    physical exchange, so the upstream map work runs exactly once:
+
+    1. rows (already projected narrow by the caller) shuffle once by a
+       range bucket of the value — the only full-row exchange;
+    2. a per-bucket ordered window assigns local row ranks; bucket
+       sizes (tiny: one row per bucket) prefix-sum into offsets, so
+       ``offset + local rank`` is the exact global value-order rank —
+       the same two-phase distributed prefix sum as
+       ``packing.pack_sequences``, never a global-order window;
+    3. the rows serving ranks ``floor(r)``/``ceil(r)`` (``r = 1 +
+       (n-1) q``, percentile_cont semantics) interpolate into a 1-row
+       threshold, broadcast back against the SAME windowed frame.
+
+    Every consumer hangs off the one windowed relation, so Spark plans
+    a single shuffle with ReusedExchange reads (pinned by
+    tests/test_plan_shapes.py) — the scale property that lets a
+    quality gate run over 100 TB of scored text with one scoring pass.
+    NULL values are excluded from ranks and output (percentile_cont
+    ignores NULLs; a NULL score cannot pass a ``>=`` gate anyway).
+
+    Returns ``df``'s rows (original columns) that pass the gate.
+    """
+    v = F.col(value_col)
+    base = df.where(v.isNotNull()).withColumn(
+        "_bkt", F.floor(v / F.lit(float(bucket_width)))
+    )
+    part = base.repartition(F.col("_bkt"))
+    w_local = Window.partitionBy("_bkt").orderBy(value_col, id_col)
+    local = part.withColumn("_lrank", F.row_number().over(w_local))
+    # bucket sizes from the windowed frame (NOT a second aggregation
+    # over `part`: both consumers must share one subtree/exchange)
+    w_bkt = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # rows = distinct buckets — tiny by construction
+    w_all = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sizes = local.groupBy("_bkt").agg(F.max("_lrank").alias("_bsz"))
+    offsets = sizes.select(
+        "_bkt",
+        F.coalesce(F.sum("_bsz").over(w_bkt), F.lit(0)).alias("_off"),
+        F.sum("_bsz").over(w_all).alias("_n"),
+    )
+    ranked = local.join(F.broadcast(offsets), "_bkt", "left").withColumn(
+        "_rank", F.col("_off") + F.col("_lrank")
+    )
+    r = F.lit(1.0) + (F.col("_n") - 1) * F.lit(float(q))
+    bracket = ranked.where(
+        (F.col("_rank") == F.floor(r)) | (F.col("_rank") == F.ceil(r))
+    )
+    thr = bracket.groupBy().agg(
+        F.max(F.when(F.col("_rank") == F.floor(r), v)).alias("_vlo"),
+        F.max(F.when(F.col("_rank") == F.ceil(r), v)).alias("_vhi"),
+        F.max(r - F.floor(r)).alias("_frac"),
+    ).select(
+        (
+            F.col("_vlo") + F.col("_frac") * (F.col("_vhi") - F.col("_vlo"))
+        ).alias("_thr")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(thr))
+        .where(v >= F.col("_thr"))
+        .select(*df.columns)
+    )
+
+
 def exact_quantiles(
     df: DataFrame,
     value_col: str,

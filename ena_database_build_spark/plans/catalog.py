@@ -522,9 +522,17 @@ GROUP BY p_brand
 
 
 def q_j2_anti_join(spark, sf_dir):
-    """J2: no-match set via left_anti (mysql_database.py:84,129)."""
+    """J2: no-match set via left_anti (mysql_database.py:84,129).
+
+    The probe side is restricted to finished ('F') orders: the raw
+    anti-join matches ZERO customers at every test scale (all synthetic
+    customers have orders), so the unrestricted form passed vacuously —
+    a broken anti-join that always returns nothing would look green.
+    Against the 'F' subset the no-match set is non-empty at sf0.001+
+    (5 / 71 / 511 rows), so the check exercises real anti-join
+    semantics."""
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -532,7 +540,8 @@ def q_j2_anti_join(spark, sf_dir):
 
 SQL_J2 = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
 """
 
 
@@ -3483,29 +3492,18 @@ WHERE doc_id = (SELECT min(doc_id) FROM fresh w WHERE w.fp = f.fp)
 
 def q_quality_gate(spark, sf_dir):
     """Percentile-based quality filtering: drop the bottom decile by
-    the composite quality score.  The exact p10 threshold comes from
-    the bounded-state quantile operator (range-bucketed cumulative
-    counts) and broadcasts back as one row.  The scored lineage feeds
-    two consumers, so the text is scored twice (threshold pass +
-    filter pass) — the honest lazy-engine cost, same as the oracle's
-    re-evaluated CTE; only the narrow (doc_id, quality) projection
-    ever crosses a stage boundary."""
+    the composite quality score.  The exact p10 threshold and the
+    filter both read ONE physical exchange of the narrow
+    (doc_id, quality) projection (``quantile_gate``'s two-phase
+    bucketed rank, ReusedExchange-pinned), so the text-scoring map
+    pass runs exactly once — previously the lazy lineage scored every
+    document twice (threshold pass + filter pass)."""
     docs = t(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", F.round(T.quality_score(F.col("text")), 6).alias("quality")
     )
-    thr = QNT.exact_quantiles(
-        scored.withColumn("_g", F.lit(1)),
-        "quality",
-        by=["_g"],  # single global group (empty `by` trips Spark's
-        # empty-join-key path); the range buckets still parallelize
-        qs=[0.1],
-        bucket_width=0.05,
-    ).select(F.col("value").alias("_thr"))
-    return (
-        scored.join(F.broadcast(thr))
-        .where(F.col("quality") >= F.col("_thr"))
-        .select("doc_id", "quality")
+    return QNT.quantile_gate(
+        scored, "quality", q=0.1, id_col="doc_id", bucket_width=0.05
     )
 
 

@@ -107,6 +107,62 @@ def test_dedup_incremental_no_nested_loop(spark):
     assert len(_exchanges(plan)) <= 4, plan
 
 
+def test_quantile_gate_single_upstream_evaluation(spark):
+    """The threshold branch and the filter branch must read the SAME
+    exchange of the scored relation (ReusedExchange) — a second scan
+    would re-execute the expensive upstream scoring at every scale."""
+    from ena_database_build_spark.operators.quantiles import quantile_gate
+
+    scored = _docs(spark, 40).select(
+        "doc_id", (F.length("text") % 13 / 13.0).alias("quality")
+    )
+    gated = quantile_gate(
+        scored, "quality", q=0.1, id_col="doc_id", bucket_width=0.1
+    )
+    # AQE performs the exchange dedup at runtime, so the reuse is only
+    # visible in the FINALIZED plan of an executed action on this df
+    # (the noop-write helper builds a separate QueryExecution)
+    gated.collect()
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    # three consumers (gate filter, rank window, bucket sizes) of the
+    # scored relation -> one materialized exchange + two reuses
+    assert plan.count("ReusedExchange") == 2, plan
+
+
+def test_quantile_gate_matches_two_pass_form(spark):
+    """Same rows as the naive two-pass threshold+filter (via the
+    exact_quantiles operator), incl. tie and interpolation cases."""
+    from ena_database_build_spark.operators.quantiles import (
+        exact_quantiles,
+        quantile_gate,
+    )
+
+    vals = [0.1, 0.1, 0.2, 0.35, 0.35, 0.35, 0.6, 0.8, 0.9, 1.0, None]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, quality double"
+    )
+    for q in (0.1, 0.25, 0.5, 0.9):
+        thr = exact_quantiles(
+            df.withColumn("_g", F.lit(1)),
+            "quality",
+            by=["_g"],
+            qs=[q],
+            bucket_width=0.05,
+        ).collect()[0]["value"]
+        naive = sorted(
+            r["doc_id"]
+            for r in df.where(F.col("quality") >= thr).collect()
+        )
+        gated = sorted(
+            r["doc_id"]
+            for r in quantile_gate(
+                df, "quality", q=q, id_col="doc_id", bucket_width=0.05
+            ).collect()
+        )
+        assert gated == naive, (q, thr, gated, naive)
+
+
 def test_frame_sample_plan_is_map_only(spark):
     from ena_database_build_spark.operators import multimodal as M
 
