@@ -129,13 +129,26 @@ def concurrent_intervals(
     start_col: str,
     end_col: str,
     by: list[str] | None = None,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Coverage count at every interval boundary: for each distinct
     position where coverage can change, the number of intervals
     containing it (end-inclusive).  Sweep line: explode each interval
     to (+1 at start, -1 at end+1), one running sum over the position
     order.  Output: ``by... , pos, n_active`` — ``n_active`` holds for
-    ``[pos, next_pos)``."""
+    ``[pos, next_pos)``.
+
+    With ``bucket_width=None`` the running sum is one ordered window
+    per ``by`` group — for an EMPTY ``by`` that is a single-partition
+    global sort, fine for small boundary sets but a scale bottleneck.
+    Pass ``bucket_width`` (position units) to switch to the two-phase
+    distributed prefix sum (same shape as ``packing.pack_sequences``):
+    positions range-bucket by ``pos div width``, each bucket runs its
+    local cumulative sum in parallel, and the per-bucket delta totals
+    (one row per bucket) prefix-sum on the tiny side and broadcast
+    back as offsets — bucket-concatenation order IS position order, so
+    ``offset + local cumsum`` is the exact sweep value and no task
+    ever sorts the whole axis."""
     by = by or []
     deltas = intervals.select(
         *by,
@@ -153,7 +166,31 @@ def concurrent_intervals(
         ).alias("e"),
     ).select(*by, "e.pos", "e.d")
     per_pos = deltas.groupBy(*by, "pos").agg(F.sum("d").alias("delta"))
-    w = Window.partitionBy(*by).orderBy("pos")
-    return per_pos.select(
-        *by, "pos", F.sum("delta").over(w).alias("n_active")
+    if bucket_width is None:
+        w = Window.partitionBy(*by).orderBy("pos")
+        return per_pos.select(
+            *by, "pos", F.sum("delta").over(w).alias("n_active")
+        )
+    # `div` truncation is monotone, so bucket order == position order
+    local = per_pos.withColumn("_bkt", F.expr(f"pos div {int(bucket_width)}"))
+    w_local = Window.partitionBy(*by, "_bkt").orderBy("pos")
+    cum_local = local.withColumn("_lcum", F.sum("delta").over(w_local))
+    # bucket totals from the SAME windowed frame (ReusedExchange — a
+    # second aggregation over per_pos would re-execute the upstream):
+    # the running sum at each bucket's max pos IS the bucket total
+    # (max(_lcum) would be wrong: deltas go negative)
+    w_bkt = Window.partitionBy(*by).orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        cum_local.groupBy(*by, "_bkt")
+        .agg(F.max_by("_lcum", "pos").alias("_btot"))
+        .select(
+            *by,
+            "_bkt",
+            F.coalesce(F.sum("_btot").over(w_bkt), F.lit(0)).alias("_off"),
+        )
+    )
+    return cum_local.join(F.broadcast(offsets), [*by, "_bkt"], "left").select(
+        *by, "pos", (F.col("_off") + F.col("_lcum")).alias("n_active")
     )

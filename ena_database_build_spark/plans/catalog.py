@@ -1905,14 +1905,16 @@ def q_transit_sweepline(spark, sf_dir):
     (operators/rangejoin.py:concurrent_intervals): 2 boundary rows per
     interval, one running sum — the shape that wins when the range
     join's only purpose is counting.  n_active at pos holds for
-    [pos, next_pos)."""
+    [pos, next_pos).  Runs the bucketed two-phase form (~90-day
+    position buckets): the keyless sweep would otherwise be a
+    single-partition global-order window."""
     li = t(spark, sf_dir, "lineitem")
     sd = F.unix_date(F.col("l_shipdate").cast("date"))
     intervals = li.select(
         sd.alias("sd"),
         (sd + (F.col("l_quantity").cast("int") % 30) + 1).alias("ed"),
     )
-    out = RJ.concurrent_intervals(intervals, "sd", "ed")
+    out = RJ.concurrent_intervals(intervals, "sd", "ed", bucket_width=90)
     return out.select(
         F.date_from_unix_date(F.col("pos").cast("int"))
         .cast("string")

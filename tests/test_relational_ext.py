@@ -76,6 +76,36 @@ def test_sweepline_matches_bruteforce(spark):
     assert out == {0: 1, 5: 3, 11: 2, 16: 0, 20: 1, 21: 0}
 
 
+def test_sweepline_bucketed_matches_windowed(spark):
+    """The two-phase bucketed prefix sum must agree with the global
+    ordered window exactly — including buckets whose running sum dips
+    negative relative to their own start, empty buckets, and negative
+    positions (div truncates toward zero there)."""
+    rows = [
+        (-25, -10),
+        (-12, 3),
+        (0, 10),
+        (5, 15),
+        (5, 15),
+        (20, 20),
+        (95, 140),
+        (100, 101),
+    ]
+    intervals = spark.createDataFrame(rows, "sd long, ed long")
+    base = {
+        (r["pos"],): r["n_active"]
+        for r in RJ.concurrent_intervals(intervals, "sd", "ed").collect()
+    }
+    for width in (3, 7, 100):
+        got = {
+            (r["pos"],): r["n_active"]
+            for r in RJ.concurrent_intervals(
+                intervals, "sd", "ed", bucket_width=width
+            ).collect()
+        }
+        assert got == base, (width, got, base)
+
+
 def test_range_join_rejects_outer(spark):
     import pytest as _pytest
 
