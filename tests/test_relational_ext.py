@@ -36,6 +36,76 @@ def test_asof_tie_break_deterministic(spark):
     assert out[0]["px_right"] == 6.0  # max-struct winner, not partition order
 
 
+def test_asof_bucketed_matches_unbucketed(spark):
+    """asof_join_bucketed must agree with asof_join exactly across
+    bucket widths — matches landing in the same bucket, earlier
+    buckets, far-earlier buckets (empty buckets between), bucket-
+    boundary timestamps, ties, keys with no right rows, and NULL
+    timestamps on both sides."""
+    import random
+
+    rng = random.Random(7)
+    left_rows = [
+        (i, rng.choice([1, 2, 3, 9]), rng.choice([rng.randrange(0, 500), None]))
+        for i in range(120)
+    ]
+    right_rows = [
+        (rng.choice([1, 2, 3]), rng.choice([rng.randrange(0, 500), None]),
+         float(i))
+        for i in range(80)
+    ]
+    # boundary-exact events plus a duplicate-(key, ts) tie
+    right_rows += [(1, 100, 999.0), (1, 100, 998.0), (2, 0, 1.0)]
+    left_rows += [(900, 1, 100), (901, 2, 0), (902, 1, 99)]
+    left = spark.createDataFrame(left_rows, "id long, user_id long, ts long")
+    right = spark.createDataFrame(
+        right_rows, "user_id long, ts long, px double"
+    )
+    base = sorted(
+        (r["id"], r["px_right"])
+        for r in A.asof_join(left, right, on="ts", by="user_id").collect()
+    )
+    for width in (7, 100, 1000):
+        got = sorted(
+            (r["id"], r["px_right"])
+            for r in A.asof_join_bucketed(
+                left, right, on="ts", by="user_id", bucket_width=width
+            ).collect()
+        )
+        assert got == base, (width, got[:10], base[:10])
+
+
+def test_asof_bucketed_spreads_hot_key(spark):
+    """The point of the bucketed form: window partitions are
+    (key, bucket), so one hot key's rows hash across partitions
+    instead of serializing onto one task."""
+    left = spark.createDataFrame(
+        [(i, 1, i) for i in range(0, 1000, 3)], "id long, user_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(0, 1000, 10)],
+        "user_id long, ts long, px double",
+    )
+    out = A.asof_join_bucketed(
+        left, right, on="ts", by="user_id", bucket_width=50
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the event-level window must partition by (user_id, _b), never by
+    # the key alone
+    import re
+
+    event_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(user_id" in ln and "_m" in ln
+    ]
+    assert event_windows, plan
+    assert all("_b" in ln for ln in event_windows), plan
+    # and the answer is still right (spot check)
+    got = {r["id"]: r["px_right"] for r in out.collect()}
+    assert got[999] == 990.0 and got[3] == 0.0 and got[9] == 0.0
+
+
 def test_range_join_boundaries(spark):
     points = spark.createDataFrame(
         [(1, 5), (2, 10), (3, 11), (4, 64)], "pid long, day long"
