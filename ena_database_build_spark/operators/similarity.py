@@ -87,6 +87,43 @@ def srp_buckets(
     return df.select(F.col(id_col), F.col(vec_col), F.concat(*bit_cols).alias("bucket"))
 
 
+def probe_buckets(bucket: str, probe_bits: int = 1) -> list[str]:
+    """The multiprobe set of an SRP bucket: the bucket itself plus all
+    buckets within Hamming distance ``probe_bits`` (driver-side — the
+    bucket strings are tiny).  1-bit probes recover the near-misses a
+    vector close to one hyperplane causes, the standard recall fix for
+    sign-LSH without widening every bucket."""
+    probes = {bucket}
+    frontier = {bucket}
+    for _ in range(probe_bits):
+        frontier = {
+            b[:i] + ("0" if b[i] == "1" else "1") + b[i + 1 :]
+            for b in frontier
+            for i in range(len(b))
+        } - probes
+        probes |= frontier
+    return sorted(probes)
+
+
+def probe_buckets_col(bucket_col: Column, bits: int) -> Column:
+    """Column form of 1-bit multiprobe: ARRAY of the bucket and its
+    ``bits`` single-bit flips — for expanding a corpus-side bucket
+    column (e.g. the near-dup candidate join) where the bucket value is
+    per-row, not a driver constant."""
+    probes = [bucket_col]
+    for i in range(bits):
+        probes.append(
+            F.concat(
+                F.substring(bucket_col, 1, i),
+                F.when(
+                    F.substring(bucket_col, i + 1, 1) == "1", "0"
+                ).otherwise("1"),
+                F.substring(bucket_col, i + 2, bits - i - 1),
+            )
+        )
+    return F.array(*probes)
+
+
 def srp_bucket_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -95,16 +132,21 @@ def srp_bucket_topk(
     bits: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_bits: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's SRP bucket."""
+    """Approximate top-k: score only vectors in the query's SRP bucket
+    — plus, with ``probe_bits`` > 0, every bucket within that Hamming
+    distance (multiprobe: scan cost grows by the probe count, recall
+    recovers vectors that fell across one near-zero hyperplane)."""
     q_bucket = "".join(
         "1" if sum(q * c for q, c in zip(query_vec, _srp_plane(p, dim))) >= 0 else "0"
         for p in range(bits)
     )
     bucketed = srp_buckets(df, dim, bits, vec_col, id_col)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
+    targets = probe_buckets(q_bucket, probe_bits)
     return (
-        bucketed.where(F.col("bucket") == q_bucket)
+        bucketed.where(F.col("bucket").isin(targets))
         .select(
             F.col(id_col),
             cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),

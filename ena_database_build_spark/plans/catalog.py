@@ -2092,18 +2092,11 @@ def q_dedup_embedding(spark, sf_dir):
     )
     # join on bucket OR hamming<=1 buckets: expand each left bucket to
     # its 5 probes (itself + 4 single-bit flips) and equi-join
-    def flips(bucket_col):
-        probes = [bucket_col]
-        for i in range(4):
-            flipped = F.concat(
-                F.substring(bucket_col, 1, i),
-                F.when(F.substring(bucket_col, i + 1, 1) == "1", "0").otherwise("1"),
-                F.substring(bucket_col, i + 2, 4 - i - 1),
-            )
-            probes.append(flipped)
-        return F.array(*probes)
-
-    lx = l.select("left_id", "lv", F.explode(flips(F.col("lb"))).alias("probe"))
+    lx = l.select(
+        "left_id",
+        "lv",
+        F.explode(SIM.probe_buckets_col(F.col("lb"), 4)).alias("probe"),
+    )
     cand = lx.join(r, lx.probe == r.rb).where(F.col("left_id") < F.col("right_id"))
     scored = cand.select(
         "left_id",

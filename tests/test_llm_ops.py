@@ -199,6 +199,64 @@ def test_embedding_near_dup_via_srp_buckets(spark):
     assert got == [(0, 1)]
 
 
+def test_srp_multiprobe_recovers_boundary_neighbor(spark):
+    """A vector close to one hyperplane lands one bucket-bit away from
+    its near neighbor; probe_bits=1 must recover it while probe_bits=0
+    documents the miss."""
+    planes = [SIM._srp_plane(p, 4) for p in range(3)]
+
+    def bucket_of(v):
+        return "".join(
+            "1" if sum(a * b for a, b in zip(v, pl)) >= 0 else "0"
+            for pl in planes
+        )
+
+    q = [1.0, 0.2, -0.3, 0.8]
+    qb = bucket_of(q)
+    # flip the query's smallest-margin plane: nudge along that plane's
+    # normal until exactly one bucket bit differs
+    import itertools
+
+    neighbor = None
+    for eps in (x / 50.0 for x in range(1, 200)):
+        for signs in itertools.product((1, -1), repeat=3):
+            cand = [
+                vi + eps * sum(s * pl[i] for s, pl in zip(signs, planes))
+                for i, vi in enumerate(q)
+            ]
+            hd = sum(a != b for a, b in zip(bucket_of(cand), qb))
+            if hd == 1:
+                neighbor = cand
+                break
+        if neighbor:
+            break
+    assert neighbor is not None
+    vecs = spark.createDataFrame(
+        [(0, [float(x) for x in neighbor]), (1, [-0.5, 0.9, 0.4, -0.7])],
+        "vec_id long, embedding array<float>",
+    )
+    miss = SIM.srp_bucket_topk(vecs, q, dim=4, k=5, bits=3, probe_bits=0)
+    hit = SIM.srp_bucket_topk(vecs, q, dim=4, k=5, bits=3, probe_bits=1)
+    assert 0 not in [r["vec_id"] for r in miss.collect()]
+    assert 0 in [r["vec_id"] for r in hit.collect()]
+
+
+def test_probe_buckets_enumeration(spark):
+    assert SIM.probe_buckets("1010", 0) == ["1010"]
+    one = SIM.probe_buckets("1010", 1)
+    assert len(one) == 5 and "1010" in one and "0010" in one
+    two = SIM.probe_buckets("1010", 2)
+    assert len(two) == 1 + 4 + 6  # C(4,0) + C(4,1) + C(4,2)
+    # the column form must enumerate exactly the Hamming<=1 set
+    df = spark.createDataFrame([("1010",)], "b string")
+    got = sorted(
+        df.select(
+            F.explode(SIM.probe_buckets_col(F.col("b"), 4)).alias("p")
+        ).toPandas()["p"]
+    )
+    assert got == one
+
+
 def test_connected_components_chain_and_islands(spark):
     # chain 1-2-3 (transitive: 1,3 never share an edge), island 7-8,
     # 5-6 pair; labels must be the min id of each component

@@ -65,6 +65,10 @@ SCALE_EXTRAS = [
     "props_extract",
     "tpch_q4_priority",
     "tpch_q18_large_orders",
+    # round 3: streaming anchors + the bucketed sweep line
+    "stream_totals",
+    "stream_dedup",
+    "transit_sweepline",
 ]
 SCALE_QUERIES = HEADLINE + SCALE_EXTRAS
 
