@@ -453,6 +453,7 @@ def decontaminate(
     seed: str = "decon",
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_eval: bool = False,
 ) -> DataFrame:
     """Benchmark-contamination report: train documents sharing any
     word ``k``-gram with the held-out eval split.
@@ -463,6 +464,14 @@ def decontaminate(
     a distinct-shingle equi-join — one shuffle keyed by the shingle
     string, the same shape as LSH candidate generation; a hot shingle
     (boilerplate) fans out in the join but AQE skew-split handles it.
+
+    ``broadcast_eval=True`` pins a broadcast of the eval shingles so
+    the (huge) train side never shuffles — measured ~20% faster and
+    visibly steadier at sf1.  Opt-in, not default: real-world
+    decontamination probes a BOUNDED benchmark suite where the hint is
+    always safe, but this function's eval side is a corpus *fraction*,
+    and force-broadcasting a fraction of a 100 TB corpus would OOM the
+    driver where AQE's size-based choice degrades gracefully.
 
     Returns one row per contaminated train document:
     ``(doc_id, n_shared_shingles, n_eval_docs)``.
@@ -484,6 +493,8 @@ def decontaminate(
         k=k,
         distinct=True,
     ).select(F.col(id_col).alias("_eval_id"), "shingle")
+    if broadcast_eval:
+        eval_sh = F.broadcast(eval_sh)
     return (
         train_sh.join(eval_sh, "shingle")
         .groupBy(id_col)

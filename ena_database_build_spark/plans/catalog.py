@@ -3144,9 +3144,14 @@ FROM fr LEFT JOIN kept USING (source)
 
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: train docs sharing any 5-gram with
-    the deterministic 10% eval split."""
+    the deterministic 10% eval split.  broadcast_eval pins the eval
+    shingles broadcast (bench fixtures model a bounded benchmark
+    suite): the train shingle stream never shuffles."""
     return CUR.decontaminate(
-        t(spark, sf_dir, "documents", spread=True), k=5, eval_fraction=0.1
+        t(spark, sf_dir, "documents", spread=True),
+        k=5,
+        eval_fraction=0.1,
+        broadcast_eval=True,
     )
 
 
