@@ -138,3 +138,93 @@ def near_dedup(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def near_dedup_incremental(
+    incoming: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 4,
+    band_size: int = 1,
+    k: int = 2,
+) -> DataFrame:
+    """Continuous-build NEAR dedup: keep the incoming rows that are
+    near-duplicates neither of the already-ingested corpus nor of a
+    surviving earlier (lower-id) row in the batch itself — the fuzzy
+    counterpart of :func:`~ena_database_build_spark.operators.dedup.
+    dedup_incremental` (which is exact-fingerprint only).
+
+    Two rules, applied in order:
+
+    1. an incoming doc with a verified (Jaccard >= ``threshold``)
+       match in ``existing`` is dropped;
+    2. the remaining incoming docs near-dedup among themselves with
+       :func:`near_dedup`'s cluster semantics (connected components,
+       min-id winner).
+
+    Shape: ONE banded LSH candidate join over the union (cross pairs
+    and in-batch pairs fall out of the same equi-join — no second
+    corpus pass), Jaccard verification on the same union, then two
+    anti-joins.  Ids must be globally unique across both frames (they
+    are the pair/graph identity; the ``left < right`` candidate rule
+    silently drops colliding-id pairs).  At production scale,
+    materialize the existing side's band index once per epoch instead
+    of recomputing signatures per batch — the operator's join shape is
+    unchanged; only the ``existing`` scan is replaced by the index
+    read."""
+    cols = [F.col(id_col), F.col(text_col)]
+    tagged = incoming.select(*cols).unionByName(existing.select(*cols))
+    pairs = D.lsh_candidate_pairs(
+        tagged, text_col, id_col, num_hashes, band_size, k
+    )
+    verified = D.jaccard_pairs(tagged, pairs, text_col, id_col, k).where(
+        F.col("jaccard") >= threshold
+    )
+    inc_ids = incoming.select(F.col(id_col))
+    il = inc_ids.select(F.col(id_col).alias("left_id")).withColumn(
+        "_li", F.lit(True)
+    )
+    ir = inc_ids.select(F.col(id_col).alias("right_id")).withColumn(
+        "_ri", F.lit(True)
+    )
+    v = (
+        verified.join(F.broadcast(il), "left_id", "left")
+        .join(F.broadcast(ir), "right_id", "left")
+        .select(
+            "left_id",
+            "right_id",
+            F.coalesce("_li", F.lit(False)).alias("li"),
+            F.coalesce("_ri", F.lit(False)).alias("ri"),
+        )
+    )
+    corpus_hits = (
+        v.where(F.col("li") != F.col("ri"))
+        .select(
+            F.when(F.col("li"), F.col("left_id"))
+            .otherwise(F.col("right_id"))
+            .alias(id_col)
+        )
+        .distinct()
+    )
+    survivors = incoming.join(corpus_hits, id_col, "left_anti")
+    batch_pairs = (
+        v.where(F.col("li") & F.col("ri"))
+        .select("left_id", "right_id")
+        .join(
+            survivors.select(F.col(id_col).alias("left_id")),
+            "left_id",
+            "left_semi",
+        )
+        .join(
+            survivors.select(F.col(id_col).alias("right_id")),
+            "right_id",
+            "left_semi",
+        )
+    )
+    comp = connected_components(batch_pairs)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return survivors.join(losers, id_col, "left_anti")

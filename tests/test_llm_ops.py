@@ -389,6 +389,45 @@ def test_dedup_incremental_null_id_never_beats_real_id(spark):
     assert kept == [5, 7]
 
 
+def test_near_dedup_incremental(spark):
+    """Incoming docs near-matching the corpus drop; survivors
+    near-dedup among themselves with min-id cluster winners; exact
+    members of neither pass through."""
+    from ena_database_build_spark.operators.cc import near_dedup_incremental
+
+    existing = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "a b c d e f g h i k"),   # near-dup of corpus doc 1 -> drop
+            (11, "q r s t u v w x y z"),   # fresh -> keep
+            (12, "q r s t u v w x y a"),   # near-dup of 11, higher id -> drop
+            (13, "m n o p m n o p m n"),   # unique -> keep
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in near_dedup_incremental(incoming, existing).collect()
+    )
+    assert kept == [11, 13]
+    # a later batch matching an already-kept doc drops against the
+    # grown corpus
+    batch2 = spark.createDataFrame(
+        [(20, "q r s t u v w x y b"), (21, "totally new words appear here")],
+        "doc_id long, text string",
+    )
+    corpus2 = existing.unionByName(
+        incoming.where(F.col("doc_id").isin(11, 13))
+    )
+    kept2 = sorted(
+        r["doc_id"]
+        for r in near_dedup_incremental(batch2, corpus2).collect()
+    )
+    assert kept2 == [21]
+
+
 def test_hash_sample_fraction_just_below_one_keeps_width(spark):
     """fraction = 1 - 2^-53 must not overflow the 8-hex-digit threshold
     (a 9-digit '100000000' breaks the fixed-width compare and drops
