@@ -59,6 +59,51 @@ def hash_sample(
     )
 
 
+def hash_sample_weighted(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Per-row-probability Bernoulli sample: each row is kept with
+    probability ``clamp(weight, 0, 1)`` — deterministically, as a pure
+    function of ``(seed, id)``, like :func:`hash_sample`.
+
+    The curation use case: quality-weighted corpus sampling (keep
+    high-quality documents with probability ~1, dubious ones at their
+    score), reproducible across retries, re-partitioning, and
+    incremental re-runs.  One stateless map pass, no shuffle.
+
+    The fixed hex threshold of :func:`hash_sample` can't vary per row,
+    so the comparison here is numeric: the first 8 hash hex digits
+    parse to a long (uniform on [0, 16^8)) and compare against
+    ``weight * 16^8``.  Rows keep exactly when
+    ``hash_long < weight * 16^8`` — weight >= 1 keeps always,
+    weight <= 0 (or NULL) never."""
+    u = F.conv(sample_hash(F.col(id_col), seed), 16, 10).cast("long")
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0)
+    )
+    return df.where(u < w * F.lit(float(16**8)))
+
+
+def exact_n_sample(
+    df: DataFrame, n: int, id_col: str = "doc_id", seed: str = ""
+) -> DataFrame:
+    """Exactly ``min(n, |df|)`` rows, deterministically: the ``n``
+    lowest points on the hash axis.  ``orderBy(hash).limit(n)``
+    compiles to TakeOrderedAndProject — a per-partition top-n heap plus
+    a driver merge of n rows per partition, never a global sort — so
+    this is the scale-safe global counterpart of
+    :func:`stratified_sample`'s per-stratum window."""
+    return (
+        df.withColumn("_h", sample_hash(F.col(id_col), seed))
+        .orderBy("_h", id_col)
+        .limit(n)
+        .drop("_h")
+    )
+
+
 def train_test_split(
     df: DataFrame,
     test_fraction: float = 0.1,

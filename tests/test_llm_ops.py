@@ -334,6 +334,52 @@ def test_stratified_sample_exact_n(spark):
     assert counts == {"a": 5, "b": 5}
 
 
+def test_hash_sample_weighted(spark):
+    """Per-row keep probability: weight 1 always keeps, 0/NULL never,
+    fractional weights land near their expectation; decisions are a
+    pure function of (seed, id) — partition-independent."""
+    import hashlib
+
+    rows = [
+        (i, 1.0 if i < 100 else (0.0 if i < 200 else 0.5))
+        for i in range(1200)
+    ]
+    rows.append((9999, None))
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = sorted(
+        r["doc_id"] for r in SMP.hash_sample_weighted(df, "w").collect()
+    )
+    assert all(i in kept for i in range(100))          # w=1 kept
+    assert all(i not in kept for i in range(100, 200))  # w=0 dropped
+    assert 9999 not in kept                             # NULL dropped
+    half = [i for i in kept if i >= 200]
+    assert 380 < len(half) < 620                        # ~50% of 1000
+    # exact per-row model: first 8 md5 hex digits vs w * 16^8
+    for i in (200, 201, 202, 203, 204):
+        h = int(hashlib.md5(f"|{i}".encode()).hexdigest()[:8], 16)
+        assert (i in kept) == (h < 0.5 * 16**8)
+    # partition independence
+    again = sorted(
+        r["doc_id"]
+        for r in SMP.hash_sample_weighted(df.repartition(13), "w").collect()
+    )
+    assert again == kept
+
+
+def test_exact_n_sample(spark):
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    out = SMP.exact_n_sample(df, 50)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert len(ids) == 50
+    # deterministic: same 50 under any partitioning; oversized n = all
+    ids2 = sorted(
+        r["doc_id"]
+        for r in SMP.exact_n_sample(df.repartition(7), 50).collect()
+    )
+    assert ids2 == ids
+    assert SMP.exact_n_sample(df, 10_000).count() == 500
+
+
 def test_dedup_incremental_semantics(spark):
     from ena_database_build_spark.operators.dedup import dedup_incremental
 
