@@ -86,6 +86,71 @@ def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+FEATURE_DIM = 16
+FEATURE_SCHEMA = "doc_id long, feature array<float>"
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas feature extraction: BINARY payload -> fixed-dim
+    ``array<float>`` embedding column, Arrow-batched.
+
+    The embedding here is a deterministic byte-histogram projection (a
+    codec-free stand-in); a real extractor swaps the inner function for
+    a model call (ONNX/torch forward over the batch) — schema, batch
+    shape, and partitioning are identical, and the output feeds the
+    existing similarity stack (`srp_buckets`, `cosine_topk`,
+    `dedup_embedding`) unchanged.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for p in pdf["payload"]:
+                p = p if p is not None else b""
+                hist = [0.0] * FEATURE_DIM
+                for b in p:
+                    hist[b % FEATURE_DIM] += 1.0
+                n = float(len(p)) or 1.0
+                feats.append([v / n for v in hist])
+            yield pd.DataFrame({"doc_id": pdf[id_col], "feature": feats})
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def resize_media(
+    df: DataFrame, target_bytes: int = 256, id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas resize: BINARY payload -> BINARY payload of the
+    target size (truncate-or-cycle stand-in for a real thumbnailer;
+    the real version decodes, scales, and re-encodes inside the same
+    batch function).  Output schema mirrors the input so resized
+    payloads flow through the same decode/feature plumbing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p in pdf["payload"]:
+                p = p if p is not None else b""
+                if not p:
+                    out.append(b"")
+                elif len(p) >= target_bytes:
+                    out.append(p[:target_bytes])
+                else:
+                    reps = target_bytes // len(p) + 1
+                    out.append((p * reps)[:target_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                }
+            )
+
+    return df.mapInPandas(
+        batches, schema="doc_id long, media_type string, payload binary"
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video-style frame sampling skeleton: explode a (stubbed) frame
     index list and keep every ``every_n``-th.  With a real decoder the

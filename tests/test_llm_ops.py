@@ -151,6 +151,46 @@ def test_multimodal_decode_plumbing(spark):
     assert out[2]["payload_bytes"] == 0 and out[2]["width"] == 0
 
 
+def test_multimodal_feature_extract_feeds_similarity(spark):
+    """Feature extraction yields a fixed-dim float embedding that the
+    existing similarity stack consumes unchanged; no-content payloads
+    produce the zero vector."""
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "")],
+        "doc_id long, text string",
+    )
+    feats = M.extract_features(M.attach_binary_payload(docs))
+    rows = {r["doc_id"]: list(r["feature"]) for r in feats.collect()}
+    assert all(len(v) == M.FEATURE_DIM for v in rows.values())
+    assert rows[1] == rows[2] != rows[3]  # content-deterministic
+    assert rows[3] == [0.0] * M.FEATURE_DIM
+    assert abs(sum(rows[1]) - 1.0) < 1e-6  # normalized histogram
+    # identical payloads land in one SRP bucket and score cosine 1
+    b = SIM.srp_buckets(
+        feats.select("doc_id", F.col("feature").alias("embedding")),
+        dim=M.FEATURE_DIM,
+        bits=3,
+        id_col="doc_id",
+    )
+    buckets = {r["doc_id"]: r["bucket"] for r in b.collect()}
+    assert buckets[1] == buckets[2]
+
+
+def test_multimodal_resize_bounds_payloads(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 500), (2, "ab"), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in M.resize_media(
+            M.attach_binary_payload(docs), target_bytes=8
+        ).collect()
+    }
+    assert out[1] == b"x" * 8          # truncated
+    assert out[2] == b"abababab"       # cycled up to size
+    assert out[3] == b""               # empty stays empty
+
+
 def test_frame_sample_plan(spark):
     docs = spark.createDataFrame([(1, "x" * 25)], "doc_id long, text string")
     frames = M.frame_sample_plan(
