@@ -3574,6 +3574,14 @@ SELECT DISTINCT event_id, user_id, event_type, value FROM replayed
 # Keep net new queries per round <= (50 - rotated backlog) so the
 # rotation stays complete; see tools/check_catalog.py for the
 # full-catalog local check.
+#
+# Round-4 plan (apply only when window 2 rotates INTO the checked
+# window — editing a banked query's semantics while banked would
+# invalidate its prior-round green row): consolidate micro-queries
+# that pin related operator ids into multi-column queries
+# (P4+P5+P6 detectors; F6+F8 guards; S6+S7 sinks), then spend the
+# freed slots on oracle rows for near_dedup_incremental (cc.py),
+# asof_join_bucketed (asof.py), and hash_sample_weighted (sampling.py).
 CATALOG: dict[str, QueryDef] = {
     # -- window 1 (round 3): previously driver-unseen + new this round
     "rollup_revenue": QueryDef(q_rollup_revenue, SQL_ROLLUP),
