@@ -149,3 +149,62 @@ def test_purchase_attribution_stream_matches_batch(spark, event_dir):
         "attrib_bounded",
     )
     assert set(_rows(bounded, cols)) <= set(batch)
+
+
+def test_dedup_ingest_stream_builds_unique_corpus(spark, tmp_path):
+    """Continuous deduplicating ingestion: streaming doc batches land
+    in a parquet corpus with content-unique rows, min-id winners, and
+    replay-idempotence (a re-ingested batch appends nothing)."""
+    from ena_database_build_spark.streaming.ingest import (
+        dedup_append_batch,
+        dedup_ingest_stream,
+    )
+
+    import glob
+    import shutil
+
+    src = tmp_path / "incoming"
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def stage(df, name):
+        # the file source lists plain files, not nested dirs: extract
+        # the part file from a scratch write
+        scratch = tmp_path / f"_stage_{name}"
+        df.coalesce(1).write.parquet(str(scratch))
+        shutil.copy(glob.glob(str(scratch / "part-*.parquet"))[0], src / name)
+
+    # batch 2 repeats batch-1 content under new ids and dups inside
+    # itself; staged between processAllAvailable calls so micro-batch
+    # order is deterministic
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "ALPHA  beta")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, "gamma delta"), (11, "epsilon"), (12, "epsilon")],
+        "doc_id long, text string",
+    )
+    stage(b1, "f1.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = dedup_ingest_stream(stream, corpus, ckpt)
+    try:
+        q.processAllAvailable()
+        stage(b2, "f2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(corpus).collect()
+    }
+    # batch1: 3 normalizes to batch-mate 1's fingerprint -> min-id 1
+    # batch2: 10 matches corpus doc 2; 12 dups batch-mate 11
+    assert set(got) == {1, 2, 11}
+    # replaying an already-ingested batch appends nothing
+    assert dedup_append_batch(b2, corpus) == 0
+    assert spark.read.parquet(corpus).count() == 3
