@@ -32,6 +32,7 @@ from ena_database_build_spark.operators import dedup as D
 from ena_database_build_spark.operators import kmeans as KM
 from ena_database_build_spark.operators import quantiles as QNT
 from ena_database_build_spark.operators import rangejoin as RJ
+from ena_database_build_spark.operators import heavyhitters as HH
 from ena_database_build_spark.operators import sampling as SMP
 from ena_database_build_spark.operators import multimodal as M
 from ena_database_build_spark.operators import packing as PK
@@ -2558,6 +2559,33 @@ SELECT doc_id, md5(coalesce({_NORM_SQL}, '')) AS fp FROM documents
 """
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters (tokens with frequency > n/31) via
+    the two-pass Misra-Gries plan: per-partition mergeable sketches
+    certify a candidate superset, a broadcast semi-join + hash agg
+    counts only the candidates — shuffle volume bounded by
+    partitions x k, independent of vocabulary size.  The oracle is the
+    naive global HAVING form the two-pass plan is exactly equivalent
+    to."""
+    docs = t(spark, sf_dir, "documents", spread=True)
+    terms = docs.select(
+        F.explode(D.tokens(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    return HH.heavy_hitters(terms, "term", k=30).select(
+        F.col("item").alias("term"), F.col("freq")
+    )
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS_SQL}) AS term FROM documents
+),
+f AS (SELECT term, count(*) AS freq FROM toks WHERE term <> '' GROUP BY term),
+tot AS (SELECT count(*) AS n FROM toks WHERE term <> '')
+SELECT term, freq FROM f, tot WHERE freq * 31 > n
+"""
+
+
 def q_top_ngrams(spark, sf_dir):
     """Corpus-level n-gram frequency (CountVectorizer-style): top-50
     word bigrams by document frequency, deterministic tie-break."""
@@ -3687,4 +3715,7 @@ CATALOG: dict[str, QueryDef] = {
     "asof_join": QueryDef(q_asof_join, SQL_ASOF),
     "range_join_transit": QueryDef(q_range_join_transit, SQL_RANGE_JOIN),
     "transit_sweepline": QueryDef(q_transit_sweepline, SQL_SWEEPLINE),
+    # -- appended mid-round-3 (after the window-1 snapshot): enters the
+    # checked window with the round-4 rotation
+    "heavy_hitters": QueryDef(q_heavy_hitters, SQL_HEAVY_HITTERS),
 }
