@@ -33,6 +33,7 @@ from ena_database_build_spark.operators import kmeans as KM
 from ena_database_build_spark.operators import quantiles as QNT
 from ena_database_build_spark.operators import rangejoin as RJ
 from ena_database_build_spark.operators import heavyhitters as HH
+from ena_database_build_spark.operators import semdedup as SD
 from ena_database_build_spark.operators import sampling as SMP
 from ena_database_build_spark.operators import multimodal as M
 from ena_database_build_spark.operators import packing as PK
@@ -2394,7 +2395,12 @@ def q_kmeans_clusters(spark, sf_dir):
     return assigned.select("vec_id", "cluster")
 
 
-def _kmeans_sql(k: int = 4, max_iter: int = 2) -> str:
+def _kmeans_sql(
+    k: int = 4,
+    max_iter: int = 2,
+    v_sql: str | None = None,
+    final_sql: str | None = None,
+) -> str:
     def assign(name: str, cents: str) -> str:
         return f"""{name} AS (
   SELECT vec_id, (min(struct_pack(
@@ -2405,7 +2411,8 @@ def _kmeans_sql(k: int = 4, max_iter: int = 2) -> str:
 )"""
 
     parts = [
-        f"""v AS (
+        v_sql
+        or """v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 )""",
@@ -2433,11 +2440,56 @@ def _kmeans_sql(k: int = 4, max_iter: int = 2) -> str:
     return (
         "WITH "
         + ",\n".join(parts)
-        + "\nSELECT vec_id, cluster FROM af"
+        + "\n"
+        + (final_sql or "SELECT vec_id, cluster FROM af")
     )
 
 
 SQL_KMEANS = _kmeans_sql(4, 2)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/semdedup.py): k-means
+    clusters bound the candidate set, pairwise cosine runs ONLY within
+    a cluster, lowest-id duplicate survives.  Non-vacuous by
+    construction (same device as dedup_embedding): both engines plant
+    exact copies of vec_id < 8 at vec_id + 1000000 — identical vectors
+    assign to the identical cluster and score cosine 1.0, so the
+    within-cluster join MUST drop all 8 plants.  Oracle replays the
+    identical k-means chain (unrolled CTEs) then the identical pair
+    rule."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(planted)
+    return SD.semantic_dedup(aug, k=8, max_iter=2, threshold=0.9)
+
+
+_SEMDEDUP_V = """v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+  FROM embeddings WHERE vec_id < 8
+)"""
+
+_SEMDEDUP_FINAL = """, cos AS (
+  SELECT a.vec_id AS lid, b.vec_id AS rid,
+         round(list_inner_product(va.v, vb.v) /
+               (sqrt(list_inner_product(va.v, va.v)) *
+                sqrt(list_inner_product(vb.v, vb.v))), 6) AS c
+  FROM af a
+  JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+)
+SELECT af.vec_id, af.cluster FROM af
+WHERE af.vec_id NOT IN (SELECT rid FROM cos WHERE c >= 0.9)"""
+
+SQL_SEMANTIC_DEDUP = _kmeans_sql(
+    8, 2, v_sql=_SEMDEDUP_V, final_sql=_SEMDEDUP_FINAL
+)
 
 
 def q_lang_id(spark, sf_dir):
@@ -3718,4 +3770,5 @@ CATALOG: dict[str, QueryDef] = {
     # -- appended mid-round-3 (after the window-1 snapshot): enters the
     # checked window with the round-4 rotation
     "heavy_hitters": QueryDef(q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "semantic_dedup": QueryDef(q_semantic_dedup, SQL_SEMANTIC_DEDUP),
 }

@@ -1,0 +1,80 @@
+"""SemDeDup-style semantic dedup (operators/semdedup.py)."""
+
+from pyspark.sql import functions as F
+
+from ena_database_build_spark.operators import semdedup as SD
+
+
+def make_emb(spark):
+    # two well-separated directions; ids interleaved so the winner rule
+    # (lowest id survives) is exercised across both clusters
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (3, [0.0, 0.98, 0.02, 0.0]),   # near-dup of 1
+        (4, [2.0, 0.0, 0.0, 0.0]),     # scalar multiple of 0: cos 1.0
+        (5, [0.0, 0.0, 0.0, 1.0]),     # isolated direction
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_pairs_and_winners(spark):
+    df = make_emb(spark)
+    pairs = SD.semantic_dedup_pairs(df, k=2, max_iter=2, threshold=0.95)
+    got = {(r.left_id, r.right_id) for r in pairs.collect()}
+    # 0-2 and 0-4 and 2-4 share a cluster at cos >= 0.95; 1-3 likewise
+    assert (0, 2) in got and (0, 4) in got
+    assert (1, 3) in got
+    survivors = {
+        r.vec_id
+        for r in SD.semantic_dedup(
+            df, k=2, max_iter=2, threshold=0.95
+        ).collect()
+    }
+    # lowest id of each duplicate group survives; isolated vector stays
+    assert 0 in survivors and 1 in survivors and 5 in survivors
+    assert 2 not in survivors and 4 not in survivors and 3 not in survivors
+
+
+def test_threshold_is_respected(spark):
+    df = make_emb(spark)
+    # at threshold 1.0 only the exact scalar multiple (0,4) is a dup
+    survivors = {
+        r.vec_id
+        for r in SD.semantic_dedup(
+            df, k=2, max_iter=2, threshold=1.0
+        ).collect()
+    }
+    assert survivors == {0, 1, 2, 3, 5}
+
+
+def test_cross_cluster_pairs_never_compared(spark):
+    # identical vectors in different clusters would be missed by
+    # design: verify the pair relation carries the cluster id and that
+    # every emitted pair is within one cluster
+    df = make_emb(spark)
+    pairs = SD.semantic_dedup_pairs(df, k=2, max_iter=2, threshold=0.0)
+    assigned = {
+        r.vec_id: r.cluster
+        for r in SD.semantic_dedup(
+            df, k=2, max_iter=2, threshold=2.0
+        ).collect()  # threshold > 1 drops nothing; gives assignments
+    }
+    for r in pairs.collect():
+        assert assigned[r.left_id] == assigned[r.right_id] == r.cluster
+
+
+def test_dedup_is_deterministic_across_partitioning(spark):
+    df = make_emb(spark)
+    a = sorted(
+        (r.vec_id, r.cluster)
+        for r in SD.semantic_dedup(df.repartition(1), k=2).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cluster)
+        for r in SD.semantic_dedup(df.repartition(5), k=2).collect()
+    )
+    assert a == b
