@@ -1,0 +1,65 @@
+"""Type-2 slowly-changing dimension (SCD2) build from a change-event
+stream (SURVEY.md §2.11 extension surface — the standard warehouse shape
+for "what was this entity's state at time T" over mutable metadata:
+document licensing, source quality tier, user state).
+
+Plan shape: ONE shuffle.  Both window passes (the no-op-change collapse
+via ``lag`` and the interval close via ``lead``) share the identical
+``(key)`` partitioning and ``(ts, seq)`` ordering, so Catalyst plans a
+single Exchange + Sort with the Window operators pipelined on top — at
+100 TB the operator costs exactly one shuffle of the change stream,
+and a skewed entity is still just one partition's sort (bounded by that
+entity's change count, not the corpus).
+
+Conventions (documented, both engines): rows with a NULL key, NULL
+timestamp, or NULL state are excluded up front — NULL state is not a
+trackable value, and NULL keys/timestamps have no position in the
+dimension; ties on ``ts`` break deterministically by ``seq_col``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_build(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """(key, state, eff_from, eff_to, is_current) — one row per state
+    EPISODE: consecutive events carrying the same state collapse into
+    one interval; ``eff_to`` is the next episode's start (NULL for the
+    open, current episode)."""
+    base = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(state_col).isNotNull()
+    ).select(key_col, ts_col, state_col, seq_col)
+    w = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+    changes = base.withColumn(
+        "_prev", F.lag(state_col).over(w)
+    ).where(F.col("_prev").isNull() | (F.col("_prev") != F.col(state_col)))
+    scd = changes.select(
+        F.col(key_col),
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("eff_from"),
+        F.lead(ts_col).over(w).alias("eff_to"),
+    )
+    return scd.withColumn("is_current", F.col("eff_to").isNull())
+
+
+def scd2_snapshot(scd: DataFrame, at, ts_expr=None) -> DataFrame:
+    """Point-in-time view of an SCD2 dimension: the single state row
+    per key valid at ``at`` (``eff_from <= at < eff_to``, open episodes
+    included).  Pure filter — map-only, no shuffle; partition pruning
+    applies when the dimension is stored partitioned by eff_from
+    range."""
+    at_lit = F.lit(at) if ts_expr is None else ts_expr
+    return scd.where(
+        (F.col("eff_from") <= at_lit)
+        & (F.col("eff_to").isNull() | (F.col("eff_to") > at_lit))
+    ).drop("is_current")

@@ -33,6 +33,7 @@ from ena_database_build_spark.operators import kmeans as KM
 from ena_database_build_spark.operators import quantiles as QNT
 from ena_database_build_spark.operators import rangejoin as RJ
 from ena_database_build_spark.operators import heavyhitters as HH
+from ena_database_build_spark.operators import scd as SCD
 from ena_database_build_spark.operators import semdedup as SD
 from ena_database_build_spark.operators import sampling as SMP
 from ena_database_build_spark.operators import multimodal as M
@@ -2611,6 +2612,56 @@ SELECT doc_id, md5(coalesce({_NORM_SQL}, '')) AS fp FROM documents
 """
 
 
+def q_scd2_user_state(spark, sf_dir):
+    """Type-2 SCD build over the events change stream
+    (operators/scd.py): per-user event_type episodes with
+    effective_from/effective_to (microsecond epoch) and a current
+    flag.  One shuffle: both window passes share the (user_id)
+    partitioning and (ts, event_id) ordering."""
+    ev = t(spark, sf_dir, "events", spread=True).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    scd = SCD.scd2_build(
+        ev, key_col="user_id", ts_col="ts_us",
+        state_col="event_type", seq_col="event_id",
+    )
+    return scd.select(
+        "user_id",
+        "state",
+        F.col("eff_from").alias("eff_from_us"),
+        F.col("eff_to").alias("eff_to_us"),
+        "is_current",
+    )
+
+
+SQL_SCD2 = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+o AS (
+  SELECT *, lag(event_type) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+  FROM e
+),
+ch AS (
+  SELECT user_id, ts_us, event_id, event_type FROM o
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type AS state, ts_us AS eff_from_us,
+       lead(ts_us) OVER (
+         PARTITION BY user_id ORDER BY ts_us, event_id) AS eff_to_us,
+       (lead(ts_us) OVER (
+         PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL)
+         AS is_current
+FROM ch
+"""
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Exact corpus heavy hitters (tokens with frequency > n/31) via
     the two-pass Misra-Gries plan: per-partition mergeable sketches
@@ -3771,4 +3822,5 @@ CATALOG: dict[str, QueryDef] = {
     # checked window with the round-4 rotation
     "heavy_hitters": QueryDef(q_heavy_hitters, SQL_HEAVY_HITTERS),
     "semantic_dedup": QueryDef(q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "scd2_user_state": QueryDef(q_scd2_user_state, SQL_SCD2),
 }

@@ -1,0 +1,76 @@
+"""SCD2 dimension build (operators/scd.py)."""
+
+from pyspark.sql import functions as F
+
+from ena_database_build_spark.operators import scd as SCD
+
+
+def changes_df(spark):
+    rows = [
+        # key, ts, state, seq
+        (1, 10, "free", 1),
+        (1, 20, "free", 2),     # no-op change: collapses into episode 1
+        (1, 30, "paid", 3),
+        (1, 40, "free", 4),     # back to a previous state: NEW episode
+        (2, 15, "paid", 5),
+        (3, 5, None, 6),        # NULL state: excluded
+        (None, 7, "free", 7),   # NULL key: excluded
+        (4, None, "free", 8),   # NULL ts: excluded
+    ]
+    return spark.createDataFrame(
+        rows, "k long, ts long, state string, seq long"
+    )
+
+
+def build(spark):
+    return SCD.scd2_build(
+        changes_df(spark), key_col="k", ts_col="ts",
+        state_col="state", seq_col="seq",
+    )
+
+
+def test_episodes_and_current_flag(spark):
+    got = sorted(
+        (r.k, r.state, r.eff_from, r.eff_to, r.is_current)
+        for r in build(spark).collect()
+    )
+    assert got == [
+        (1, "free", 10, 30, False),
+        (1, "free", 40, None, True),
+        (1, "paid", 30, 40, False),
+        (2, "paid", 15, None, True),
+    ]
+
+
+def test_same_ts_ties_break_by_seq(spark):
+    rows = [(1, 10, "a", 2), (1, 10, "b", 1)]
+    df = spark.createDataFrame(rows, "k long, ts long, state string, seq long")
+    got = sorted(
+        (r.state, r.eff_from, r.eff_to)
+        for r in SCD.scd2_build(df, "k", "ts", "state", "seq").collect()
+    )
+    # seq 1 ("b") comes first, closed by seq 2 ("a") at the same ts
+    assert got == [("a", 10, None), ("b", 10, 10)]
+
+
+def test_snapshot(spark):
+    scd = build(spark)
+    at25 = {(r.k, r.state) for r in SCD.scd2_snapshot(scd, 25).collect()}
+    assert at25 == {(1, "free"), (2, "paid")}
+    at35 = {(r.k, r.state) for r in SCD.scd2_snapshot(scd, 35).collect()}
+    assert at35 == {(1, "paid"), (2, "paid")}
+    # snapshot yields at most one row per key at any instant
+    assert SCD.scd2_snapshot(scd, 40).groupBy("k").count().where(
+        F.col("count") > 1
+    ).count() == 0
+
+
+def test_single_shuffle_plan(spark):
+    df = changes_df(spark)
+    plan = (
+        SCD.scd2_build(df, "k", "ts", "state", "seq")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # both window passes must share ONE exchange (plus whatever the
+    # local-relation scan needs): no second shuffle between lag and lead
+    assert plan.count("Exchange hashpartitioning") == 1
