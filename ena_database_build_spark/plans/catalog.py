@@ -37,6 +37,7 @@ from ena_database_build_spark.operators import scd as SCD
 from ena_database_build_spark.operators import semdedup as SD
 from ena_database_build_spark.operators import sampling as SMP
 from ena_database_build_spark.operators import multimodal as M
+from ena_database_build_spark.operators import pagerank as PR
 from ena_database_build_spark.operators import packing as PK
 from ena_database_build_spark.operators import similarity as SIM
 from ena_database_build_spark.operators import textstats as T
@@ -2612,6 +2613,65 @@ SELECT doc_id, md5(coalesce({_NORM_SQL}, '')) AS fp FROM documents
 """
 
 
+def q_pagerank_suppliers(spark, sf_dir):
+    """Fixed-iteration PageRank (operators/pagerank.py) over the
+    customer -> supplier purchase graph (distinct pairs from
+    orders |x| lineitem; supplier node ids offset by 1e6).  3
+    iterations, damping 0.85, GraphX-staticPageRank semantics; the
+    oracle unrolls the identical iterations as CTEs.  Final ranks
+    rounded to 6 dp on both sides."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+    )
+    pr = PR.pagerank(edges, iters=3, damping=0.85)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    parts = [
+        """edges AS (
+  SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)""",
+        """nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+)""",
+        "od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, 1.0 AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst AS id, sum(r.rank / od.outdeg) AS s
+  FROM edges e JOIN od USING (src) JOIN r{i - 1} r ON r.id = e.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""r{i} AS (
+  SELECT n.id, {1.0 - damping} + {damping} * coalesce(c.s, 0) AS rank
+  FROM nodes n LEFT JOIN c{i} c USING (id)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+SQL_PAGERANK = _pagerank_sql(3, 0.85)
+
+
 def q_scd2_user_state(spark, sf_dir):
     """Type-2 SCD build over the events change stream
     (operators/scd.py): per-user event_type episodes with
@@ -3823,4 +3883,5 @@ CATALOG: dict[str, QueryDef] = {
     "heavy_hitters": QueryDef(q_heavy_hitters, SQL_HEAVY_HITTERS),
     "semantic_dedup": QueryDef(q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "scd2_user_state": QueryDef(q_scd2_user_state, SQL_SCD2),
+    "pagerank_suppliers": QueryDef(q_pagerank_suppliers, SQL_PAGERANK),
 }
