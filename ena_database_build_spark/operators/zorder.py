@@ -1,0 +1,85 @@
+"""Z-order (Morton-curve) data layout (SURVEY.md §2.11 extension
+surface — multi-dimensional data-skipping for 100 TB parquet lakes).
+
+A table range-partitioned and sorted by ONE column skips files only for
+predicates on that column.  Interleaving the bits of several columns
+into one Morton key and laying files out along that key gives every
+interleaved dimension tight per-file min/max ranges, so parquet
+footer/row-group statistics prune files for predicates on ANY of the
+dimensions — the same layout trick Delta Lake's OPTIMIZE ZORDER BY and
+Hudi clustering use.
+
+Everything here is a pure column expression (shift/mask/or — inside
+whole-stage codegen, no UDF) plus one ``repartitionByRange`` whose
+range boundaries come from Spark's reservoir sampling of the z-key —
+the write itself is a single shuffle at ``target_files`` granularity.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def z_value(cols: list[Column], bits: int = 16) -> Column:
+    """Morton key: interleave the low ``bits`` bits of each column
+    (column j contributes bit i to output bit ``i * len(cols) + j``).
+    Inputs must be non-negative integers already scaled to the
+    ``bits``-bit domain (callers bucketize or mod first); higher bits
+    are masked off.  len(cols) * bits must fit in a signed 64-bit
+    long."""
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError("interleaved width exceeds a signed 64-bit long")
+    terms = []
+    for j, c in enumerate(cols):
+        c = c.cast("long")
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def zorder_sql(exprs: list[str], bits: int = 16) -> str:
+    """The identical Morton key as ANSI SQL (for oracles and for
+    engines without the DataFrame API)."""
+    n = len(exprs)
+    terms = []
+    for j, e in enumerate(exprs):
+        for i in range(bits):
+            # every term fully parenthesized: Postgres-family parsers
+            # (DuckDB included) give '|', '&', '<<' EQUAL precedence,
+            # left-associative, so an unparenthesized 'a << 1 | b << 3'
+            # parses as '((a << 1) | b) << 3'
+            terms.append(f"(((({e}) >> {i}) & 1) << {i * n + j})")
+    return " | ".join(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: list[str],
+    bits: int = 16,
+    target_files: int = 16,
+) -> None:
+    """Write ``df`` as parquet laid out along the Morton curve of
+    ``zcols``: range-partition into ``target_files`` splits of the
+    z-key (reservoir-sampled boundaries — balanced files even on
+    skewed data), sort within each split, drop the helper column.
+    Readers filtering on any z-dimension skip non-overlapping files
+    via footer min/max stats."""
+    keyed = df.withColumn(
+        "_z", z_value([F.col(c) for c in zcols], bits=bits)
+    )
+    (
+        keyed.repartitionByRange(target_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

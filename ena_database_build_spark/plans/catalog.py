@@ -41,6 +41,7 @@ from ena_database_build_spark.operators import pagerank as PR
 from ena_database_build_spark.operators import packing as PK
 from ena_database_build_spark.operators import similarity as SIM
 from ena_database_build_spark.operators import textstats as T
+from ena_database_build_spark.operators import zorder as Z
 from ena_database_build_spark.streaming import events as STR
 
 TABLES = [
@@ -2613,6 +2614,30 @@ SELECT doc_id, md5(coalesce({_NORM_SQL}, '')) AS fp FROM documents
 """
 
 
+def q_zorder_values(spark, sf_dir):
+    """Morton (z-order) key computation (operators/zorder.py): the
+    bit-interleave of (l_partkey % 1024, l_suppkey % 1024) that
+    write_zordered lays files out by, as a pure codegen column
+    expression.  The oracle runs the identical shift/mask/or chain
+    (zorder_sql emits it), pinning cross-engine bit-exactness of the
+    layout key."""
+    li = t(spark, sf_dir, "lineitem", spread=True)
+    z = Z.z_value(
+        [F.col("l_partkey") % 1024, F.col("l_suppkey") % 1024], bits=10
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        z.alias("zval"),
+    )
+
+
+SQL_ZORDER = f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       {Z.zorder_sql(['l_partkey % 1024', 'l_suppkey % 1024'], 10)} AS zval
+FROM lineitem
+"""
+
+
 def q_pagerank_suppliers(spark, sf_dir):
     """Fixed-iteration PageRank (operators/pagerank.py) over the
     customer -> supplier purchase graph (distinct pairs from
@@ -3884,4 +3909,5 @@ CATALOG: dict[str, QueryDef] = {
     "semantic_dedup": QueryDef(q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "scd2_user_state": QueryDef(q_scd2_user_state, SQL_SCD2),
     "pagerank_suppliers": QueryDef(q_pagerank_suppliers, SQL_PAGERANK),
+    "zorder_values": QueryDef(q_zorder_values, SQL_ZORDER),
 }
