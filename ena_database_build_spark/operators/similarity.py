@@ -181,3 +181,55 @@ def knn_join_bruteforce(
         .where(F.col("rank") <= k)
         .select("left_id", "right_id", "cos_sim", "rank")
     )
+
+
+def jl_project(
+    df: DataFrame,
+    out_dim: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim``
+    dimensions using the same deterministic +/-1 hyperplanes as
+    ``srp_buckets`` (Achlioptas-style sign projections, reproducible
+    across engines and runs).  Pure ``aggregate``/``zip_with`` column
+    math — one map pass, no shuffle, no UDF.  Components are UNSCALED
+    dot products; distance-preserving scaling is 1/sqrt(out_dim),
+    a constant factor downstream cosine ignores entirely."""
+    v = F.col(vec_col).cast("array<double>")
+    comps = [
+        dot(
+            v,
+            F.array(*[F.lit(float(c)) for c in _srp_plane(p, dim)]),
+        ).alias(f"proj_{p}")
+        for p in range(out_dim)
+    ]
+    return df.select(F.col(id_col), *comps)
+
+
+def mean_pool(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean of vectors per group (chunk-embedding ->
+    document-embedding rollup), in LONG form ``(grp, dim, mean_val)``
+    with 1-based dims.
+
+    Relational on purpose: posexplode + partial-aggregated avg keyed by
+    ``(grp, dim)`` — the shuffle carries per-dimension partial sums, so
+    a document with millions of chunks is many small rows, never one
+    giant buffered array (same discipline as kmeans' _mean_centroids).
+    Reassemble to an array column only when the consumer needs it:
+    ``sort_array(collect_list(struct(dim, mean_val)))``."""
+    e = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "dim0", "val"
+        ),
+    )
+    return (
+        e.groupBy("grp", (F.col("dim0") + 1).alias("dim"))
+        .agg(F.avg("val").alias("mean_val"))
+    )

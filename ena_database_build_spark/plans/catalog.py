@@ -2614,6 +2614,65 @@ SELECT doc_id, md5(coalesce({_NORM_SQL}, '')) AS fp FROM documents
 """
 
 
+def q_embedding_project(spark, sf_dir):
+    """Johnson-Lindenstrauss sign projection (similarity.jl_project):
+    64-dim embeddings down to 8 deterministic +/-1-plane components —
+    one map pass, no shuffle.  The oracle computes the identical inner
+    products from the identical derived planes."""
+    emb = t(spark, sf_dir, "embeddings")
+    proj = SIM.jl_project(emb, out_dim=8, dim=64)
+    return proj.select(
+        "vec_id",
+        *[F.round(F.col(f"proj_{p}"), 6).alias(f"proj_{p}") for p in range(8)],
+    )
+
+
+def _jl_sql(out_dim: int = 8, dim: int = 64) -> str:
+    cols = []
+    for p in range(out_dim):
+        plane = "[" + ", ".join(str(c) for c in SIM._srp_plane(p, dim)) + "]"
+        cols.append(
+            "round(list_inner_product("
+            f"list_transform(embedding, x -> CAST(x AS DOUBLE)), {plane}"
+            f"), 6) AS proj_{p}"
+        )
+    return (
+        "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+    )
+
+
+SQL_JL_PROJECT = _jl_sql(8, 64)
+
+
+def q_embedding_meanpool(spark, sf_dir):
+    """Chunk-embedding -> document-embedding mean-pool rollup
+    (similarity.mean_pool, long form): synthetic chunk->doc mapping
+    vec_id div 4; relational posexplode + partial-agg avg keyed by
+    (doc, dim) — never a giant per-doc array buffer."""
+    emb = t(spark, sf_dir, "embeddings", spread=True).select(
+        F.expr("vec_id div 4").alias("doc"), "embedding"
+    )
+    pooled = SIM.mean_pool(emb, "doc")
+    return pooled.select(
+        F.col("grp").alias("doc"),
+        F.col("dim").cast("long").alias("dim"),
+        F.round("mean_val", 6).alias("mean_val"),
+    )
+
+
+SQL_MEANPOOL = """
+WITH e AS (
+  SELECT vec_id // 4 AS doc,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+x AS (
+  SELECT doc, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS val FROM e
+)
+SELECT doc, dim, round(avg(val), 6) AS mean_val FROM x GROUP BY doc, dim
+"""
+
+
 def q_zorder_values(spark, sf_dir):
     """Morton (z-order) key computation (operators/zorder.py): the
     bit-interleave of (l_partkey % 1024, l_suppkey % 1024) that
@@ -3910,4 +3969,6 @@ CATALOG: dict[str, QueryDef] = {
     "scd2_user_state": QueryDef(q_scd2_user_state, SQL_SCD2),
     "pagerank_suppliers": QueryDef(q_pagerank_suppliers, SQL_PAGERANK),
     "zorder_values": QueryDef(q_zorder_values, SQL_ZORDER),
+    "embedding_project": QueryDef(q_embedding_project, SQL_JL_PROJECT),
+    "embedding_meanpool": QueryDef(q_embedding_meanpool, SQL_MEANPOOL),
 }
