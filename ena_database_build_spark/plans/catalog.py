@@ -38,6 +38,7 @@ from ena_database_build_spark.operators import semdedup as SD
 from ena_database_build_spark.operators import sampling as SMP
 from ena_database_build_spark.operators import multimodal as M
 from ena_database_build_spark.operators import pagerank as PR
+from ena_database_build_spark.operators import profile as PRF
 from ena_database_build_spark.operators import packing as PK
 from ena_database_build_spark.operators import similarity as SIM
 from ena_database_build_spark.operators import textstats as T
@@ -2614,6 +2615,39 @@ SELECT doc_id, md5(coalesce({_NORM_SQL}, '')) AS fp FROM documents
 """
 
 
+def q_table_profile(spark, sf_dir):
+    """One-pass snapshot profile (operators/profile.py) of the orders
+    table's stable-typed columns: nulls, exact cardinality, min/max —
+    a single wide aggregation, long-form output.  Exact distincts so
+    the DuckDB oracle matches value-for-value (the approx variant's
+    HLL estimates are engine-specific by construction)."""
+    orders = t(spark, sf_dir, "orders", spread=True)
+    return PRF.profile(
+        orders,
+        cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        distinct="exact",
+    )
+
+
+def _profile_sql(table: str, cols: list[str]) -> str:
+    rows = []
+    for c in cols:
+        rows.append(
+            f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM {table}"""
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
+SQL_TABLE_PROFILE = _profile_sql(
+    "orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+)
+
+
 def q_embedding_project(spark, sf_dir):
     """Johnson-Lindenstrauss sign projection (similarity.jl_project):
     64-dim embeddings down to 8 deterministic +/-1-plane components —
@@ -3971,4 +4005,5 @@ CATALOG: dict[str, QueryDef] = {
     "zorder_values": QueryDef(q_zorder_values, SQL_ZORDER),
     "embedding_project": QueryDef(q_embedding_project, SQL_JL_PROJECT),
     "embedding_meanpool": QueryDef(q_embedding_meanpool, SQL_MEANPOOL),
+    "table_profile": QueryDef(q_table_profile, SQL_TABLE_PROFILE),
 }

@@ -1,0 +1,59 @@
+"""One-pass table profiling (operators/profile.py)."""
+
+import pytest
+
+from ena_database_build_spark.operators import profile as PRF
+
+
+def sample_df(spark):
+    rows = [
+        (1, "a", 1.5),
+        (2, "b", None),
+        (2, None, 2.5),
+        (None, "a", 2.5),
+    ]
+    return spark.createDataFrame(rows, "k long, s string, v double")
+
+
+def test_exact_profile(spark):
+    got = {
+        r.col_name: (r.n_rows, r.n_nulls, r.n_distinct, r.min_val, r.max_val)
+        for r in PRF.profile(sample_df(spark), distinct="exact").collect()
+    }
+    assert got["k"] == (4, 1, 2, "1", "2")
+    assert got["s"] == (4, 1, 2, "a", "b")
+    assert got["v"] == (4, 1, 2, "1.5", "2.5")
+
+
+def test_approx_profile_counts_and_bounds(spark):
+    got = {
+        r.col_name: r
+        for r in PRF.profile(sample_df(spark), distinct="approx").collect()
+    }
+    # HLL on tiny inputs is exact; null/row counts identical to exact
+    assert got["k"].n_distinct == 2
+    assert got["k"].n_nulls == 1
+    assert got["s"].min_val == "a"
+
+
+def test_column_subset_and_all_null(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x string")
+    got = PRF.profile(df, cols=["x"], distinct="exact").collect()[0]
+    assert (got.n_rows, got.n_nulls, got.n_distinct) == (2, 2, 0)
+    assert got.min_val is None and got.max_val is None
+
+
+def test_single_aggregation_plan(spark):
+    df = sample_df(spark)
+    plan = (
+        PRF.profile(df, distinct="approx")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # approx profile must stay one aggregation: no Expand, one exchange
+    assert "Expand" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_bad_mode_rejected(spark):
+    with pytest.raises(ValueError):
+        PRF.profile(sample_df(spark), distinct="nope")
