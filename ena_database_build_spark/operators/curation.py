@@ -503,3 +503,36 @@ def decontaminate(
             F.countDistinct("_eval_id").alias("n_eval_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus capping
+# ---------------------------------------------------------------------------
+
+
+def source_cap(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``n`` rows per group by score (ties broken by id
+    ascending) — the "cap every domain/source at N best documents"
+    curation step that stops one crawl domain from dominating the
+    mixture.
+
+    One shuffle keyed on the group; ``row_number`` needs only the
+    group's own rows in one sorted partition, and Spark 3.5+ inserts a
+    WindowGroupLimit partial below the exchange (rank-limit pushdown),
+    so each map task pre-trims to its local top-n before shuffling —
+    the exchange carries at most ``n * tasks`` rows per group, not the
+    whole corpus."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n)
+        .drop("_rk")
+    )

@@ -29,6 +29,7 @@ from ena_database_build_spark.operators import asof as ASOF
 from ena_database_build_spark.operators import cc as CC
 from ena_database_build_spark.operators import curation as CUR
 from ena_database_build_spark.operators import dedup as D
+from ena_database_build_spark.operators import diff as DIFF
 from ena_database_build_spark.operators import kmeans as KM
 from ena_database_build_spark.operators import quantiles as QNT
 from ena_database_build_spark.operators import rangejoin as RJ
@@ -2615,6 +2616,94 @@ SELECT doc_id, md5(coalesce({_NORM_SQL}, '')) AS fp FROM documents
 """
 
 
+def q_source_cap(spark, sf_dir):
+    """Per-source corpus cap (curation.source_cap): keep each source's
+    top-10 documents by (rounded) quality score, ties by doc_id — the
+    anti-domination step before mixture balancing.  Rank-limit
+    pushdown (WindowGroupLimit) pre-trims map-side."""
+    docs = t(spark, sf_dir, "documents", spread=True)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    return CUR.source_cap(
+        scored, group_col="source", score_col="quality", n=10
+    )
+
+
+SQL_SOURCE_CAP = f"""
+WITH q AS (SELECT doc_id, quality FROM ({SQL_QUALITY}) x),
+j AS (
+  SELECT d.doc_id, d.source, q.quality
+  FROM documents d JOIN q USING (doc_id)
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+  FROM j
+)
+SELECT doc_id, source, quality FROM r WHERE rk <= 10
+"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (operators/diff.py): documents vs a
+    simulated next crawl (doc_id % 97 dropped, % 101 edited, ids < 10
+    re-added under new ids) -> (doc_id, added/removed/changed) via one
+    fingerprint-narrow full-outer join."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    changed = docs.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 101 == 0,
+            F.concat(F.col("text"), F.lit(" v2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    new = changed.unionByName(added)
+    return DIFF.snapshot_diff(
+        DIFF.with_fingerprint(docs),
+        DIFF.with_fingerprint(new),
+        id_col="doc_id",
+        fp_col="_fp",
+    )
+
+
+SQL_SNAPSHOT_DIFF = f"""
+WITH olds AS (
+  SELECT doc_id, md5(coalesce({_NORM_SQL}, '')) AS fp FROM documents
+),
+news_base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 101 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10
+),
+news AS (
+  SELECT doc_id, md5(coalesce({_NORM_SQL}, '')) AS fp FROM news_base
+),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.fp AS ofp, n.fp AS nfp
+  FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN ofp IS NULL THEN 'added'
+              WHEN nfp IS NULL THEN 'removed'
+              WHEN ofp <> nfp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM j
+)
+SELECT doc_id, status FROM s WHERE status <> 'unchanged'
+"""
+
+
 def q_table_profile(spark, sf_dir):
     """One-pass snapshot profile (operators/profile.py) of the orders
     table's stable-typed columns: nulls, exact cardinality, min/max —
@@ -4006,4 +4095,6 @@ CATALOG: dict[str, QueryDef] = {
     "embedding_project": QueryDef(q_embedding_project, SQL_JL_PROJECT),
     "embedding_meanpool": QueryDef(q_embedding_meanpool, SQL_MEANPOOL),
     "table_profile": QueryDef(q_table_profile, SQL_TABLE_PROFILE),
+    "source_cap": QueryDef(q_source_cap, SQL_SOURCE_CAP),
+    "snapshot_diff": QueryDef(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
 }
