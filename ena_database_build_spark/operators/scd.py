@@ -63,3 +63,36 @@ def scd2_snapshot(scd: DataFrame, at, ts_expr=None) -> DataFrame:
         (F.col("eff_from") <= at_lit)
         & (F.col("eff_to").isNull() | (F.col("eff_to") > at_lit))
     ).drop("is_current")
+
+
+def latest_snapshot(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    op_col: str | None = None,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Latest-wins CDC compaction: collapse a change stream to the
+    current snapshot — the newest row per key (ties broken by
+    ``seq_col`` descending), with keys whose newest change is a
+    tombstone (``op_col == delete_op``) absent from the result.
+
+    One shuffle keyed on ``key_col``; the rank-limit (n=1) lets Spark
+    insert a WindowGroupLimit partial below the exchange, so map tasks
+    forward one candidate row per key each, not the full history.
+    NULL keys/timestamps are excluded (no position in the snapshot)."""
+    base = changes.where(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(seq_col).desc()
+    )
+    latest = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if op_col is not None:
+        latest = latest.where(F.col(op_col) != F.lit(delete_op))
+    return latest

@@ -2820,6 +2820,45 @@ FROM lineitem
 """
 
 
+def q_cdc_latest_state(spark, sf_dir):
+    """Latest-wins CDC compaction (scd.latest_snapshot): newest event
+    per user (ties by event_id desc) is the current state; users whose
+    newest change is the 'error' tombstone drop out.  WindowGroupLimit
+    pre-trims map-side to one candidate per key per task."""
+    ev = t(spark, sf_dir, "events", spread=True).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    latest = SCD.latest_snapshot(
+        ev, key_col="user_id", ts_col="ts_us", seq_col="event_id",
+        op_col="event_type", delete_op="error",
+    )
+    return latest.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts_us",
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_CDC_LATEST = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type, value
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, event_type AS state, ts_us, round(value, 6) AS value
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 def q_pagerank_suppliers(spark, sf_dir):
     """Fixed-iteration PageRank (operators/pagerank.py) over the
     customer -> supplier purchase graph (distinct pairs from
@@ -4097,4 +4136,5 @@ CATALOG: dict[str, QueryDef] = {
     "table_profile": QueryDef(q_table_profile, SQL_TABLE_PROFILE),
     "source_cap": QueryDef(q_source_cap, SQL_SOURCE_CAP),
     "snapshot_diff": QueryDef(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "cdc_latest_state": QueryDef(q_cdc_latest_state, SQL_CDC_LATEST),
 }

@@ -74,3 +74,39 @@ def test_single_shuffle_plan(spark):
     # both window passes must share ONE exchange (plus whatever the
     # local-relation scan needs): no second shuffle between lag and lead
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_latest_snapshot_compaction(spark):
+    rows = [
+        # key, ts, seq, op, payload
+        (1, 10, 1, "upsert", "a"),
+        (1, 20, 2, "upsert", "b"),
+        (2, 10, 3, "upsert", "c"),
+        (2, 30, 4, "delete", "c"),   # newest change is a tombstone
+        (3, 10, 6, "upsert", "x"),
+        (3, 10, 5, "upsert", "y"),   # same ts: higher seq (6) wins
+        (None, 10, 7, "upsert", "z"),
+        (4, None, 8, "upsert", "w"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts long, seq long, op string, payload string"
+    )
+    got = sorted(
+        (r.k, r.payload)
+        for r in SCD.latest_snapshot(
+            df, "k", "ts", "seq", op_col="op", delete_op="delete"
+        ).collect()
+    )
+    assert got == [(1, "b"), (3, "x")]
+
+
+def test_latest_snapshot_windowgrouplimit_plan(spark):
+    rows = [(i % 5, i, i, "upsert", "p") for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "k long, ts long, seq long, op string, payload string"
+    )
+    plan = (
+        SCD.latest_snapshot(df, "k", "ts", "seq")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan

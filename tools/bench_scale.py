@@ -69,6 +69,20 @@ SCALE_EXTRAS = [
     "stream_totals",
     "stream_dedup",
     "transit_sweepline",
+    # round 3 (mid-round additions): frequency/layout/graph/dimension
+    # operators.  semantic_dedup is deliberately absent: its catalog
+    # constant k=8 is sized for the sf0.01 correctness fixture, and
+    # SemDeDup's contract is k ~ sqrt(n) — at sf1 a fixed k would make
+    # the within-cluster pair join quadratic in cluster size.
+    "heavy_hitters",
+    "scd2_user_state",
+    "pagerank_suppliers",
+    "zorder_values",
+    "embedding_project",
+    "embedding_meanpool",
+    "table_profile",
+    "source_cap",
+    "snapshot_diff",
 ]
 SCALE_QUERIES = HEADLINE + SCALE_EXTRAS
 
