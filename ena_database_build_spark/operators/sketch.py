@@ -1,0 +1,155 @@
+"""Approximate-membership sketches: a relational, engine-portable
+Bloom filter.
+
+The reference engine has no sketches (its only membership structure is
+the in-memory ``idmapping`` dict, ``/root/reference/ena_build/
+mysql_database.py:123-127``); this module extends the engine's
+training-data-pipeline surface.  At 100 TB, exact eval-set
+decontamination (:func:`~ena_database_build_spark.operators.curation.
+decontaminate`) shuffles every distinct train shingle; a Bloom
+pre-filter instead reduces the train side to the (tiny) flagged subset
+before the exact join runs, at the cost of a bounded, *deterministic*
+false-positive rate.
+
+Determinism is the design constraint here: positions derive from md5
+prefixes (not an engine-private hash), so ANY engine reproduces the
+same filter bit-for-bit — including its false positives — which is
+what makes a Bloom pass oracle-checkable rather than "approximately
+right".  The bit space is a power of 16 so "mod n_bits" is a fixed-
+width hex *substring*, never an integer conversion (the same trick as
+:func:`~ena_database_build_spark.operators.sampling.sample_hash`).
+
+Scale shape: the built filter is a one-column DataFrame of distinct
+set bits, bounded by ``16**hex_chars`` rows REGARDLESS of input size
+— always broadcastable (a 16^6 filter is at most ~16M 6-char strings;
+a real deployment would fold it into a driver-side bitmap broadcast,
+but the relational form keeps the probe a plain broadcast-hash
+semi-join that AQE and codegen already optimize).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_positions(
+    value: Column, n_hashes: int = 3, hex_chars: int = 3
+) -> Column:
+    """Array of ``n_hashes`` bit positions for ``value``, each a
+    fixed-width hex string in a ``16**hex_chars``-bit space."""
+    return F.array(
+        *[
+            F.substring(
+                F.md5(F.concat(F.lit(f"bf{j}|"), value)), 1, hex_chars
+            )
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str = "value",
+    n_hashes: int = 3,
+    hex_chars: int = 3,
+) -> DataFrame:
+    """The filter: distinct set bits as a one-column ``(pos)``
+    DataFrame.  One explode + one distinct; the distinct's shuffle
+    carries at most ``16**hex_chars`` groups."""
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.explode(
+                bloom_positions(F.col(value_col), n_hashes, hex_chars)
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bits: DataFrame,
+    value_col: str = "value",
+    n_hashes: int = 3,
+    hex_chars: int = 3,
+) -> DataFrame:
+    """Rows of ``df`` whose ``value_col`` is (approximately) a member:
+    ALL ``n_hashes`` positions are set.
+
+    Probe shape: posexplode to ``(hash_idx, pos)``, broadcast-join the
+    bits table, keep values hitting on every hash index.  The join is
+    a broadcast semi probe — the big side never shuffles, which is the
+    entire point of running this before an exact decontamination join.
+    """
+    pos = bloom_positions(F.col(value_col), n_hashes, hex_chars)
+    exploded = df.where(F.col(value_col).isNotNull()).select(
+        "*", F.posexplode(pos).alias("_j", "_pos")
+    )
+    return (
+        exploded.join(F.broadcast(bits.withColumnRenamed("pos", "_pos")), "_pos")
+        .groupBy(*df.columns)
+        .agg(F.count_distinct("_j").alias("_nhit"))
+        .where(F.col("_nhit") == n_hashes)
+        .select(*df.columns)
+    )
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    k: int = 5,
+    eval_fraction: float = 0.1,
+    seed: str = "decon",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 3,
+    hex_chars: int = 3,
+) -> DataFrame:
+    """Bloom-prefiltered benchmark-contamination report: train
+    documents holding at least one word ``k``-gram whose positions are
+    all set by the eval split's ``k``-grams.
+
+    Output includes the filter's (deterministic) false positives — by
+    construction a SUPERSET of the exact
+    :func:`~ena_database_build_spark.operators.curation.decontaminate`
+    doc set, so the exact join only ever needs to verify this small
+    flagged subset.  Same split seed/axis as the exact operator, so
+    the two compose.
+
+    Returns one row per flagged train document:
+    ``(doc_id, n_flagged_shingles)``.
+    """
+    from .dedup import shingle_rows
+    from .sampling import train_test_split
+
+    split = train_test_split(
+        df, test_fraction=eval_fraction, id_col=id_col, seed=seed
+    )
+    train_sh = shingle_rows(
+        split.where(F.col("split") == "train"),
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        distinct=True,
+    ).select(id_col, "shingle")
+    eval_sh = shingle_rows(
+        split.where(F.col("split") == "test"),
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        distinct=True,
+    )
+    bits = bloom_build(
+        eval_sh, value_col="shingle", n_hashes=n_hashes, hex_chars=hex_chars
+    )
+    flagged = bloom_probe(
+        train_sh,
+        bits,
+        value_col="shingle",
+        n_hashes=n_hashes,
+        hex_chars=hex_chars,
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_flagged_shingles")
+    )

@@ -42,6 +42,7 @@ from ena_database_build_spark.operators import pagerank as PR
 from ena_database_build_spark.operators import profile as PRF
 from ena_database_build_spark.operators import packing as PK
 from ena_database_build_spark.operators import similarity as SIM
+from ena_database_build_spark.operators import sketch as SK
 from ena_database_build_spark.operators import textstats as T
 from ena_database_build_spark.operators import zorder as Z
 from ena_database_build_spark.streaming import events as STR
@@ -3996,6 +3997,53 @@ SELECT DISTINCT event_id, user_id, event_type, value FROM replayed
 """
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-prefiltered eval decontamination (operators/sketch.py):
+    train docs holding a 5-gram whose 3 md5-derived positions are all
+    set by the eval split's 5-grams in a 65536-bit space (sized so the
+    sf0.01 filter sits ~20% full — discriminating, NOT saturated: a
+    4096-bit filter flags all 450 train docs and the check could never
+    catch a broken probe join).  The filter's false positives are
+    DETERMINISTIC (md5 positions, not an engine-private hash), so the
+    oracle reproduces the identical flagged set — an approximate-
+    membership operator with an exact correctness check.  Composes
+    with `decontaminate` (same split seed): at 100 TB the exact
+    shingle join runs only on this pre-filtered subset, and the probe
+    side never shuffles (broadcast bits bounded by the bit-space size,
+    not the corpus)."""
+    docs = t(spark, sf_dir, "documents")
+    return SK.bloom_decontaminate(
+        docs, k=5, eval_fraction=0.1, seed="decon", n_hashes=3, hex_chars=4
+    )
+
+
+def _bloom_pos_sql(j: int) -> str:
+    return f"substr(md5('bf{j}|' || shingle), 1, 4)"
+
+
+SQL_BLOOM_DECON = f"""
+WITH sp AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk,
+         CASE WHEN substr(md5('decon|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '19999999' THEN 'test' ELSE 'train' END AS split
+  FROM documents
+), sh AS (
+  SELECT doc_id, split, unnest({_decon_shingle_sql(5)}) AS shingle FROM sp
+), bits AS (
+  SELECT DISTINCT unnest([
+    {_bloom_pos_sql(0)}, {_bloom_pos_sql(1)}, {_bloom_pos_sql(2)}
+  ]) AS pos
+  FROM sh WHERE split = 'test'
+)
+SELECT doc_id, count(*) AS n_flagged_shingles
+FROM (SELECT DISTINCT doc_id, shingle FROM sh WHERE split = 'train') tr
+WHERE {_bloom_pos_sql(0)} IN (SELECT pos FROM bits)
+  AND {_bloom_pos_sql(1)} IN (SELECT pos FROM bits)
+  AND {_bloom_pos_sql(2)} IN (SELECT pos FROM bits)
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4137,4 +4185,5 @@ CATALOG: dict[str, QueryDef] = {
     "source_cap": QueryDef(q_source_cap, SQL_SOURCE_CAP),
     "snapshot_diff": QueryDef(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "cdc_latest_state": QueryDef(q_cdc_latest_state, SQL_CDC_LATEST),
+    "bloom_decontaminate": QueryDef(q_bloom_decontaminate, SQL_BLOOM_DECON),
 }

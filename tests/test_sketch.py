@@ -1,0 +1,81 @@
+"""Bloom-filter sketch (operators/sketch.py): membership guarantees,
+superset relation to exact decontamination, partition independence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ena_database_build_spark.operators import sketch as SK
+from ena_database_build_spark.operators.curation import decontaminate
+
+DOCS = [
+    # doc_id, text — ids chosen so the 'decon' split puts some in test
+    (i, f"alpha beta gamma delta epsilon zeta token{i} eta theta iota kappa")
+    for i in range(40)
+] + [
+    # exact copies of doc 1's text under new ids: guaranteed shared
+    # 5-grams with whatever split side doc 1 lands on
+    (100 + i, "alpha beta gamma delta epsilon zeta token1 eta theta iota kappa")
+    for i in range(3)
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def test_no_false_negatives(spark):
+    """Every value inserted at build time MUST probe positive."""
+    vals = spark.createDataFrame(
+        [(f"value {i}",) for i in range(200)], ["value"]
+    )
+    bits = SK.bloom_build(vals, "value")
+    hit = SK.bloom_probe(vals, bits, "value")
+    assert hit.count() == 200
+
+
+def test_non_member_mostly_rejected(spark):
+    """With a roomy bit space the false-positive rate stays small —
+    the filter must actually discriminate (a saturated filter passes
+    everything and proves nothing)."""
+    member = spark.createDataFrame(
+        [(f"in {i}",) for i in range(100)], ["value"]
+    )
+    other = spark.createDataFrame(
+        [(f"out {i}",) for i in range(1000)], ["value"]
+    )
+    bits = SK.bloom_build(member, "value", n_hashes=3, hex_chars=4)
+    fp = SK.bloom_probe(other, bits, "value", n_hashes=3, hex_chars=4).count()
+    # 300/65536 fill, 3 hashes -> expected fp ~ (0.005)^3; allow slack
+    assert fp < 20
+
+
+def test_bloom_flags_superset_of_exact(spark, docs):
+    exact = {
+        r.doc_id
+        for r in decontaminate(docs, k=5, eval_fraction=0.3).collect()
+    }
+    bloom = {
+        r.doc_id
+        for r in SK.bloom_decontaminate(
+            docs, k=5, eval_fraction=0.3
+        ).collect()
+    }
+    assert exact, "fixture must produce at least one true contamination"
+    assert exact <= bloom
+
+
+def test_partition_independent(spark, docs):
+    a = SK.bloom_decontaminate(docs.repartition(1), k=5, eval_fraction=0.3)
+    b = SK.bloom_decontaminate(docs.repartition(7), k=5, eval_fraction=0.3)
+    assert sorted(a.collect()) == sorted(b.collect())
+
+
+def test_null_values_ignored(spark):
+    vals = spark.createDataFrame(
+        [("x",), (None,), ("y",)], ["value"]
+    )
+    bits = SK.bloom_build(vals, "value")
+    hit = SK.bloom_probe(vals, bits, "value")
+    got = sorted(r.value for r in hit.collect())
+    assert got == ["x", "y"]
