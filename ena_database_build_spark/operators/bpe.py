@@ -1,0 +1,187 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary learning — the
+tokenizer-training half of a training-data pipeline.
+
+The reference engine has no tokenizer surface (its only text model is
+the EMBL line grammar, ``/root/reference/ena_build/parse_embl.py``);
+this extends the §2.11 LLM-pipeline operators.  Classic BPE (Sennrich
+et al. 2016, "Neural Machine Translation of Rare Words with Subword
+Units") trains on the WORD-FREQUENCY table, not the raw corpus — the
+first aggregation collapses 100 TB of text to a vocabulary of unique
+words with counts (a few million rows), and every merge iteration
+after that runs on that bounded table.  That collapse is what makes
+BPE training a Spark-shaped problem:
+
+* ``word_freqs``        — one explode + one count groupBy (the only
+  corpus-scale shuffle in the whole algorithm);
+* ``pair_counts``       — map-only pair expansion over symbol arrays
+  + a map-side-combinable weighted sum;
+* ``learn_bpe``         — Lloyd's-style driver loop: each iteration
+  collects exactly ONE row (the argmax pair — same bounded-driver-
+  state pattern as ``operators/kmeans.py`` centroids) and rewrites
+  the symbol arrays with a pure-column left-to-right fold.  A
+  ``localCheckpoint`` per iteration truncates both the lineage and
+  the otherwise exponentially nesting lambda expression tree.
+
+Ties in the argmax pair break deterministically (weight desc, then
+left/right lexicographic), so the learned merge table is reproducible
+across partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_freqs(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """``(word, freq)`` — the corpus collapsed to its vocabulary.
+    One explode + one groupBy; partial aggregation makes the shuffle
+    carry vocabulary-sized, not corpus-sized, data."""
+    from .dedup import tokens
+
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def chars(word: Column) -> Column:
+    """Initial symbol array: one single-character symbol per char.
+    The split point must be strictly BETWEEN characters: ``(?!^)``
+    alone also matches at end-of-string, and Spark's split keeps
+    trailing empties (Pattern.split with limit -1), which would plant
+    a phantom ``''`` symbol on every word; ``(?=.)`` excludes it."""
+    return F.split(word, r"(?!^)(?=.)")
+
+
+def sym_pairs(syms: Column) -> Column:
+    """Adjacent symbol pairs of a symbol array as
+    ``array<struct<left,right>>`` — map-only, no shuffle."""
+    pairs = F.transform(
+        syms,
+        # try_element_at: the final element's missing right neighbour
+        # is NULL (ANSI element_at raises), then sliced away below
+        lambda s, i: F.struct(
+            s.alias("left"), F.try_element_at(syms, i + 2).alias("right")
+        ),
+    )
+    # the last element has no right neighbour
+    return F.slice(pairs, 1, F.greatest(F.size(syms) - 1, F.lit(0)))
+
+
+def pair_counts(
+    words: DataFrame, syms_col: str = "syms", freq_col: str = "freq"
+) -> DataFrame:
+    """Weighted adjacent-pair counts over the vocabulary:
+    ``(left, right, pair_weight)``.  Explode + sum groupBy on the
+    (small) word table; this is the per-iteration workhorse."""
+    return (
+        words.select(
+            F.explode(sym_pairs(F.col(syms_col))).alias("p"), F.col(freq_col)
+        )
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum(freq_col).alias("pair_weight"))
+    )
+
+
+def merge_pair(syms: Column, left: str, right: str) -> Column:
+    """Left-to-right non-overlapping merge of adjacent
+    ``(left, right)`` into one symbol — the BPE merge rule — as a
+    pure-column fold.  Greedy left-to-right falls out of the fold
+    order: once a pair merges, the new combined symbol is the
+    accumulator tail, so ``aaa`` under ``(a,a)`` becomes ``[aa, a]``,
+    never ``[a, aa]`` or ``[aaa]``."""
+    merged = left + right
+
+    def step(acc: Column, s: Column) -> Column:
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right))
+        )
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(
+        syms, F.array().cast("array<string>"), step
+    )
+
+
+def learn_bpe(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learns ``n_merges`` BPE merges from the corpus; returns the
+    merge table ``(rank, left, right, merged, pair_weight)`` ordered
+    by learn order.
+
+    Driver state per iteration is exactly one row (the argmax pair);
+    the vocabulary table itself never leaves the executors.  Stops
+    early if no pair remains (fully merged vocabulary)."""
+    spark = df.sparkSession
+    words = (
+        word_freqs(df, text_col=text_col)
+        .select(chars(F.col("word")).alias("syms"), "freq")
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(n_merges):
+        top = (
+            pair_counts(words)
+            .orderBy(
+                F.col("pair_weight").desc(), F.col("left"), F.col("right")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        merges.append(
+            (rank, row["left"], row["right"], row["left"] + row["right"],
+             int(row["pair_weight"]))
+        )
+        nxt = words.select(
+            merge_pair(F.col("syms"), row["left"], row["right"]).alias(
+                "syms"
+            ),
+            "freq",
+        ).localCheckpoint()
+        words.unpersist()
+        words = nxt
+    words.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, "
+        "pair_weight long",
+    )
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizes documents with a learned merge list: per word, apply
+    every merge in rank order.  Pure column expressions (the merge
+    list is a driver-side constant, exactly like serving any trained
+    tokenizer); map-only, no shuffle.  Returns
+    ``(id, word, pieces array<string>)`` rows."""
+    from .dedup import tokens
+
+    out = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    ).where(F.col("word") != "")
+    pieces = chars(F.col("word"))
+    for left, right in merges:
+        pieces = merge_pair(pieces, left, right)
+    return out.select(id_col, "word", pieces.alias("pieces"))

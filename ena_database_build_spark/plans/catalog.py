@@ -42,6 +42,7 @@ from ena_database_build_spark.operators import pagerank as PR
 from ena_database_build_spark.operators import profile as PRF
 from ena_database_build_spark.operators import packing as PK
 from ena_database_build_spark.operators import similarity as SIM
+from ena_database_build_spark.operators import bpe as B
 from ena_database_build_spark.operators import sketch as SK
 from ena_database_build_spark.operators import textstats as T
 from ena_database_build_spark.operators import zorder as Z
@@ -4044,6 +4045,96 @@ GROUP BY doc_id
 """
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE training's per-iteration workhorse (operators/bpe.py):
+    weighted adjacent character-pair counts over the word-frequency
+    table, top 50 under the learner's deterministic order (weight
+    desc, then pair lexicographic — a total order, so the LIMIT
+    boundary is engine-stable).  The corpus-scale work is ONE explode
+    + count groupBy; pair expansion then runs on the vocabulary-sized
+    table only."""
+    docs = t(spark, sf_dir, "documents")
+    wf = B.word_freqs(docs).select(
+        B.chars(F.col("word")).alias("syms"), "freq"
+    )
+    return (
+        B.pair_counts(wf)
+        .orderBy(F.col("pair_weight").desc(), "left", "right")
+        .limit(50)
+    )
+
+
+SQL_BPE_PAIRS = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS_SQL}) AS word FROM documents
+), wf AS (
+  SELECT word, count(*)::BIGINT AS freq FROM toks
+  WHERE word <> '' GROUP BY word
+), pairs AS (
+  SELECT substring(word, i, 1) AS "left",
+         substring(word, i + 1, 1) AS "right", freq
+  FROM wf, unnest(range(1, length(word))) AS t(i)
+)
+SELECT "left", "right", CAST(sum(freq) AS BIGINT) AS pair_weight
+FROM pairs GROUP BY 1, 2
+ORDER BY pair_weight DESC, "left", "right" LIMIT 50
+"""
+
+
+def q_bpe_merges(spark, sf_dir):
+    """The iterative BPE learner end-to-end: 4 greedy merges over the
+    corpus vocabulary (operators/bpe.py learn_bpe — one argmax row to
+    the driver per iteration, vocabulary stays distributed).  The
+    oracle unrolls the identical iterations as CTEs, applying each
+    merge with a delimiter-framed string replace whose left-to-right
+    non-overlapping scan IS the BPE merge rule — an exact SQL oracle
+    for an iterative subword-vocabulary algorithm."""
+    docs = t(spark, sf_dir, "documents")
+    return B.learn_bpe(docs, n_merges=4)
+
+
+def _bpe_merges_sql(n_merges: int) -> str:
+    d = "chr(2)||chr(1)"  # symbol separator inside a framed repr
+    ctes = [
+        f"""v0 AS (
+  SELECT chr(1) || array_to_string(
+           list_transform(range(1, length(word) + 1),
+                          i -> substring(word, i, 1)), {d})
+         || chr(2) AS repr,
+         count(*)::BIGINT AS freq
+  FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1
+)"""
+    ]
+    for n in range(n_merges):
+        ctes.append(
+            f"""s{n} AS (
+  SELECT repr, freq,
+         string_split(substring(repr, 2, length(repr) - 2), {d}) AS syms
+  FROM v{n}
+), a{n} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS w
+  FROM s{n}, unnest(range(1, len(syms))) AS t(i)
+  GROUP BY 1, 2 ORDER BY w DESC, l, r LIMIT 1
+), v{n + 1} AS (
+  SELECT replace(repr, chr(1)||l||chr(2)||chr(1)||r||chr(2),
+                 chr(1)||l||r||chr(2)) AS repr, freq
+  FROM s{n}, a{n}
+)"""
+        )
+        # (cross join a{n} is one row; replace applies the merge
+        # left-to-right non-overlapping, matching merge_pair's fold)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {n} AS rank, l AS \"left\", r AS \"right\", "
+        f"l || r AS merged, w AS pair_weight FROM a{n}"
+        for n in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+SQL_BPE_MERGES = _bpe_merges_sql(4)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4186,4 +4277,6 @@ CATALOG: dict[str, QueryDef] = {
     "snapshot_diff": QueryDef(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "cdc_latest_state": QueryDef(q_cdc_latest_state, SQL_CDC_LATEST),
     "bloom_decontaminate": QueryDef(q_bloom_decontaminate, SQL_BLOOM_DECON),
+    "bpe_pair_counts": QueryDef(q_bpe_pair_counts, SQL_BPE_PAIRS),
+    "bpe_merges": QueryDef(q_bpe_merges, SQL_BPE_MERGES),
 }

@@ -1,0 +1,104 @@
+"""BPE learner (operators/bpe.py): differential check against a
+straightforward single-process reference implementation, plus merge
+semantics and partition independence."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from ena_database_build_spark.operators import bpe as B
+
+CORPUS = [
+    (0, "low low low low low lower lower newest newest newest"),
+    (1, "newest newest newest widest widest widest low lower"),
+    (2, "the newest widest low low the the"),
+]
+
+
+def ref_bpe(texts, n_merges):
+    """Reference BPE on word frequencies: greedy argmax pair with
+    (weight desc, left, right) tie-break, left-to-right merges."""
+    wf = Counter(w for t in texts for w in t.split() if w)
+    vocab = {tuple(w): f for w, f in wf.items()}
+    out = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (a, b), w = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((rank, a, b, a + b, w))
+        nv = {}
+        for syms, f in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            nv[tuple(merged)] = nv.get(tuple(merged), 0) + f
+        vocab = nv
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"]).cache()
+
+
+def test_learn_matches_reference(spark, docs):
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_weight)
+        for r in B.learn_bpe(docs, n_merges=8).orderBy("rank").collect()
+    ]
+    want = ref_bpe([t for _, t in CORPUS], 8)
+    assert got == want
+
+
+def test_merge_is_left_to_right_nonoverlapping(spark):
+    df = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
+    got = df.select(
+        B.merge_pair(F.col("syms"), "a", "a").alias("m")
+    ).head()["m"]
+    assert got == ["aa", "a"]
+
+
+def test_merged_symbol_does_not_chain(spark):
+    # after (a,b)->ab, a following b must NOT merge with the new ab's
+    # trailing b context: [a, b, b] -> [ab, b], not [ab b] merged again
+    df = spark.createDataFrame([(["a", "b", "b"],)], "syms array<string>")
+    got = df.select(
+        B.merge_pair(F.col("syms"), "a", "b").alias("m")
+    ).head()["m"]
+    assert got == ["ab", "b"]
+
+
+def test_partition_independent(spark, docs):
+    a = B.learn_bpe(docs.repartition(1), n_merges=5).collect()
+    b = B.learn_bpe(docs.repartition(7), n_merges=5).collect()
+    assert sorted(a) == sorted(b)
+
+
+def test_apply_bpe_roundtrip(spark, docs):
+    merges = [
+        (r.left, r.right)
+        for r in B.learn_bpe(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    pieces = B.apply_bpe(docs, merges)
+    # concatenating the pieces of every word must reproduce the word
+    bad = pieces.where(
+        F.concat_ws("", F.col("pieces")) != F.col("word")
+    ).count()
+    assert bad == 0
+    # and at least one word must actually be compressed below chars
+    compressed = pieces.where(
+        F.size("pieces") < F.length("word")
+    ).count()
+    assert compressed > 0
