@@ -43,6 +43,7 @@ from ena_database_build_spark.operators import profile as PRF
 from ena_database_build_spark.operators import packing as PK
 from ena_database_build_spark.operators import similarity as SIM
 from ena_database_build_spark.operators import bpe as B
+from ena_database_build_spark.operators import incremental as INC
 from ena_database_build_spark.operators import sketch as SK
 from ena_database_build_spark.operators import textstats as T
 from ena_database_build_spark.operators import zorder as Z
@@ -4135,6 +4136,40 @@ def _bpe_merges_sql(n_merges: int) -> str:
 SQL_BPE_MERGES = _bpe_merges_sql(4)
 
 
+def q_incremental_stats(spark, sf_dir):
+    """Incremental aggregate maintenance (operators/incremental.py):
+    per-source document-length stats computed as
+    merge(partial(base), partial(delta)) — the delta being every 10th
+    doc — NOT as a full recompute.  Algebraic partials make the merge
+    exact, so the oracle IS the full recompute: the row matching
+    proves stats(base ∪ delta) == merge of partials, i.e. a new crawl
+    updates 100 TB corpus stats from the delta alone.  Derived
+    mean/variance are single float expressions over exact integer
+    partials, hence engine-portable."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    merged = INC.merge_stats(
+        INC.partial_stats(base, ["source"], "n_chars"),
+        INC.partial_stats(delta, ["source"], "n_chars"),
+    )
+    return INC.finalize_stats(merged)
+
+
+SQL_INCREMENTAL_STATS = """
+SELECT source, count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total,
+       CAST(min(n_chars) AS BIGINT) AS min_val,
+       CAST(max(n_chars) AS BIGINT) AS max_val,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_val,
+       round((CAST(sum(n_chars * n_chars) AS DOUBLE)
+              - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE)
+                / count(*)) / count(*), 6) AS var_val
+FROM documents WHERE n_chars IS NOT NULL
+GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4279,4 +4314,5 @@ CATALOG: dict[str, QueryDef] = {
     "bloom_decontaminate": QueryDef(q_bloom_decontaminate, SQL_BLOOM_DECON),
     "bpe_pair_counts": QueryDef(q_bpe_pair_counts, SQL_BPE_PAIRS),
     "bpe_merges": QueryDef(q_bpe_merges, SQL_BPE_MERGES),
+    "incremental_stats": QueryDef(q_incremental_stats, SQL_INCREMENTAL_STATS),
 }
