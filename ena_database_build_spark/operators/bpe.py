@@ -165,23 +165,85 @@ def learn_bpe(
     )
 
 
+def _exploded_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    from .dedup import tokens
+
+    return df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    ).where(F.col("word") != "")
+
+
 def apply_bpe(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_expr_merges: int = 16,
 ) -> DataFrame:
-    """Tokenizes documents with a learned merge list: per word, apply
-    every merge in rank order.  Pure column expressions (the merge
-    list is a driver-side constant, exactly like serving any trained
-    tokenizer); map-only, no shuffle.  Returns
-    ``(id, word, pieces array<string>)`` rows."""
-    from .dedup import tokens
+    """Tokenizes documents with a learned merge list: per word, each
+    merge applied once in rank order (equivalent to the classic
+    priority-loop encode for any SELF-CONSISTENT learned list — a
+    merge can only create pairs whose own merge was learned later, so
+    rank order never has to revisit an earlier rule).  Returns
+    ``(id, word, pieces array<string>)`` rows; map-only, no shuffle.
 
-    out = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
-    ).where(F.col("word") != "")
-    pieces = chars(F.col("word"))
+    Dispatch: short lists inline as pure column expressions (one
+    nested fold per merge — JVM-side, codegen'd); beyond
+    ``max_expr_merges`` the expression tree nests too deep for
+    Catalyst, so a production-size vocabulary (30k+ merges) runs the
+    Arrow-batched pandas path instead, with the merge table shipped
+    once per executor and a per-batch memo over distinct words."""
+    out = _exploded_words(df, text_col, id_col)
+    if len(merges) <= max_expr_merges:
+        pieces = chars(F.col("word"))
+        for left, right in merges:
+            pieces = merge_pair(pieces, left, right)
+        return out.select(id_col, "word", pieces.alias("pieces"))
+    return apply_bpe_pandas(df, merges, text_col=text_col, id_col=id_col)
+
+
+def _encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Single-process BPE encode: one left-to-right pass per merge in
+    rank order — the same semantics as ``merge_pair``'s fold."""
+    syms = list(word)
     for left, right in merges:
-        pieces = merge_pair(pieces, left, right)
-    return out.select(id_col, "word", pieces.alias("pieces"))
+        if len(syms) < 2:
+            break
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def apply_bpe_pandas(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched tokenization for production-size merge lists.
+    The merge list rides the closure (serialized once per executor,
+    like a broadcast vocab); a per-batch memo collapses repeated
+    words, so cost scales with DISTINCT words per batch, the same
+    property that makes word-frequency BPE training tractable."""
+    out = _exploded_words(df, text_col, id_col)
+    schema = f"{id_col} long, word string, pieces array<string>"
+    merge_list = list(merges)
+
+    def encode(batches):
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pieces"] = [
+                memo.setdefault(w, _encode_word(w, merge_list))
+                for w in pdf["word"]
+            ]
+            yield pdf
+
+    return out.mapInPandas(encode, schema=schema)

@@ -86,6 +86,18 @@ def test_partition_independent(spark, docs):
     assert sorted(a) == sorted(b)
 
 
+def test_pandas_path_matches_expression_path(spark, docs):
+    merges = [
+        (r.left, r.right)
+        for r in B.learn_bpe(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    expr = B.apply_bpe(docs, merges)  # 6 <= max_expr_merges
+    arrow = B.apply_bpe_pandas(docs, merges)
+    assert sorted(map(tuple, expr.collect())) == sorted(
+        map(tuple, arrow.collect())
+    )
+
+
 def test_apply_bpe_roundtrip(spark, docs):
     merges = [
         (r.left, r.right)
