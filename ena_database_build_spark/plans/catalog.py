@@ -4170,6 +4170,34 @@ GROUP BY source
 """
 
 
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink roundtrip (format breadth beyond the
+    reference's TSV/gzip surface): write per-(source, lang) document
+    stats through Spark's ORC writer, read them back with full schema
+    preservation, and match the oracle's direct recomputation from
+    parquet — the same write-then-reread contract as
+    s5_tsv_roundtrip.  ORC columns carry min/max stride indexes, so
+    at scale the reread side gets predicate pushdown for free."""
+    path = _sink_path(sf_dir, "orc")
+    agg = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    agg.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source, lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4315,4 +4343,5 @@ CATALOG: dict[str, QueryDef] = {
     "bpe_pair_counts": QueryDef(q_bpe_pair_counts, SQL_BPE_PAIRS),
     "bpe_merges": QueryDef(q_bpe_merges, SQL_BPE_MERGES),
     "incremental_stats": QueryDef(q_incremental_stats, SQL_INCREMENTAL_STATS),
+    "orc_roundtrip": QueryDef(q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
 }
