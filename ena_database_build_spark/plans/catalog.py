@@ -4198,6 +4198,38 @@ FROM documents GROUP BY source, lang
 """
 
 
+def q_stream_enrichment(spark, sf_dir):
+    """Batch anchor of the stream-static enrichment operator
+    (streaming/events.py enrich_events — broadcast dim join + tumbling
+    agg, same code path under readStream, pinned by the streaming
+    parity test): events enriched with the customer market segment,
+    counted per (15-min window, segment).  Unknown users keep a NULL
+    segment (left join, dead-letter philosophy)."""
+    ev = t(spark, sf_dir, "events")
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    out = STR.enrich_events(ev, dim, "15 minutes")
+    return out.select(
+        F.col("win_start").cast("long").alias("win_start_s"),
+        "segment",
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_STREAM_ENRICH = """
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS win_start_s,
+       segment, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events e
+LEFT JOIN (SELECT c_custkey AS user_id, c_mktsegment AS segment
+           FROM customer) d
+  USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4344,4 +4376,5 @@ CATALOG: dict[str, QueryDef] = {
     "bpe_merges": QueryDef(q_bpe_merges, SQL_BPE_MERGES),
     "incremental_stats": QueryDef(q_incremental_stats, SQL_INCREMENTAL_STATS),
     "orc_roundtrip": QueryDef(q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
+    "stream_enrichment": QueryDef(q_stream_enrichment, SQL_STREAM_ENRICH),
 }

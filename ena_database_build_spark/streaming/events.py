@@ -150,6 +150,41 @@ def purchase_attribution(
     )
 
 
+def enrich_events(
+    events: DataFrame,
+    dim: DataFrame,
+    width: str = "15 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-static dimension enrichment: join each event to a
+    static user dimension ``(user_id, segment)``, then tumbling
+    counts/sums per (window, segment).
+
+    The dim side is pinned broadcast, so every micro-batch enriches
+    with a map-side hash join — the stream never shuffles for the
+    join (the only stateful exchange is the windowed agg), which is
+    the standard shape for joining a 100 TB/day stream against a
+    bounded dimension.  Left join: events from unknown users keep a
+    NULL segment rather than silently dropping (the reference's
+    dead-letter philosophy, parse_embl.py:352-359).
+    """
+    src = events.withWatermark("ts", watermark) if watermark else events
+    joined = src.join(F.broadcast(dim), "user_id", "left")
+    return (
+        joined.groupBy(F.window("ts", width).alias("win"), "segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, mode: str = "append"
 ) -> "object":

@@ -52,6 +52,29 @@ def test_tumbling_stream_matches_batch(spark, event_dir):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_enrichment_stream_matches_batch(spark, event_dir):
+    dim = spark.createDataFrame(
+        [(u, ["gold", "silver", None][u % 3]) for u in range(0, 60, 2)],
+        "user_id long, segment string",
+    )
+    stream = STR.read_event_stream(spark, event_dir, max_files_per_trigger=2)
+    got = _run_stream(
+        spark,
+        STR.enrich_events(stream, dim, "15 minutes"),
+        "enrich",
+        mode="complete",
+    )
+    want = STR.enrich_events(_batch_events(spark, event_dir), dim, "15 minutes")
+    cols = ["win_start", "segment", "n_events", "sum_value"]
+
+    def rows(df):  # NULL segments sort via str key
+        return sorted(
+            (tuple(r[c] for c in cols) for r in df.collect()), key=str
+        )
+
+    assert rows(got) == rows(want)
+
+
 def test_session_stream_matches_batch(spark, event_dir):
     stream = STR.read_event_stream(spark, event_dir, max_files_per_trigger=2)
     got = _run_stream(
