@@ -30,6 +30,7 @@ from ena_database_build_spark.operators import cc as CC
 from ena_database_build_spark.operators import curation as CUR
 from ena_database_build_spark.operators import dedup as D
 from ena_database_build_spark.operators import diff as DIFF
+from ena_database_build_spark.operators import dq as DQ
 from ena_database_build_spark.operators import kmeans as KM
 from ena_database_build_spark.operators import quantiles as QNT
 from ena_database_build_spark.operators import rangejoin as RJ
@@ -4230,6 +4231,133 @@ GROUP BY 1, 2
 """
 
 
+def q_dq_report(spark, sf_dir):
+    """Data-quality constraint gate (operators/dq.py, Deequ-style):
+    every row-local metric — completeness, key uniqueness, a value
+    bound, a domain membership — folds into ONE scan/agg; the two
+    referential-integrity checks each broadcast the distinct key side
+    so neither fact table shuffles.  The pristine fixture would score
+    1.0 on every check (a report that can't fail proves nothing), so
+    both engines first plant one deterministic defect per check:
+    a NULL custkey, a duplicated orderkey, an out-of-range price, an
+    unknown status, a dangling customer FK, and a dangling lineitem
+    orderkey.  Each check must then FAIL with the identical fraction,
+    verdicts included, digit-for-digit."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+
+    def mutated(key, **over):
+        row = orders.where(F.col("o_orderkey") == key)
+        for c, v in over.items():
+            row = row.withColumn(c, v)
+        return row
+
+    dirty = (
+        orders
+        .unionByName(mutated(0, o_orderkey=F.col("o_orderkey") + 10000000,
+                             o_custkey=F.lit(None).cast("long")))
+        .unionByName(mutated(1))  # byte-identical: duplicate orderkey
+        .unionByName(mutated(2, o_orderkey=F.col("o_orderkey") + 10000002,
+                             o_totalprice=F.lit(9999999.0)))
+        .unionByName(mutated(3, o_orderkey=F.col("o_orderkey") + 10000003,
+                             o_orderstatus=F.lit("X")))
+        .unionByName(mutated(4, o_orderkey=F.col("o_orderkey") + 10000004,
+                             o_custkey=F.lit(99999999)))
+    )
+    dirty_li = (
+        t(spark, sf_dir, "lineitem", spread=True)
+        .select("l_orderkey")
+        .unionByName(
+            spark.range(1).select(
+                F.lit(88888888).cast("long").alias("l_orderkey")
+            )
+        )
+    )
+    local = DQ.metrics_report(
+        dirty,
+        {
+            "orders_custkey_complete": (DQ.completeness("o_custkey"), 1.0),
+            "orders_orderkey_unique": (DQ.uniqueness("o_orderkey"), 1.0),
+            "orders_totalprice_range": (
+                DQ.in_range("o_totalprice", 0.0, 600000.0),
+                1.0,
+            ),
+            "orders_status_domain": (
+                DQ.member_of("o_orderstatus", ["O", "F", "P"]),
+                1.0,
+            ),
+        },
+    )
+    ri1 = DQ.ri_coverage(
+        dirty, "o_custkey", cust, "c_custkey", "orders_custkey_ri"
+    )
+    ri2 = DQ.ri_coverage(
+        dirty_li, "l_orderkey", orders, "o_orderkey", "lineitem_orderkey_ri"
+    )
+    return local.unionByName(ri1).unionByName(ri2)
+
+
+SQL_DQ_REPORT = """
+WITH dirty AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderkey + 10000000, NULL, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey = 1
+  UNION ALL
+  SELECT o_orderkey + 10000002, o_custkey, o_orderstatus, 9999999.0
+  FROM orders WHERE o_orderkey = 2
+  UNION ALL
+  SELECT o_orderkey + 10000003, o_custkey, 'X', o_totalprice
+  FROM orders WHERE o_orderkey = 3
+  UNION ALL
+  SELECT o_orderkey + 10000004, 99999999, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey = 4
+), dirty_li AS (
+  SELECT l_orderkey FROM lineitem
+  UNION ALL SELECT 88888888
+), m AS (
+  SELECT 'orders_custkey_complete' AS check_name,
+         round(CAST(count(o_custkey) AS DOUBLE) / count(*), 6) AS metric
+  FROM dirty
+  UNION ALL
+  SELECT 'orders_orderkey_unique',
+         round(CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+               / count(o_orderkey), 6)
+  FROM dirty
+  UNION ALL
+  SELECT 'orders_totalprice_range',
+         round(CAST(sum(CASE WHEN o_totalprice BETWEEN 0 AND 600000
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(o_totalprice), 6)
+  FROM dirty WHERE o_totalprice IS NOT NULL
+  UNION ALL
+  SELECT 'orders_status_domain',
+         round(CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(o_orderstatus), 6)
+  FROM dirty WHERE o_orderstatus IS NOT NULL
+  UNION ALL
+  SELECT 'orders_custkey_ri',
+         round(CAST(sum(CASE WHEN c.c_custkey IS NOT NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 6)
+  FROM dirty o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_custkey IS NOT NULL
+  UNION ALL
+  SELECT 'lineitem_orderkey_ri',
+         round(CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 6)
+  FROM dirty_li l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey IS NOT NULL
+)
+SELECT check_name, metric, metric >= 1.0 AS passed FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4377,4 +4505,5 @@ CATALOG: dict[str, QueryDef] = {
     "incremental_stats": QueryDef(q_incremental_stats, SQL_INCREMENTAL_STATS),
     "orc_roundtrip": QueryDef(q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
     "stream_enrichment": QueryDef(q_stream_enrichment, SQL_STREAM_ENRICH),
+    "dq_report": QueryDef(q_dq_report, SQL_DQ_REPORT),
 }

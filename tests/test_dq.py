@@ -1,0 +1,79 @@
+"""Data-quality constraints (operators/dq.py): metric values, verdict
+thresholds, single-pass report shape, RI coverage."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ena_database_build_spark.operators import dq as DQ
+
+ROWS = [
+    # id, key, price, status
+    (0, 10, 5.0, "O"),
+    (1, 11, 15.0, "F"),
+    (2, 11, 25.0, "P"),   # duplicate key
+    (3, None, 150.0, "X"),  # null key, out-of-range price, bad status
+    (4, 13, None, None),
+]
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        ROWS, "id long, key long, price double, status string"
+    ).cache()
+
+
+def test_metrics_report_values(spark, df):
+    rep = {
+        r.check_name: r
+        for r in DQ.metrics_report(
+            df,
+            {
+                "key_complete": (DQ.completeness("key"), 1.0),
+                "key_unique": (DQ.uniqueness("key"), 1.0),
+                "price_range": (DQ.in_range("price", 0.0, 100.0), 0.5),
+                "status_domain": (
+                    DQ.member_of("status", ["O", "F", "P"]),
+                    0.9,
+                ),
+            },
+        ).collect()
+    }
+    assert rep["key_complete"].metric == 0.8  # 4/5 non-null
+    assert not rep["key_complete"].passed
+    assert rep["key_unique"].metric == 0.75  # 3 distinct / 4 non-null
+    assert rep["price_range"].metric == 0.75  # 3 of 4 in range
+    assert rep["price_range"].passed  # threshold 0.5
+    assert rep["status_domain"].metric == 0.75
+    assert not rep["status_domain"].passed
+
+
+def test_metrics_report_is_single_job(spark, df):
+    """All row-local metrics fold into one aggregation — the plan
+    must contain exactly one scan of the input."""
+    plan = DQ.metrics_report(
+        df,
+        {
+            "key_complete": (DQ.completeness("key"), 1.0),
+            "price_range": (DQ.in_range("price", 0.0, 100.0), 1.0),
+        },
+    )._jdf.queryExecution().optimizedPlan().toString()
+    scans = plan.count("LogicalRDD") + plan.count("InMemoryRelation")
+    assert scans == 1 and "Join" not in plan and "Union" not in plan
+
+
+def test_ri_coverage(spark, df):
+    dim = spark.createDataFrame([(10,), (11,)], "pk long")
+    row = DQ.ri_coverage(df, "key", dim, "pk", "key_ri").head()
+    # non-null keys: 10, 11, 11, 13 -> 3 matched
+    assert row.check_name == "key_ri"
+    assert row.metric == 0.75
+    assert not row.passed
+
+
+def test_ri_coverage_empty_fact_is_vacuously_intact(spark, df):
+    dim = spark.createDataFrame([(10,)], "pk long")
+    row = DQ.ri_coverage(
+        df.where(F.lit(False)), "key", dim, "pk", "empty_ri"
+    ).head()
+    assert row.metric == 1.0 and row.passed
