@@ -4358,6 +4358,128 @@ SELECT check_name, metric, metric >= 1.0 AS passed FROM m
 """
 
 
+def q_asof_join_bucketed(spark, sf_dir):
+    """Hot-key as-of join (operators/asof.py asof_join_bucketed —
+    parity-tested against asof_join): window partitions are (user,
+    hour bucket) instead of whole users, so one hot key spreads over
+    span/bucket tasks.  Times as epoch micros (the op needs a
+    long-castable axis); the oracle is DuckDB's native ASOF JOIN over
+    the identical integers, the same oracle shape as `asof_join`."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_us"
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id"
+    )
+    out = ASOF.asof_join_bucketed(
+        views,
+        buys,
+        on="ts_us",
+        by="user_id",
+        right_cols=["event_id"],
+        bucket_width=3_600_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_right").alias("prior_purchase_id"),
+    )
+
+
+SQL_ASOF_BUCKETED = """
+WITH views AS (
+  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+  FROM events WHERE event_type = 'view'
+), buys AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+         max(event_id) AS prior_purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts_us
+)
+SELECT v.event_id, v.user_id, b.prior_purchase_id
+FROM views v ASOF LEFT JOIN buys b
+  ON v.user_id = b.user_id AND v.ts_us >= b.ts_us
+"""
+
+
+def q_hash_sample_weighted(spark, sf_dir):
+    """Per-row-probability deterministic sampling
+    (operators/sampling.py hash_sample_weighted): each doc kept with
+    probability = its weight, as a pure function of (seed, id) — the
+    quality-weighted curation sample, reproducible across retries and
+    partitionings.  The weight is (doc_id % 16)/16 so every
+    weight*16^8 threshold is an exact integer: the engine's numeric
+    compare and the oracle's fixed-width hex compare then agree on
+    every boundary."""
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "w", (F.col("doc_id") % 16).cast("double") / 16.0
+    )
+    return SMP.hash_sample_weighted(docs, "w").select("doc_id")
+
+
+SQL_HASH_SAMPLE_WEIGHTED = """
+SELECT doc_id FROM documents
+WHERE substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8)
+      < printf('%08x', (doc_id % 16) * 268435456)
+"""
+
+
+def q_near_dedup_incremental(spark, sf_dir):
+    """Continuous-build NEAR dedup (operators/cc.py
+    near_dedup_incremental): incoming batch (doc_id % 3 == 0) vs the
+    already-ingested corpus (the rest).  One banded LSH join over the
+    union yields cross AND in-batch candidate pairs; Jaccard >= 0.8
+    verifies; incoming docs matching the corpus drop, the rest
+    near-dedup among themselves (connected components, min-id
+    winner).  The oracle replays the identical LSH gating + Jaccard
+    (the proven SQL_JACCARD pipeline) and resolves in-batch clusters
+    with a recursive transitive-closure CTE.  Returns surviving
+    incoming doc ids."""
+    docs = t(spark, sf_dir, "documents")
+    inc = docs.where(F.col("doc_id") % 3 == 0)
+    ex = docs.where(F.col("doc_id") % 3 != 0)
+    return CC.near_dedup_incremental(inc, ex).select("doc_id")
+
+
+SQL_NEAR_DEDUP_INCREMENTAL = f"""
+WITH RECURSIVE j AS (
+  SELECT left_id, right_id FROM ({SQL_JACCARD}) WHERE jaccard >= 0.8
+), v AS (
+  SELECT left_id, right_id,
+         left_id % 3 = 0 AS li, right_id % 3 = 0 AS ri
+  FROM j
+), corpus_hits AS (
+  SELECT DISTINCT CASE WHEN li THEN left_id ELSE right_id END AS doc_id
+  FROM v WHERE li <> ri
+), survivors AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 3 = 0
+    AND doc_id NOT IN (SELECT doc_id FROM corpus_hits)
+), bp AS (
+  SELECT left_id, right_id FROM v
+  WHERE li AND ri
+    AND left_id IN (SELECT doc_id FROM survivors)
+    AND right_id IN (SELECT doc_id FROM survivors)
+), sym AS (
+  SELECT left_id AS a, right_id AS b FROM bp
+  UNION SELECT right_id, left_id FROM bp
+), reach(n, m) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+), losers AS (
+  SELECT n FROM reach GROUP BY n HAVING least(n, min(m)) <> n
+)
+SELECT doc_id FROM survivors
+WHERE doc_id NOT IN (SELECT n FROM losers)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4506,4 +4628,11 @@ CATALOG: dict[str, QueryDef] = {
     "orc_roundtrip": QueryDef(q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
     "stream_enrichment": QueryDef(q_stream_enrichment, SQL_STREAM_ENRICH),
     "dq_report": QueryDef(q_dq_report, SQL_DQ_REPORT),
+    "asof_join_bucketed": QueryDef(q_asof_join_bucketed, SQL_ASOF_BUCKETED),
+    "hash_sample_weighted": QueryDef(
+        q_hash_sample_weighted, SQL_HASH_SAMPLE_WEIGHTED
+    ),
+    "near_dedup_incremental": QueryDef(
+        q_near_dedup_incremental, SQL_NEAR_DEDUP_INCREMENTAL
+    ),
 }
