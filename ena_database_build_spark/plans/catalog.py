@@ -4480,6 +4480,104 @@ WHERE doc_id NOT IN (SELECT n FROM losers)
 """
 
 
+def q_tpch_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 analog (cross-nation shipping volume by year): the
+    two-nation filter collapses `nation` to a 2-row broadcast applied
+    to supplier and customer BEFORE the fact-fact join, so lineitem
+    joins an already-nation-pruned supplier set (broadcast, map-only)
+    and the only shuffle is lineitem |x| orders on orderkey.  The
+    opposite-nation predicate reduces to supp != cust once both sides
+    are pre-filtered to the pair."""
+    nat = t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "volume"
+        ),
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+SQL_TPCH_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 analog (customer order-count distribution): LEFT
+    join so zero-order customers land in the c_count=0 bucket, then a
+    second aggregation histograms the counts.  Both shuffles carry
+    key-sized rows only; the first pre-aggregates orders per custkey
+    before joining customers, so the join input is already one row
+    per customer."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c_count"))
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderstatus = 'O'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4634,5 +4732,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "near_dedup_incremental": QueryDef(
         q_near_dedup_incremental, SQL_NEAR_DEDUP_INCREMENTAL
+    ),
+    "tpch_q7_nation_volume": QueryDef(q_tpch_q7_nation_volume, SQL_TPCH_Q7),
+    "tpch_q13_order_distribution": QueryDef(
+        q_tpch_q13_order_distribution, SQL_TPCH_Q13
     ),
 }
