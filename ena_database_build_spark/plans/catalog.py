@@ -4578,6 +4578,47 @@ GROUP BY c_count
 """
 
 
+def q_user_retention(spark, sf_dir):
+    """Cohort retention (product-analytics shape): users cohorted by
+    first-activity day; output distinct returning users per
+    (cohort_day, day_offset).  One relation, one user-keyed shuffle:
+    the cohort day is a min-over-user WINDOW on the deduped
+    (user, day) activity — no self-join against a "first seen"
+    subquery, so the activity table is scanned and shuffled once."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("cohort_d", F.min("d").over(w))
+        .select(
+            F.col("cohort_d").cast("string").alias("cohort_day"),
+            F.datediff("d", F.col("cohort_d")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+SQL_USER_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), coh AS (
+  SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cohort_d
+  FROM act
+)
+SELECT CAST(cohort_d AS VARCHAR) AS cohort_day,
+       date_diff('day', cohort_d, d) AS day_offset,
+       count(DISTINCT user_id) AS n_users
+FROM coh GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4737,4 +4778,5 @@ CATALOG: dict[str, QueryDef] = {
     "tpch_q13_order_distribution": QueryDef(
         q_tpch_q13_order_distribution, SQL_TPCH_Q13
     ),
+    "user_retention": QueryDef(q_user_retention, SQL_USER_RETENTION),
 }
