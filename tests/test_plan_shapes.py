@@ -169,3 +169,53 @@ def test_frame_sample_plan_is_map_only(spark):
     payload = M.attach_binary_payload(_docs(spark))
     plan = _executed_plan(M.frame_sample_plan(payload, every_n=3))
     assert not _exchanges(plan), plan
+
+
+def test_bloom_probe_is_map_only(spark):
+    # contract: the probe side joins the broadcast bits table once per
+    # hash function with NO shuffle of the probed relation — that's
+    # the whole point of pre-filtering before an exact join
+    from ena_database_build_spark.operators import sketch as SK
+
+    vals = spark.createDataFrame(
+        [(f"v{i}",) for i in range(100)], ["value"]
+    )
+    bits = SK.bloom_build(vals, "value")
+    plan = _executed_plan(SK.bloom_probe(vals, bits, "value"))
+    probe_side = plan.split("BroadcastExchange")[0]
+    assert not _exchanges(probe_side), plan
+
+
+def test_dq_ri_coverage_no_fact_shuffle(spark):
+    # contract: referential integrity broadcasts the distinct key side;
+    # the fact relation reaches the final 1-row agg without a
+    # hash-partition exchange of fact rows
+    from ena_database_build_spark.operators import dq as DQ
+
+    fact = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "id long, fk long"
+    )
+    dim = spark.createDataFrame([(i,) for i in range(5)], "pk long")
+    plan = _executed_plan(DQ.ri_coverage(fact, "fk", dim, "pk", "ri"))
+    # the dim side's key-sized distinct may hash-exchange (beneath the
+    # BroadcastExchange); the FACT side — everything above it — must
+    # reach the 1-row agg with no hash exchange of fact rows
+    fact_side = plan.split("BroadcastExchange")[0]
+    hashed = [
+        ln for ln in _exchanges(fact_side) if "hashpartitioning" in ln
+    ]
+    assert not hashed, plan
+
+
+def test_bpe_pair_counts_single_shuffle(spark):
+    # contract: pair expansion is map-only over the vocabulary; the
+    # only exchange is the pair-count aggregation itself
+    from ena_database_build_spark.operators import bpe as B
+
+    wf = B.word_freqs(_docs(spark)).select(
+        B.chars(F.col("word")).alias("syms"), "freq"
+    )
+    plan = _executed_plan(B.pair_counts(wf))
+    # word_freqs' own agg + the pair agg = 2 hash exchanges max
+    hashed = [ln for ln in _exchanges(plan) if "hashpartitioning" in ln]
+    assert len(hashed) <= 2, plan
