@@ -83,3 +83,70 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def plan_compaction(
+    files: DataFrame,
+    target_bytes: int,
+    path_col: str = "path",
+    size_col: str = "bytes",
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE half of layout
+    maintenance, alongside :func:`write_zordered`): assigns every file
+    a ``group_id`` such that greedily filling groups in path order up
+    to ``target_bytes`` reproduces the assignment —
+    ``group = floor(exclusive_cumsum(bytes) / target)``.  Path order
+    keeps each group's files directory-adjacent (compacted outputs
+    stay partition-local); an oversized file spans its own group(s) by
+    the same arithmetic.
+
+    Scale shape: the global cumulative sum over path order uses the
+    repo's two-phase prefix-sum pattern (packing.pack_sequences), with
+    the bucket = the path's ``prefix_len``-char prefix — lexicographic
+    order makes every prefix bucket CONTIGUOUS, so bucket-local
+    cumsums + a tiny bucket-offset pass compose to the exact global
+    sum without a single-partition window over all files.
+
+    NULL paths are excluded (the path is the file identity); NULL
+    sizes count 0.  Returns ``(path, bytes, group_id)``.
+    """
+    from pyspark.sql import Window
+
+    sized = (
+        files.where(F.col(path_col).isNotNull())
+        .select(
+            F.col(path_col),
+            F.coalesce(F.col(size_col), F.lit(0))
+            .cast("long")
+            .alias("bytes"),
+        )
+        .withColumn("_bucket", F.substring(path_col, 1, prefix_len))
+    )
+    w_local = (
+        Window.partitionBy("_bucket")
+        .orderBy(path_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = sized.withColumn(
+        "_local_cum", F.coalesce(F.sum("bytes").over(w_local), F.lit(0))
+    )
+    w_off = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # one row per prefix bucket — tiny by construction
+    offsets = (
+        local.groupBy("_bucket")
+        .agg(F.max(F.col("_local_cum") + F.col("bytes")).alias("_btot"))
+        .withColumn(
+            "_offset", F.coalesce(F.sum("_btot").over(w_off), F.lit(0))
+        )
+        .select("_bucket", "_offset")
+    )
+    # left join for the same ReusedExchange reason as pack_sequences
+    return local.join(F.broadcast(offsets), "_bucket", "left").select(
+        F.col(path_col),
+        "bytes",
+        ((F.col("_offset") + F.col("_local_cum")) / target_bytes)
+        .cast("long")
+        .alias("group_id"),
+    )

@@ -4619,6 +4619,45 @@ FROM coh GROUP BY 1, 2
 """
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (operators/zorder.py
+    plan_compaction — the OPTIMIZE half of layout maintenance): a
+    synthetic file listing (one file per document, sized by n_chars)
+    greedily bin-packed into ~25 KB output groups in path order, so
+    each compacted group stays directory-adjacent.  The global
+    running sum uses the two-phase prefix-sum over path-prefix
+    buckets (lexicographically contiguous), never a single-partition
+    window; the oracle computes the same greedy fill with one window
+    cumsum."""
+    files = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull())
+        .select(
+            F.concat_ws(
+                "/", "source", F.format_string("%06d", F.col("doc_id"))
+            ).alias("path"),
+            F.col("n_chars").alias("bytes"),
+        )
+    )
+    return Z.plan_compaction(files, target_bytes=25000)
+
+
+SQL_COMPACTION_PLAN = """
+WITH f AS (
+  SELECT source || '/' || printf('%06d', doc_id) AS path,
+         CAST(coalesce(n_chars, 0) AS BIGINT) AS bytes
+  FROM documents WHERE source IS NOT NULL
+), c AS (
+  SELECT path, bytes,
+         coalesce(sum(bytes) OVER (
+           ORDER BY path ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS cum
+  FROM f
+)
+SELECT path, bytes, CAST(cum // 25000 AS BIGINT) AS group_id FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4779,4 +4818,5 @@ CATALOG: dict[str, QueryDef] = {
         q_tpch_q13_order_distribution, SQL_TPCH_Q13
     ),
     "user_retention": QueryDef(q_user_retention, SQL_USER_RETENTION),
+    "compaction_plan": QueryDef(q_compaction_plan, SQL_COMPACTION_PLAN),
 }

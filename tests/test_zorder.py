@@ -79,3 +79,39 @@ def test_layout_prunes_both_dimensions(spark, tmp_path):
     # and no rows were lost or duplicated by the rewrite
     assert back.count() == 20000
     assert back.select("id").distinct().count() == 20000
+
+
+def test_plan_compaction_greedy_fill(spark):
+    from ena_database_build_spark.operators.zorder import plan_compaction
+
+    files = spark.createDataFrame(
+        [(f"d{i % 4}/f{i:04d}", 100 + (i * 37) % 400) for i in range(200)]
+        + [("d9/huge", 5000), ("d9/nullsize", None)],
+        "path string, bytes long",
+    )
+    got = plan_compaction(files, target_bytes=1000).collect()
+    rows = sorted(got, key=lambda r: r.path)
+    # reference: greedy fill in path order
+    cum, want = 0, {}
+    for r in rows:
+        want[r.path] = cum // 1000
+        cum += r.bytes
+    assert {r.path: r.group_id for r in rows} == want
+    # groups are contiguous in path order
+    gids = [r.group_id for r in rows]
+    assert gids == sorted(gids)
+    # the oversized file got its own group span
+    huge = next(r for r in rows if r.path == "d9/huge")
+    assert sum(1 for r in rows if r.group_id == huge.group_id) <= 2
+
+
+def test_plan_compaction_partition_independent(spark):
+    from ena_database_build_spark.operators.zorder import plan_compaction
+
+    files = spark.createDataFrame(
+        [(f"p{i % 7}/f{i:05d}", (i * 131) % 900) for i in range(500)],
+        "path string, bytes long",
+    )
+    a = plan_compaction(files.repartition(1), 2000).collect()
+    b = plan_compaction(files.repartition(13), 2000).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
