@@ -1,0 +1,99 @@
+"""Ordered-funnel analysis over event streams (product-analytics
+extension of the §2.11 events surface).
+
+A funnel ("view, then click, then purchase — in that order") is a
+per-user regular-language match over the time-ordered event sequence.
+The naive relational form is one self-join per step (step k's min
+timestamp after step k-1's), i.e. k shuffles of the full event table.
+This operator instead matches the whole funnel in ONE user-keyed
+shuffle: collect each user's (ts, type) pairs, sort in-array, and run
+the step automaton as a higher-order ``aggregate`` fold — the same
+state-machine-as-fold pattern the EMBL record parser uses
+(operators/segmentation.py), applied to clickstream state.
+
+Per-user arrays are bounded by a user's own activity (the unit real
+funnel engines also assume fits one task); the fold is a pure column
+expression inside codegen, no UDF.  Transitions require a STRICTLY
+later timestamp, so same-instant event pairs never satisfy "then".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user furthest funnel stage reached: ``(user, stage)`` with
+    stage in [0, len(steps)] — stage k means the first k steps
+    matched in order."""
+    us = F.unix_micros(F.col(ts_col))
+    evs = (
+        events.where(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(type_col).isin(steps)
+        )
+        .groupBy(user_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(us.alias("us"), F.col(type_col)))
+            ).alias("evs")
+        )
+    )
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    n_steps = len(steps)
+
+    def fold(acc, x):
+        wants = F.try_element_at(step_arr, (acc["stage"] + 1).cast("int"))
+        hit = (
+            (acc["stage"] < n_steps)
+            & (x[type_col] == wants)
+            & (x["us"] > acc["ts"])
+        )
+        return F.when(
+            hit,
+            F.struct(
+                (acc["stage"] + 1).alias("stage"), x["us"].alias("ts")
+            ),
+        ).otherwise(acc)
+
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.lit(-(2**62)).cast("long").alias("ts"),
+    )
+    return evs.select(
+        F.col(user_col),
+        F.aggregate("evs", init, fold)["stage"].alias("stage"),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """The funnel report: for each step k (1-indexed), how many users
+    reached AT LEAST step k.  One user-keyed shuffle + a 1-row
+    histogram agg."""
+    st = funnel_stages(events, steps, user_col, ts_col, type_col)
+    row = st.agg(
+        *[
+            F.sum((F.col("stage") >= k).cast("long")).alias(f"s{k}")
+            for k in range(1, len(steps) + 1)
+        ]
+    )
+    args = ", ".join(f"{k}, s{k}" for k in range(1, len(steps) + 1))
+    return row.select(
+        F.expr(
+            f"stack({len(steps)}, {args}) AS (funnel_step, n_users)"
+        )
+    )

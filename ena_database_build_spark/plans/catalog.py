@@ -31,6 +31,7 @@ from ena_database_build_spark.operators import curation as CUR
 from ena_database_build_spark.operators import dedup as D
 from ena_database_build_spark.operators import diff as DIFF
 from ena_database_build_spark.operators import dq as DQ
+from ena_database_build_spark.operators import funnel as FUN
 from ena_database_build_spark.operators import kmeans as KM
 from ena_database_build_spark.operators import quantiles as QNT
 from ena_database_build_spark.operators import rangejoin as RJ
@@ -4658,6 +4659,38 @@ SELECT path, bytes, CAST(cum // 25000 AS BIGINT) AS group_id FROM c
 """
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase
+    (operators/funnel.py): users reaching at least each step, with
+    every later step STRICTLY after the one before.  Matched in ONE
+    user-keyed shuffle via a sorted-array state-machine fold (the
+    segmentation pattern on clickstream state) instead of one
+    self-join per step; the oracle IS the k-self-join form, so the
+    row match proves the fold equals the relational semantics."""
+    ev = t(spark, sf_dir, "events")
+    return FUN.funnel_counts(ev, ["view", "click", "purchase"])
+
+
+SQL_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), t1 AS (
+  SELECT user_id, min(us) AS us1 FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(us) AS us2 FROM e JOIN t1 USING (user_id)
+  WHERE event_type = 'click' AND us > us1 GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(us) AS us3 FROM e JOIN t2 USING (user_id)
+  WHERE event_type = 'purchase' AND us > us2 GROUP BY e.user_id
+)
+SELECT 1 AS funnel_step, count(*) AS n_users FROM t1
+UNION ALL SELECT 2, count(*) FROM t2
+UNION ALL SELECT 3, count(*) FROM t3
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4819,4 +4852,5 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "user_retention": QueryDef(q_user_retention, SQL_USER_RETENTION),
     "compaction_plan": QueryDef(q_compaction_plan, SQL_COMPACTION_PLAN),
+    "funnel_conversion": QueryDef(q_funnel_conversion, SQL_FUNNEL),
 }

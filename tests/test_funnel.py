@@ -1,0 +1,56 @@
+"""Funnel fold (operators/funnel.py): hand-computed scenarios,
+strict-ordering semantics, partition independence."""
+
+import datetime as dt
+
+import pytest
+
+from ena_database_build_spark.operators import funnel as FUN
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def ev(uid, minute, typ):
+    return (uid, T0 + dt.timedelta(minutes=minute), typ)
+
+
+ROWS = [
+    # u1 completes the whole funnel in order
+    ev(1, 0, "view"), ev(1, 5, "click"), ev(1, 9, "purchase"),
+    # u2: purchase BEFORE the view/click -> only 2 steps count
+    ev(2, 0, "purchase"), ev(2, 1, "view"), ev(2, 2, "click"),
+    # u3: click only, no view first -> 0 steps
+    ev(3, 0, "click"), ev(3, 1, "purchase"),
+    # u4: view then same-instant click -> strict 'then' rejects it
+    ev(4, 0, "view"), ev(4, 0, "click"),
+    # u5: noise events interleaved, still completes
+    ev(5, 0, "error"), ev(5, 1, "view"), ev(5, 2, "signup"),
+    ev(5, 3, "click"), ev(5, 4, "error"), ev(5, 5, "purchase"),
+]
+STEPS = ["view", "click", "purchase"]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(
+        ROWS, "user_id long, ts timestamp, event_type string"
+    ).cache()
+
+
+def test_stages_hand_computed(spark, events):
+    got = {r.user_id: r.stage for r in FUN.funnel_stages(events, STEPS).collect()}
+    assert got == {1: 3, 2: 2, 3: 0, 4: 1, 5: 3}
+
+
+def test_counts(spark, events):
+    got = {
+        r.funnel_step: r.n_users
+        for r in FUN.funnel_counts(events, STEPS).collect()
+    }
+    assert got == {1: 4, 2: 3, 3: 2}
+
+
+def test_partition_independent(spark, events):
+    a = FUN.funnel_counts(events.repartition(1), STEPS).collect()
+    b = FUN.funnel_counts(events.repartition(11), STEPS).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
