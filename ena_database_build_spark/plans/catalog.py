@@ -4691,6 +4691,71 @@ UNION ALL SELECT 3, count(*) FROM t3
 """
 
 
+def q_replica_diff(spark, sf_dir):
+    """Anti-entropy replica comparison (operators/diff.py
+    bucket_checksums/replica_diff): two copies of a table compare by
+    exchanging 256 (bucket, count, xor-checksum) rows — one scan
+    each, never a content shuffle.  The 'replica' plants deterministic
+    damage in both engines (every 97th doc dropped, every 89th doc's
+    text fingerprint corrupted), and the query must localize exactly
+    those buckets.  Floats/timestamps stay out of the checksum
+    surface by fingerprinting text to md5 first."""
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5("text").alias("text_fp"),
+    )
+    replica = base.where((F.col("doc_id") % 97) != 0).withColumn(
+        "text_fp",
+        F.when(F.col("doc_id") % 89 == 0, F.lit("corrupted")).otherwise(
+            F.col("text_fp")
+        ),
+    )
+    cols = ["doc_id", "lang", "source", "n_chars", "text_fp"]
+    return DIFF.replica_diff(base, replica, "doc_id", cols)
+
+
+_CK_REPR = (
+    "concat_ws(chr(31), coalesce(CAST(doc_id AS VARCHAR), chr(0)), "
+    "coalesce(CAST(lang AS VARCHAR), chr(0)), "
+    "coalesce(CAST(source AS VARCHAR), chr(0)), "
+    "coalesce(CAST(n_chars AS VARCHAR), chr(0)), "
+    "coalesce(text_fp, chr(0)))"
+)
+
+SQL_REPLICA_DIFF = f"""
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars, md5(text) AS text_fp
+  FROM documents WHERE doc_id IS NOT NULL
+), repl AS (
+  SELECT doc_id, lang, source, n_chars,
+         CASE WHEN doc_id % 89 = 0 THEN 'corrupted' ELSE text_fp END
+           AS text_fp
+  FROM base WHERE doc_id % 97 <> 0
+), ck_a AS (
+  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+         count(*) AS n_rows_a,
+         bit_xor(CAST(('0x' || substr(md5({_CK_REPR}), 1, 15))::UBIGINT
+                 AS BIGINT)) AS ck
+  FROM base GROUP BY 1
+), ck_b AS (
+  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+         count(*) AS n_rows_b,
+         bit_xor(CAST(('0x' || substr(md5({_CK_REPR}), 1, 15))::UBIGINT
+                 AS BIGINT)) AS ck
+  FROM repl GROUP BY 1
+)
+SELECT bucket,
+       coalesce(n_rows_a, 0) AS n_rows_a,
+       coalesce(n_rows_b, 0) AS n_rows_b
+FROM ck_a FULL OUTER JOIN ck_b USING (bucket)
+WHERE coalesce(ck_a.ck <> ck_b.ck, TRUE)
+   OR coalesce(n_rows_a <> n_rows_b, TRUE)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4853,4 +4918,5 @@ CATALOG: dict[str, QueryDef] = {
     "user_retention": QueryDef(q_user_retention, SQL_USER_RETENTION),
     "compaction_plan": QueryDef(q_compaction_plan, SQL_COMPACTION_PLAN),
     "funnel_conversion": QueryDef(q_funnel_conversion, SQL_FUNNEL),
+    "replica_diff": QueryDef(q_replica_diff, SQL_REPLICA_DIFF),
 }

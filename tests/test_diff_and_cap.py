@@ -66,3 +66,34 @@ def test_source_cap_rank_limit_pushdown(spark):
     # Spark 3.5+/4.x inserts WindowGroupLimit below the exchange so map
     # tasks pre-trim to their local top-n
     assert "WindowGroupLimit" in plan
+
+
+def test_bucket_checksums_partition_and_order_independent(spark):
+    from ena_database_build_spark.operators.diff import bucket_checksums
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i % 5) for i in range(300)],
+        "id long, s string, g long",
+    )
+    a = bucket_checksums(df.repartition(1), "id", ["id", "s", "g"])
+    b = bucket_checksums(df.repartition(17), "id", ["id", "s", "g"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_replica_diff_localizes_damage(spark):
+    from ena_database_build_spark.operators.diff import replica_diff
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(400)], "id long, s string"
+    )
+    # identical replicas -> no differing bucket
+    assert replica_diff(base, base, "id", ["id", "s"]).count() == 0
+    # drop one row and corrupt one value -> only their buckets differ
+    replica = base.where(F.col("id") != 123).withColumn(
+        "s", F.when(F.col("id") == 7, F.lit("BAD")).otherwise(F.col("s"))
+    )
+    got = replica_diff(base, replica, "id", ["id", "s"]).collect()
+    assert 1 <= len(got) <= 2  # the damaged buckets only (may collide)
+    # the dropped row's bucket shows the count gap
+    assert any(r.n_rows_a == r.n_rows_b + 1 for r in got)
