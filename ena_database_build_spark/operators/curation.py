@@ -536,3 +536,69 @@ def source_cap(
         .where(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    max_doc_freq: int = 3,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb paragraph
+    dedup): drop every line whose normalized fingerprint occurs in
+    more than ``max_doc_freq`` DISTINCT documents (headers, footers,
+    cookie banners), then rebuild each document's text from its
+    surviving lines in original order.
+
+    Scale shape: lines explode once; the document-frequency count is
+    one fingerprint-keyed shuffle (map-side combinable count over
+    (fp, doc) distinct pairs), and the verdict joins back on the same
+    fingerprint key — the exact shape of the boilerplate k-gram index,
+    plus an order-restoring per-doc rebuild (sort_array over collected
+    (pos, line) structs, one doc-keyed shuffle).  Blank lines are
+    dropped outright (they carry no content and would dominate every
+    frequency bucket).
+
+    Returns ``(id, n_kept, n_dropped, text)`` with the rebuilt text.
+    """
+    lines = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias(
+                "_pos", "_line"
+            ),
+        )
+        .where(F.trim(F.col("_line")) != "")
+        .withColumn("_lfp", F.md5(F.trim(F.col("_line"))))
+    )
+    freq = lines.groupBy("_lfp").agg(
+        F.count_distinct(id_col).alias("_ndocs")
+    )
+    verdict = lines.join(freq, "_lfp").withColumn(
+        "_keep", F.col("_ndocs") <= max_doc_freq
+    )
+    return (
+        verdict.groupBy(id_col)
+        .agg(
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("_keep")).cast("long")).alias("n_dropped"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(
+                                    F.col("_pos"), F.col("_line")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias(text_col),
+        )
+    )

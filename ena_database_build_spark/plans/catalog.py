@@ -4756,6 +4756,68 @@ WHERE coalesce(ck_a.ck <> ck_b.ck, TRUE)
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet/RefinedWeb-style line-level boilerplate removal
+    (operators/curation.py line_dedup): lines occurring in more than
+    3 distinct docs drop, surviving lines rebuild each document in
+    original order.  The fixture text is single-line, so both engines
+    first deterministically re-line it (10-token lines) — the
+    word-soup corpus then contains genuinely repeated lines, making
+    the drop path non-vacuous.  Compared output carries the rebuilt
+    text's md5 so the row stays narrow."""
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = D.tokens(F.col("text"))
+    n = F.size(toks)
+    lined = docs.where(n >= 1).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), F.floor((n - 1) / 10).cast("int")),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * 10 + 1, F.lit(10))
+                ),
+            ),
+        ).alias("text"),
+    )
+    out = CUR.line_dedup(lined, max_doc_freq=3)
+    return out.select(
+        "doc_id", "n_kept", "n_dropped", F.md5("text").alias("text_fp")
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE text IS NOT NULL
+), lined AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, CAST(floor((len(toks) - 1) / 10) AS BIGINT) + 1),
+           i -> array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' ')
+         ) AS ls
+  FROM tk WHERE len(toks) >= 1
+), lines AS (
+  SELECT doc_id, i AS pos, ls[i + 1] AS line
+  FROM lined, unnest(range(0, len(ls))) AS t(i)
+  WHERE trim(ls[i + 1]) <> ''
+), fp AS (
+  SELECT doc_id, pos, line, md5(trim(line)) AS lfp FROM lines
+), freq AS (
+  SELECT lfp, count(DISTINCT doc_id) AS ndocs FROM fp GROUP BY lfp
+), v AS (
+  SELECT fp.doc_id, fp.pos, fp.line, freq.ndocs <= 3 AS keep
+  FROM fp JOIN freq USING (lfp)
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       md5(coalesce(
+         string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos),
+         '')) AS text_fp
+FROM v GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4919,4 +4981,5 @@ CATALOG: dict[str, QueryDef] = {
     "compaction_plan": QueryDef(q_compaction_plan, SQL_COMPACTION_PLAN),
     "funnel_conversion": QueryDef(q_funnel_conversion, SQL_FUNNEL),
     "replica_diff": QueryDef(q_replica_diff, SQL_REPLICA_DIFF),
+    "line_dedup": QueryDef(q_line_dedup, SQL_LINE_DEDUP),
 }

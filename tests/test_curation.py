@@ -196,3 +196,30 @@ def test_decontaminate_matches_pure_python(spark):
         if shared:
             expected[d] = (len(shared), len(evals))
     assert out == expected
+
+
+def test_line_dedup_drops_boilerplate_and_preserves_order(spark):
+    from ena_database_build_spark.operators.curation import line_dedup
+
+    footer = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha one\n{footer}\nunique alpha two"),
+            (2, f"{footer}\nunique beta"),
+            (3, f"unique gamma\n{footer}"),
+            (4, f"unique delta\n{footer}\n\n  \nunique delta two"),
+            (5, "only unique content here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in line_dedup(docs, max_doc_freq=3).collect()}
+    # footer appears in 4 docs > 3 -> dropped everywhere
+    assert got[1].text == "unique alpha one\nunique alpha two"
+    assert got[1].n_dropped == 1 and got[1].n_kept == 2
+    assert got[2].text == "unique beta"
+    assert got[3].text == "unique gamma"
+    # blank lines vanish without counting as kept or dropped
+    assert got[4].text == "unique delta\nunique delta two"
+    assert got[4].n_kept == 2 and got[4].n_dropped == 1
+    assert got[5].text == "only unique content here"
+    assert got[5].n_dropped == 0
