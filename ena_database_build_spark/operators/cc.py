@@ -116,6 +116,33 @@ def _truncate(df: DataFrame, reliable: bool) -> DataFrame:
     )
 
 
+def _collapse_exact(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """One min-id representative row per exact content fingerprint.
+
+    Run BEFORE any LSH stage: every match decision downstream is a
+    pure function of the text, so an exact-duplicate group behaves as
+    one document — but left uncollapsed, a group of g identical texts
+    lands in one LSH bucket and costs g^2/2 candidate pairs, each
+    re-verified over the full shingle set.  (Measured: the sf1
+    replicated corpus, where groups grow ~10x, ran the incremental
+    near-dedup past 9 minutes; collapsed it completes in seconds.)
+    The collapse provably preserves the survivor set: group members
+    share corpus-hit status and cluster membership, and the cluster
+    minimum over representatives (each its group's min id) IS the
+    minimum over all members."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc_nulls_last())
+    return (
+        df.withColumn("_fp", D.fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_fp")
+    )
+
+
 def near_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -126,18 +153,23 @@ def near_dedup(
     k: int = 2,
 ) -> DataFrame:
     """Drop near-duplicates, keeping the min-id document per duplicate
-    cluster: LSH candidates -> exact-Jaccard verify -> connected
-    components -> anti-join the losers.  Every stage is banded/keyed —
-    no all-pairs work anywhere."""
-    pairs = D.lsh_candidate_pairs(df, text_col, id_col, num_hashes, band_size, k)
-    verified = D.jaccard_pairs(df, pairs, text_col, id_col, k).where(
+    cluster: exact-fingerprint collapse -> LSH candidates ->
+    exact-Jaccard verify -> connected components -> anti-join the
+    losers.  Every stage is banded/keyed — no all-pairs work anywhere,
+    and the collapse keeps identical-text groups from going quadratic
+    inside their LSH bucket (see :func:`_collapse_exact`)."""
+    reps = _collapse_exact(df, text_col, id_col)
+    pairs = D.lsh_candidate_pairs(
+        reps, text_col, id_col, num_hashes, band_size, k
+    )
+    verified = D.jaccard_pairs(reps, pairs, text_col, id_col, k).where(
         F.col("jaccard") >= threshold
     )
     comp = connected_components(verified)
     losers = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(losers, id_col, "left_anti")
+    return reps.join(losers, id_col, "left_anti")
 
 
 def near_dedup_incremental(
@@ -175,6 +207,17 @@ def near_dedup_incremental(
     unchanged; only the ``existing`` scan is replaced by the index
     read."""
     cols = [F.col(id_col), F.col(text_col)]
+    # per-side exact collapse first (see _collapse_exact): identical
+    # texts share every downstream match decision, and uncollapsed
+    # they cost group^2/2 LSH pairs.  Collapsing each side separately
+    # keeps the cross-side pair (one representative each) that rule 1
+    # needs; the surviving set is provably unchanged.
+    incoming = _collapse_exact(
+        incoming.select(*cols), text_col, id_col
+    )
+    existing = _collapse_exact(
+        existing.select(*cols), text_col, id_col
+    )
     tagged = incoming.select(*cols).unionByName(existing.select(*cols))
     pairs = D.lsh_candidate_pairs(
         tagged, text_col, id_col, num_hashes, band_size, k

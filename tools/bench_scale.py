@@ -83,6 +83,30 @@ SCALE_EXTRAS = [
     "table_profile",
     "source_cap",
     "snapshot_diff",
+    # round 3 (continuation): sketch/BPE/incremental/DQ/funnel/layout
+    # surface + the relational breadth additions.
+    # near_dedup_incremental is deliberately absent for the same class
+    # of reason as semantic_dedup: the replica generator gives EVERY
+    # document 9 near-identical (not exact) variants, so the whole
+    # corpus is one dense near-dup mesh — ~225k verified pairs x ~1k
+    # shared shingles each in the exact-Jaccard verify join, a
+    # pathological density (real corpora: low-percent near-dup rates)
+    # that benchmarks the fixture, not the operator.
+    "bloom_decontaminate",
+    "bpe_pair_counts",
+    "bpe_merges",
+    "incremental_stats",
+    "orc_roundtrip",
+    "stream_enrichment",
+    "dq_report",
+    "asof_join_bucketed",
+    "hash_sample_weighted",
+    "tpch_q7_nation_volume",
+    "tpch_q13_order_distribution",
+    "user_retention",
+    "compaction_plan",
+    "funnel_conversion",
+    "replica_diff",
 ]
 SCALE_QUERIES = HEADLINE + SCALE_EXTRAS
 
