@@ -4818,6 +4818,58 @@ FROM v GROUP BY doc_id
 """
 
 
+def q_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE
+    active days, plus their island count.  The classic trick — island
+    key = day minus row_number (constant within a consecutive run) —
+    needs exactly ONE user-keyed shuffle for both windows and the
+    final per-user agg (same partitioning, no re-exchange);
+    day_number uses epoch arithmetic so the island key is pure
+    integer math."""
+    act = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            (F.unix_micros(F.date_trunc("DAY", F.col("ts"))) / 86_400_000_000)
+            .cast("long")
+            .alias("day_no"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_no")
+    islands = act.withColumn(
+        "island", F.col("day_no") - F.row_number().over(w)
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.count("*").alias("n_islands"),
+    )
+
+
+SQL_ACTIVITY_STREAKS = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day_no
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), isl AS (
+  SELECT user_id, day_no,
+         day_no - row_number() OVER (
+           PARTITION BY user_id ORDER BY day_no) AS island
+  FROM act
+), runs AS (
+  SELECT user_id, island, count(*) AS run_len
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, max(run_len) AS longest_streak,
+       count(*) AS n_islands
+FROM runs GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4982,4 +5034,5 @@ CATALOG: dict[str, QueryDef] = {
     "funnel_conversion": QueryDef(q_funnel_conversion, SQL_FUNNEL),
     "replica_diff": QueryDef(q_replica_diff, SQL_REPLICA_DIFF),
     "line_dedup": QueryDef(q_line_dedup, SQL_LINE_DEDUP),
+    "activity_streaks": QueryDef(q_activity_streaks, SQL_ACTIVITY_STREAKS),
 }
