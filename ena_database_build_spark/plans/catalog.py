@@ -4890,9 +4890,11 @@ FROM runs GROUP BY user_id
 # window — editing a banked query's semantics while banked would
 # invalidate its prior-round green row): consolidate micro-queries
 # that pin related operator ids into multi-column queries
-# (P4+P5+P6 detectors; F6+F8 guards; S6+S7 sinks), then spend the
-# freed slots on oracle rows for near_dedup_incremental (cc.py),
-# asof_join_bucketed (asof.py), and hash_sample_weighted (sampling.py).
+# (P4+P5+P6 detectors; F6+F8 guards; S6+S7 sinks).  The freed slots
+# go to the round-3-continuation additions below window 3 — the
+# formerly-planned oracle rows for near_dedup_incremental,
+# asof_join_bucketed, and hash_sample_weighted were added mid-round-3
+# (window 3) and already pass the local harness.
 CATALOG: dict[str, QueryDef] = {
     # -- window 1 (round 3): previously driver-unseen + new this round
     "rollup_revenue": QueryDef(q_rollup_revenue, SQL_ROLLUP),
@@ -5011,6 +5013,9 @@ CATALOG: dict[str, QueryDef] = {
     "source_cap": QueryDef(q_source_cap, SQL_SOURCE_CAP),
     "snapshot_diff": QueryDef(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "cdc_latest_state": QueryDef(q_cdc_latest_state, SQL_CDC_LATEST),
+    # -- window 3 (round-3 continuation): sketch/BPE/incremental/DQ/
+    # funnel/layout/anti-entropy surface + relational breadth; enters
+    # the checked window with the round-4 rotation
     "bloom_decontaminate": QueryDef(q_bloom_decontaminate, SQL_BLOOM_DECON),
     "bpe_pair_counts": QueryDef(q_bpe_pair_counts, SQL_BPE_PAIRS),
     "bpe_merges": QueryDef(q_bpe_merges, SQL_BPE_MERGES),
