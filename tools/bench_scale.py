@@ -107,6 +107,7 @@ SCALE_EXTRAS = [
     "compaction_plan",
     "funnel_conversion",
     "replica_diff",
+    "line_dedup",
 ]
 SCALE_QUERIES = HEADLINE + SCALE_EXTRAS
 
