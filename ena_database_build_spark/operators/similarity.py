@@ -233,3 +233,41 @@ def mean_pool(
         e.groupBy("grp", (F.col("dim0") + 1).alias("dim"))
         .agg(F.avg("val").alias("mean_val"))
     )
+
+
+def batch_cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched exact serving: score EVERY query in ``queries`` against
+    the corpus in one pass.  The query set broadcasts (a serving batch
+    is bounded by construction); the crossJoin multiplies the corpus
+    scan map-side by |Q| — no corpus shuffle — and the only exchange
+    is the per-query top-k window over |corpus| x |Q| scored rows,
+    which AQE sizes like any aggregation.  Scores are rounded BEFORE
+    ranking so near-tie membership at the k boundary is engine-stable
+    (same convention as cosine_topk).
+
+    Returns ``(query_id, id, cos_sim, rank)`` rows, k per query."""
+    from pyspark.sql import Window
+
+    scored = df.crossJoin(F.broadcast(queries)).select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), F.col(qvec_col)),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

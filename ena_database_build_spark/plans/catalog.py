@@ -4870,6 +4870,80 @@ FROM runs GROUP BY user_id
 """
 
 
+def q_batch_cosine_topk(spark, sf_dir):
+    """Batched ANN serving (operators/similarity.py
+    batch_cosine_topk): 4 query vectors scored against the whole
+    corpus in ONE scan — broadcast query batch, map-side fan-out, one
+    per-query top-k window.  The single-query `cosine_topk` is the
+    per-lookup baseline; this is the throughput shape real serving
+    uses (score a request batch per corpus pass)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    return SIM.batch_cosine_topk(emb, queries, k=10)
+
+
+SQL_BATCH_COSINE = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 4
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         round(
+           list_inner_product(
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+           / (sqrt(list_inner_product(
+                list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+              * sqrt(list_inner_product(q.qv, q.qv))),
+           6) AS cos_sim
+  FROM embeddings e, q
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+
+
+def q_event_transitions(spark, sf_dir):
+    """Clickstream transition matrix (Markov counts): for each user's
+    time-ordered event sequence, count (event, next_event) pairs
+    corpus-wide.  One user-keyed window (lead) + one pair groupBy —
+    the sequence never leaves its partition; ties at equal timestamps
+    order by event_id so both engines see the same successor."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT from_type, to_type, count(*) AS n_transitions
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5040,4 +5114,6 @@ CATALOG: dict[str, QueryDef] = {
     "replica_diff": QueryDef(q_replica_diff, SQL_REPLICA_DIFF),
     "line_dedup": QueryDef(q_line_dedup, SQL_LINE_DEDUP),
     "activity_streaks": QueryDef(q_activity_streaks, SQL_ACTIVITY_STREAKS),
+    "batch_cosine_topk": QueryDef(q_batch_cosine_topk, SQL_BATCH_COSINE),
+    "event_transitions": QueryDef(q_event_transitions, SQL_EVENT_TRANSITIONS),
 }

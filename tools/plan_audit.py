@@ -48,6 +48,8 @@ ALLOW_NESTED = {
     "mixture_rebalance",
     # Misra-Gries candidate set (<= 1/theta rows) + 1-row total
     "heavy_hitters",
+    # bounded serving batch of query vectors broadcast over the corpus
+    "batch_cosine_topk",
 }
 
 
