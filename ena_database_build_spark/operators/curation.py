@@ -454,6 +454,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_eval: bool = False,
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """Benchmark-contamination report: train documents sharing any
     word ``k``-gram with the held-out eval split.
@@ -472,6 +473,16 @@ def decontaminate(
     always safe, but this function's eval side is a corpus *fraction*,
     and force-broadcasting a fraction of a 100 TB corpus would OOM the
     driver where AQE's size-based choice degrades gracefully.
+
+    ``bloom_prefilter=True`` probes the train shingles through a Bloom
+    filter of the eval shingles (operators/sketch.py) BEFORE the exact
+    join.  The filter has no false negatives, so the result is
+    provably unchanged; the exact join's train-side shuffle shrinks
+    from "every distinct train shingle" to "shingles that might
+    match" (true overlap + the filter's small false-positive rate) —
+    the 100 TB composition, where the filter itself stays bounded by
+    the bit-space size.  Off by default so small corpora skip the
+    extra probe stage.
 
     Returns one row per contaminated train document:
     ``(doc_id, n_shared_shingles, n_eval_docs)``.
@@ -493,6 +504,15 @@ def decontaminate(
         k=k,
         distinct=True,
     ).select(F.col(id_col).alias("_eval_id"), "shingle")
+    if bloom_prefilter:
+        from .sketch import bloom_build, bloom_probe
+
+        bits = bloom_build(
+            eval_sh, value_col="shingle", n_hashes=3, hex_chars=5
+        )
+        train_sh = bloom_probe(
+            train_sh, bits, value_col="shingle", n_hashes=3, hex_chars=5
+        )
     if broadcast_eval:
         eval_sh = F.broadcast(eval_sh)
     return (

@@ -87,6 +87,10 @@ def build_training_corpus(
         deduped, test_fraction=test_fraction, id_col=id_col, seed=seed
     )
     test = split.where(F.col("split") == "test").drop("split")
+    # bloom_prefilter: the exact contamination join runs only on train
+    # shingles the eval-side Bloom filter can't rule out — provably
+    # the same result (no false negatives), train-shuffle shrunk to
+    # near the true overlap at corpus scale
     contaminated = decontaminate(
         deduped,
         k=decon_k,
@@ -94,6 +98,7 @@ def build_training_corpus(
         seed=seed,
         text_col=text_col,
         id_col=id_col,
+        bloom_prefilter=True,
     ).select(id_col)
     train = (
         split.where(F.col("split") == "train")

@@ -223,3 +223,23 @@ def test_line_dedup_drops_boilerplate_and_preserves_order(spark):
     assert got[4].n_kept == 2 and got[4].n_dropped == 1
     assert got[5].text == "only unique content here"
     assert got[5].n_dropped == 0
+
+
+def test_decontaminate_bloom_prefilter_is_result_identical(spark):
+    from ena_database_build_spark.operators.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta epsilon tok{i} zeta eta theta")
+            for i in range(60)
+        ]
+        + [(100 + i, "alpha beta gamma delta epsilon tok3 zeta eta theta")
+           for i in range(3)],
+        "doc_id long, text string",
+    )
+    plain = decontaminate(docs, k=5, eval_fraction=0.3).collect()
+    pre = decontaminate(
+        docs, k=5, eval_fraction=0.3, bloom_prefilter=True
+    ).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, pre))
+    assert plain, "fixture must produce contamination"
