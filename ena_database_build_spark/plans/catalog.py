@@ -4242,8 +4242,10 @@ def q_dq_report(spark, sf_dir):
     both engines first plant one deterministic defect per check:
     a NULL custkey, a duplicated orderkey, an out-of-range price, an
     unknown status, a dangling customer FK, and a dangling lineitem
-    orderkey.  Each check must then FAIL with the identical fraction,
-    verdicts included, digit-for-digit."""
+    orderkey.  Thresholds alternate between strict (1.0 — the planted
+    defect fails the check) and tolerant (0.999 — one defect in 15k
+    rows passes), so the report exercises BOTH verdict directions with
+    the identical fractions, digit-for-digit."""
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
 
@@ -4278,22 +4280,30 @@ def q_dq_report(spark, sf_dir):
         dirty,
         {
             "orders_custkey_complete": (DQ.completeness("o_custkey"), 1.0),
-            "orders_orderkey_unique": (DQ.uniqueness("o_orderkey"), 1.0),
+            "orders_orderkey_unique": (
+                DQ.uniqueness("o_orderkey"),
+                0.999,
+            ),
             "orders_totalprice_range": (
                 DQ.in_range("o_totalprice", 0.0, 600000.0),
                 1.0,
             ),
             "orders_status_domain": (
                 DQ.member_of("o_orderstatus", ["O", "F", "P"]),
-                1.0,
+                0.999,
             ),
         },
     )
     ri1 = DQ.ri_coverage(
-        dirty, "o_custkey", cust, "c_custkey", "orders_custkey_ri"
+        dirty, "o_custkey", cust, "c_custkey", "orders_custkey_ri", 1.0
     )
     ri2 = DQ.ri_coverage(
-        dirty_li, "l_orderkey", orders, "o_orderkey", "lineitem_orderkey_ri"
+        dirty_li,
+        "l_orderkey",
+        orders,
+        "o_orderkey",
+        "lineitem_orderkey_ri",
+        0.999,
     )
     return local.unionByName(ri1).unionByName(ri2)
 
@@ -4355,7 +4365,11 @@ WITH dirty AS (
   FROM dirty_li l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE l.l_orderkey IS NOT NULL
 )
-SELECT check_name, metric, metric >= 1.0 AS passed FROM m
+SELECT check_name, metric,
+       metric >= CASE WHEN check_name IN (
+         'orders_orderkey_unique', 'orders_status_domain',
+         'lineitem_orderkey_ri') THEN 0.999 ELSE 1.0 END AS passed
+FROM m
 """
 
 
