@@ -33,7 +33,17 @@ def funnel_stages(
     """Per-user furthest funnel stage reached: ``(user, stage)`` with
     stage in [0, len(steps)] — stage k means the first k steps
     matched in order."""
-    us = F.unix_micros(F.col(ts_col))
+    # epoch-micros axis for either timestamp flavor: unix_micros
+    # rejects TIMESTAMP_NTZ (Spark >=4.1 infers tz-less parquet as
+    # NTZ), where wall-clock timestampdiff is type-exact and carries
+    # no session-timezone dependence
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        us = F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})"
+        )
+    else:
+        us = F.unix_micros(F.col(ts_col))
     evs = (
         events.where(
             F.col(user_col).isNotNull()

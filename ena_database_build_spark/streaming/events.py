@@ -250,3 +250,62 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_funnel(
+    events: DataFrame, steps: list[str]
+) -> DataFrame:
+    """Streaming ordered-funnel tracker via applyInPandasWithState:
+    per-user furthest funnel stage, carried as (stage, last_ts) state
+    across micro-batches and advanced by the same strict-ordering
+    automaton as the batch fold (operators/funnel.py — parity pinned
+    in tests when events arrive time-ordered).
+
+    Each micro-batch sorts ITS OWN events by (ts, event_id) before
+    feeding the automaton; an event older than the recorded
+    transition time cannot advance the state, so replays and intra-
+    batch disorder are tolerated, while a late event that SHOULD have
+    advanced an earlier stage is missed — the documented trade-off of
+    single-pass funnel state (exactly what watermarked funnel engines
+    accept).  Emits the user's current stage each batch (update
+    mode)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    output_schema = "user_id long, stage int"
+    state_schema = "stage int, last_us long"
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    def update(key, pdfs, state):
+        stage, last_us = state.get if state.exists else (0, -(2**62))
+        for pdf in pdfs:
+            pdf = pdf[pdf["event_type"].isin(step_of)]
+            if len(pdf) == 0:
+                continue
+            # datetime64 unit varies by pandas/Arrow version; pin to
+            # microseconds so the automaton matches the batch fold's
+            # unix_micros axis exactly
+            pdf = pdf.assign(
+                _us=pdf["ts"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("int64")
+            ).sort_values(["_us", "event_id"])
+            for _us, typ in zip(pdf["_us"], pdf["event_type"]):
+                if (
+                    stage < len(steps)
+                    and typ == steps[stage]
+                    and _us > last_us
+                ):
+                    stage += 1
+                    last_us = _us
+        state.update((stage, last_us))
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

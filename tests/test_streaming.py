@@ -75,6 +75,38 @@ def test_enrichment_stream_matches_batch(spark, event_dir):
     assert rows(got) == rows(want)
 
 
+def test_streaming_funnel_matches_batch_fold(spark, tmp_path, event_dir):
+    from ena_database_build_spark.operators import funnel as FUN
+
+    # time-ordered files: cross-batch order matters for funnel state
+    # (a late event that should have advanced an earlier stage is
+    # dropped by design); range-partitioning by ts makes each
+    # micro-batch strictly later than the previous one
+    src = spark.read.parquet(event_dir)
+    ordered_dir = str(tmp_path / "ordered")
+    src.repartitionByRange(4, "ts").write.mode("overwrite").parquet(
+        ordered_dir
+    )
+    steps = ["view", "click", "purchase"]
+    stream = STR.read_event_stream(spark, ordered_dir, max_files_per_trigger=1)
+    got = _run_stream(
+        spark, STR.streaming_funnel(stream, steps), "funnel", mode="update"
+    )
+    # update mode emits one row per user per batch; stage is monotonic,
+    # so the final state is the MAX emission (collect() does not
+    # guarantee batch order across a memory sink's partitions)
+    final = {}
+    for r in got.collect():
+        final[r.user_id] = max(final.get(r.user_id, 0), r.stage)
+    want = {
+        r.user_id: r.stage
+        for r in FUN.funnel_stages(
+            spark.read.parquet(ordered_dir), steps
+        ).collect()
+    }
+    assert final == want
+
+
 def test_session_stream_matches_batch(spark, event_dir):
     stream = STR.read_event_stream(spark, event_dir, max_files_per_trigger=2)
     got = _run_stream(
