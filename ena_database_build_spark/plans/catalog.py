@@ -2776,28 +2776,44 @@ def q_embedding_meanpool(spark, sf_dir):
     """Chunk-embedding -> document-embedding mean-pool rollup
     (similarity.mean_pool, long form): synthetic chunk->doc mapping
     vec_id div 4; relational posexplode + partial-agg avg keyed by
-    (doc, dim) — never a giant per-doc array buffer."""
+    (doc, dim) — never a giant per-doc array buffer.
+
+    Elements are quantized to 1e-6 integers BEFORE pooling and the
+    mean is REPORTED in those micro-units: a float average's addition
+    order differs between Spark's partial-agg tree and DuckDB's
+    sequential sum, and a 1-ulp difference can cross a rounding
+    boundary (observed at sf0.1) — worse, engines disagree on exact
+    .5-boundary doubles (BigDecimal half-up vs binary multiply).
+    Integer sums are order-independent and a quarter-integer mean is
+    an EXACT double, so no rounding happens anywhere and the result
+    is bit-identical in any engine."""
     emb = t(spark, sf_dir, "embeddings", spread=True).select(
-        F.expr("vec_id div 4").alias("doc"), "embedding"
+        F.expr("vec_id div 4").alias("doc"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000000.0, 0),
+        ).alias("embedding"),
     )
     pooled = SIM.mean_pool(emb, "doc")
     return pooled.select(
         F.col("grp").alias("doc"),
         F.col("dim").cast("long").alias("dim"),
-        F.round("mean_val", 6).alias("mean_val"),
+        F.col("mean_val").alias("mean_micro"),
     )
 
 
 SQL_MEANPOOL = """
 WITH e AS (
   SELECT vec_id // 4 AS doc,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         list_transform(embedding,
+                        x -> round(CAST(x AS DOUBLE) * 1000000, 0)) AS v
   FROM embeddings
 ),
 x AS (
   SELECT doc, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS val FROM e
 )
-SELECT doc, dim, round(avg(val), 6) AS mean_val FROM x GROUP BY doc, dim
+SELECT doc, dim, avg(val) AS mean_micro
+FROM x GROUP BY doc, dim
 """
 
 
