@@ -4974,6 +4974,36 @@ GROUP BY from_type, to_type
 """
 
 
+def q_top_purchases(spark, sf_dir):
+    """Batch anchor of the transformWithStateInPandas leaderboard
+    (streaming/events.py top_purchases_stream): per-user top-3
+    purchase values, exploded to (user, rank, value) rows.  The
+    streaming operator's ValueState converges to exactly this; its
+    live execution is environment-gated (protobuf state server absent
+    — documented skip), so this row pins the semantics the way
+    stream_totals does for running_user_totals."""
+    ev = t(spark, sf_dir, "events")
+    out = STR.top_purchases_batch(ev, k=3)
+    return out.select(
+        "user_id", F.posexplode("top_values").alias("rank0", "value")
+    ).select(
+        "user_id", (F.col("rank0") + 1).alias("rank"), "value"
+    )
+
+
+SQL_TOP_PURCHASES = """
+SELECT user_id, rn AS rank, round(value, 6) AS value
+FROM (
+  SELECT user_id, value, row_number() OVER (
+    PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+    AND user_id IS NOT NULL
+)
+WHERE rn <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5146,4 +5176,5 @@ CATALOG: dict[str, QueryDef] = {
     "activity_streaks": QueryDef(q_activity_streaks, SQL_ACTIVITY_STREAKS),
     "batch_cosine_topk": QueryDef(q_batch_cosine_topk, SQL_BATCH_COSINE),
     "event_transitions": QueryDef(q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "top_purchases": QueryDef(q_top_purchases, SQL_TOP_PURCHASES),
 }

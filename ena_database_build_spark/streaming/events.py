@@ -309,3 +309,84 @@ def streaming_funnel(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def top_purchases_stream(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user running top-``k`` purchase values on the Spark 4
+    ``transformWithStateInPandas`` API (StatefulProcessor + typed
+    ValueState — the successor to applyInPandasWithState, with
+    explicit state handles instead of one opaque tuple).
+
+    State per user is exactly the current top-``k`` array (bounded by
+    construction); each micro-batch merges the batch's purchase values
+    into it and emits the refreshed leaderboard.  Batch anchor:
+    :func:`top_purchases_batch` — a plain per-user top-k window —
+    which the stream's final state must equal.
+
+    ENVIRONMENT NOTE: executing transformWithState requires the
+    ``protobuf`` package (Spark's Python state-server protocol);
+    absent here, so the parity test skips with that reason (same
+    posture as the MySQL-wire JDBC gap) — the applyInPandasWithState
+    twin operators (:func:`running_user_totals`,
+    :func:`streaming_funnel`) exercise the stateful path end-to-end.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getValueState("top", "vals array<double>")
+
+        def handleInputRows(self, key, rows, timerValues):
+            current = list(self._top.get()[0]) if self._top.exists() else []
+            for pdf in rows:
+                vals = pdf.loc[
+                    pdf["event_type"] == "purchase", "value"
+                ].dropna()
+                current.extend(float(v) for v in vals)
+            current = sorted(current, reverse=True)[:k]
+            self._top.update((current,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "top_values": [[round(v, 6) for v in current]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        TopK(),
+        outputStructType="user_id long, top_values array<double>",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def top_purchases_batch(events: DataFrame, k: int = 3) -> DataFrame:
+    """Batch anchor of :func:`top_purchases_stream`: per-user top-k
+    purchase values via one window pass, collected into the same
+    descending array shape."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), "event_id"
+    )
+    ranked = (
+        events.where(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+    )
+    return ranked.groupBy("user_id").agg(
+        F.reverse(
+            F.sort_array(F.collect_list(F.round("value", 6)))
+        ).alias("top_values")
+    )

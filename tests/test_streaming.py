@@ -87,6 +87,18 @@ def test_streaming_funnel_matches_batch_fold(spark, tmp_path, event_dir):
     src.repartitionByRange(4, "ts").write.mode("overwrite").parquet(
         ordered_dir
     )
+    # FileStreamSource orders the initial listing by MODIFICATION
+    # time, and parquet tasks finish in arbitrary order — pin mtimes
+    # to file-name order so micro-batches really arrive time-ordered
+    import os
+    import time as _time
+
+    parts = sorted(
+        p for p in os.listdir(ordered_dir) if p.startswith("part-")
+    )
+    base = _time.time()
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(ordered_dir, p), (base + i, base + i))
     steps = ["view", "click", "purchase"]
     stream = STR.read_event_stream(spark, ordered_dir, max_files_per_trigger=1)
     got = _run_stream(
@@ -102,6 +114,44 @@ def test_streaming_funnel_matches_batch_fold(spark, tmp_path, event_dir):
         r.user_id: r.stage
         for r in FUN.funnel_stages(
             spark.read.parquet(ordered_dir), steps
+        ).collect()
+    }
+    assert final == want
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs the protobuf package "
+    "(Spark's Python state-server protocol), not installed in this "
+    "environment; the applyInPandasWithState twins are fully tested",
+)
+def test_top_purchases_stream_matches_batch(spark, event_dir):
+    stream = STR.read_event_stream(spark, event_dir, max_files_per_trigger=2)
+    got = _run_stream(
+        spark, STR.top_purchases_stream(stream, k=3), "topk", mode="update"
+    )
+    # update mode re-emits per batch; the final state per user is the
+    # longest/most-complete leaderboard — reduce by taking the row
+    # with the lexicographically largest (desc-sorted) array, which
+    # for a monotonically improving top-k IS the last state
+    final = {}
+    for r in got.collect():
+        cur = tuple(r.top_values)
+        if cur > final.get(r.user_id, ()):
+            final[r.user_id] = cur
+    want = {
+        r.user_id: tuple(r.top_values)
+        for r in STR.top_purchases_batch(
+            _batch_events(spark, event_dir), k=3
         ).collect()
     }
     assert final == want
