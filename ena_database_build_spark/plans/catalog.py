@@ -5004,6 +5004,41 @@ WHERE rn <= 3
 """
 
 
+def q_schema_evolution(spark, sf_dir):
+    """Schema-on-read evolution: batch 1 lands without the `lang`
+    column, batch 2 adds it; `mergeSchema` unifies the table and
+    back-fills NULLs for the early files — the additive-column flow a
+    long-lived corpus lake needs (no rewrite of old data).  The
+    oracle recomputes the same per-source counts from the unified
+    view; `n_lang` counts only batch-2 rows, proving the NULL
+    back-fill rather than a silent column drop."""
+    import shutil
+
+    path = _sink_path(sf_dir, "evolve")
+    shutil.rmtree(path, ignore_errors=True)
+    docs = t(spark, sf_dir, "documents")
+    docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source"
+    ).write.mode("overwrite").parquet(f"{path}/b1")
+    docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "lang"
+    ).write.mode("overwrite").parquet(f"{path}/b2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/b1", f"{path}/b2"
+    )
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("lang").alias("n_lang"),
+    )
+
+
+SQL_SCHEMA_EVOLUTION = """
+SELECT source, count(*) AS n_docs,
+       count(CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_lang
+FROM documents GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5177,4 +5212,5 @@ CATALOG: dict[str, QueryDef] = {
     "batch_cosine_topk": QueryDef(q_batch_cosine_topk, SQL_BATCH_COSINE),
     "event_transitions": QueryDef(q_event_transitions, SQL_EVENT_TRANSITIONS),
     "top_purchases": QueryDef(q_top_purchases, SQL_TOP_PURCHASES),
+    "schema_evolution": QueryDef(q_schema_evolution, SQL_SCHEMA_EVOLUTION),
 }
