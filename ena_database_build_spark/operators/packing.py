@@ -280,3 +280,109 @@ def mixture_rebalance(
             F.round("keep_fraction", 6).alias("keep_fraction"),
         )
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    mask_hex: str = "26666666",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "sc",
+) -> DataFrame:
+    """T5/UL2-style span corruption, fully deterministic: tokens whose
+    md5(seed|doc|pos) prefix sorts under ``mask_hex`` (8 hex chars;
+    '26666666' ~ 15%) are masked; RUNS of masked tokens collapse into
+    one sentinel span.  Emits per doc the corrupted input (spans
+    replaced by ``<extra_id_k>``), the target (each sentinel followed
+    by its span's tokens), and span stats — the (input, target) pair
+    a span-corruption pretraining objective trains on, reproducible
+    across retries and partitionings because the "noise" is a pure
+    hash of (seed, doc, position).
+
+    Shape: one explode, every window on the SAME doc partitioning
+    (mask islands via the pos-minus-rank trick, span ids via
+    dense_rank, first-of-span via row_number), one doc-keyed rebuild
+    — two shuffles total, no UDF, no RNG.  Texts return as md5
+    fingerprints so the compared row stays narrow."""
+    from .dedup import tokens as _tokens
+
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(_tokens(F.col(text_col))).alias("pos", "tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    h = F.substring(
+        F.md5(
+            F.concat_ws("|", F.lit(seed), F.col(id_col), F.col("pos"))
+        ),
+        1,
+        8,
+    )
+    marked = toks.withColumn("_m", h < F.lit(mask_hex))
+    w_doc = Window.partitionBy(id_col)
+    w_masked = Window.partitionBy(id_col, "_m").orderBy("pos")
+    # island key constant within a consecutive masked run
+    isl = marked.withColumn(
+        "_isl",
+        F.when(F.col("_m"), F.col("pos") - F.row_number().over(w_masked)),
+    )
+    # rank islands within the MASKED partition only: a doc-wide rank
+    # would order the unmasked rows' NULL island keys too, and the
+    # engines disagree on NULL sort position (Spark nulls-first,
+    # DuckDB nulls-last)
+    w_span = Window.partitionBy(id_col, "_m").orderBy("_isl")
+    w_in_span = Window.partitionBy(id_col, "_isl").orderBy("pos")
+    spans = isl.withColumn(
+        "_span_k",
+        F.when(F.col("_m"), F.dense_rank().over(w_span) - 1),
+    ).withColumn(
+        "_first", F.col("_m") & (F.row_number().over(w_in_span) == 1)
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("_span_k").cast("string"), F.lit(">")
+    )
+    rendered = spans.select(
+        F.col(id_col),
+        "pos",
+        "_m",
+        "_first",
+        F.when(~F.col("_m"), F.col("tok"))
+        .when(F.col("_first"), sentinel)
+        .alias("_inp"),
+        F.when(
+            F.col("_m") & F.col("_first"),
+            F.concat_ws(" ", sentinel, F.col("tok")),
+        )
+        .when(F.col("_m"), F.col("tok"))
+        .alias("_tgt"),
+    )
+
+    def _joined(col: str) -> F.Column:
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col(col).isNotNull(),
+                                F.struct(F.col("pos"), F.col(col).alias("s")),
+                            )
+                        )
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
+                lambda x: x["s"],
+            ),
+        )
+
+    return rendered.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("_m").cast("long")).alias("n_masked"),
+        F.sum(F.col("_first").cast("long")).alias("n_spans"),
+        F.md5(_joined("_inp")).alias("input_fp"),
+        F.md5(_joined("_tgt")).alias("target_fp"),
+    )

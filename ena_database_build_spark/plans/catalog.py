@@ -5039,6 +5039,62 @@ FROM documents GROUP BY source
 """
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5-style span corruption (operators/packing.py
+    span_corruption): ~15% of tokens masked by a pure hash of
+    (seed, doc, position), consecutive masks collapsed to one
+    sentinel span; outputs per-doc (input, target) fingerprints and
+    span stats.  Deterministic "noise" means the oracle reproduces
+    the identical corruption — a pretraining augmentation with an
+    exact correctness check."""
+    docs = t(spark, sf_dir, "documents")
+    return PK.span_corruption(docs)
+
+
+SQL_SPAN_CORRUPTION = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS_SQL} AS tks FROM documents WHERE text IS NOT NULL
+), toks AS (
+  SELECT doc_id, i - 1 AS pos, tks[i] AS tok
+  FROM tk, unnest(range(1, len(tks) + 1)) AS t(i)
+  WHERE tks[i] <> ''
+), marked AS (
+  SELECT doc_id, pos, tok,
+         substr(md5('sc|' || CAST(doc_id AS VARCHAR) || '|'
+                    || CAST(pos AS VARCHAR)), 1, 8) < '26666666' AS m
+  FROM toks
+), isl AS (
+  SELECT *, CASE WHEN m THEN pos - row_number() OVER (
+    PARTITION BY doc_id, m ORDER BY pos) END AS island
+  FROM marked
+), spans AS (
+  SELECT *,
+         CASE WHEN m THEN dense_rank() OVER (
+           PARTITION BY doc_id, m ORDER BY island) - 1 END AS k,
+         m AND row_number() OVER (
+           PARTITION BY doc_id, island ORDER BY pos) = 1 AS first
+  FROM isl
+), rendered AS (
+  SELECT doc_id, pos, m, first,
+         CASE WHEN NOT m THEN tok
+              WHEN first THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+         END AS inp,
+         CASE WHEN m AND first THEN
+                '<extra_id_' || CAST(k AS VARCHAR) || '> ' || tok
+              WHEN m THEN tok
+         END AS tgt
+  FROM spans
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(sum(CASE WHEN first THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+       md5(coalesce(string_agg(inp, ' ' ORDER BY pos), '')) AS input_fp,
+       md5(coalesce(string_agg(tgt, ' ' ORDER BY pos), '')) AS target_fp
+FROM rendered GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5213,4 +5269,5 @@ CATALOG: dict[str, QueryDef] = {
     "event_transitions": QueryDef(q_event_transitions, SQL_EVENT_TRANSITIONS),
     "top_purchases": QueryDef(q_top_purchases, SQL_TOP_PURCHASES),
     "schema_evolution": QueryDef(q_schema_evolution, SQL_SCHEMA_EVOLUTION),
+    "span_corruption": QueryDef(q_span_corruption, SQL_SPAN_CORRUPTION),
 }

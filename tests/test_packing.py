@@ -169,3 +169,31 @@ def test_chunk_documents_non_overlapping_partition(spark):
     # default stride == size: exact partition, last chunk short
     assert [r["n_tokens"] for r in out] == [5, 5, 5, 2]
     assert sum(r["n_tokens"] for r in out) == 17
+
+
+def test_span_corruption_invariants(spark):
+    from ena_database_build_spark.operators.packing import span_corruption
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(40))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = span_corruption(docs).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.n_tokens == 40
+        # ~15% mask rate, binomial spread over 40 tokens
+        assert 0 <= r.n_masked <= 20
+        # spans can't outnumber masked tokens; zero masked -> zero spans
+        assert r.n_spans <= r.n_masked
+        assert (r.n_masked == 0) == (r.n_spans == 0)
+    # corpus-level rate close to 15%
+    total = sum(r.n_masked for r in out) / sum(r.n_tokens for r in out)
+    assert 0.08 < total < 0.22
+    # deterministic across partitionings
+    again = span_corruption(docs.repartition(7)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # changing the seed changes the corruption
+    other = span_corruption(docs, seed="other").collect()
+    assert {r.input_fp for r in other} != {r.input_fp for r in out}
