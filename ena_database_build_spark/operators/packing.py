@@ -386,3 +386,52 @@ def span_corruption(
         F.md5(_joined("_inp")).alias("input_fp"),
         F.md5(_joined("_tgt")).alias("target_fp"),
     )
+
+
+def mixture_upsample(
+    df: DataFrame,
+    epochs: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "up",
+) -> DataFrame:
+    """Deterministic fractional upsampling: each source repeats at its
+    ``epochs`` rate (e.g. 2.3 = every doc twice, plus a 30% hash-chosen
+    subset a third time) — the standard epoch-weighting move when a
+    small high-quality source must punch above its byte share and
+    thinning (:func:`mixture_rebalance`) can't get there.
+
+    Every doc yields ``floor(e)`` copies plus one more when its
+    (seed, id) hash lands under ``frac(e)`` — the same md5 axis as
+    every sampler here, so the replica multiset is a pure function of
+    content, stable across retries, partitionings, and incremental
+    runs.  Map-only: a literal-map lookup + ``explode(sequence(...))``;
+    no shuffle, no RNG.  Rows gain ``epoch`` (1-based copy index) —
+    downstream shuffling treats each copy as its own row, and
+    ``(id, epoch)`` stays a stable identity.  Unlisted sources keep
+    one epoch.
+    """
+    emap = F.create_map(
+        *[
+            x
+            for s, e in epochs.items()
+            for x in (F.lit(s), F.lit(float(e)))
+        ]
+    )
+    e = F.coalesce(emap[F.col(source_col)], F.lit(1.0))
+    base = F.floor(e).cast("int")
+    frac = e - F.floor(e)
+    # fixed-width hex compare against the per-row fractional threshold:
+    # frac in [0,1) scaled to the 16^8 hash space (integer-exact for
+    # the usual one-decimal epoch rates)
+    extra = (
+        F.conv(sample_hash(F.col(id_col), seed), 16, 10).cast("long")
+        < frac * F.lit(float(16**8))
+    ).cast("int")
+    n_copies = base + extra
+    return (
+        df.withColumn("_n", n_copies)
+        .where(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .drop("_n")
+    )

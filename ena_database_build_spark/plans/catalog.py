@@ -5095,6 +5095,46 @@ FROM rendered GROUP BY doc_id
 """
 
 
+def q_mixture_upsample(spark, sf_dir):
+    """Deterministic fractional upsampling (operators/packing.py
+    mixture_upsample): src0 runs 2.5 epochs (every doc twice + a
+    hash-chosen half a third time), src1 half an epoch, everything
+    else once.  Per-source accounting proves both the repetition and
+    the fractional-subset selection; map-only explode, no RNG —
+    epochs are a pure function of (seed, id)."""
+    docs = t(spark, sf_dir, "documents")
+    up = PK.mixture_upsample(
+        docs, {"src0": 2.5, "src1": 0.5}, seed="up"
+    )
+    return up.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.max("epoch").alias("max_epoch"),
+    )
+
+
+SQL_MIXTURE_UPSAMPLE = """
+WITH e AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+              ELSE 1.0 END AS ep
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         CAST(floor(ep) AS INT)
+         + CASE WHEN CAST(('0x' || substr(md5('up|' ||
+                   CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                   < (ep - floor(ep)) * 4294967296
+                THEN 1 ELSE 0 END AS n
+  FROM e
+)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_rows,
+       count(DISTINCT CASE WHEN n > 0 THEN doc_id END) AS n_docs,
+       max(n) AS max_epoch
+FROM c WHERE n > 0 GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5270,4 +5310,5 @@ CATALOG: dict[str, QueryDef] = {
     "top_purchases": QueryDef(q_top_purchases, SQL_TOP_PURCHASES),
     "schema_evolution": QueryDef(q_schema_evolution, SQL_SCHEMA_EVOLUTION),
     "span_corruption": QueryDef(q_span_corruption, SQL_SPAN_CORRUPTION),
+    "mixture_upsample": QueryDef(q_mixture_upsample, SQL_MIXTURE_UPSAMPLE),
 }

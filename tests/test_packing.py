@@ -197,3 +197,29 @@ def test_span_corruption_invariants(spark):
     # changing the seed changes the corruption
     other = span_corruption(docs, seed="other").collect()
     assert {r.input_fp for r in other} != {r.input_fp for r in out}
+
+
+def test_mixture_upsample_epochs(spark):
+    from ena_database_build_spark.operators.packing import mixture_upsample
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], f"t{i}") for i in range(300)],
+        "doc_id long, source string, text string",
+    )
+    up = mixture_upsample(docs, {"a": 3.0, "b": 0.5})
+    agg = {r.source: r for r in up.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("doc_id").alias("d"),
+    ).collect()}
+    # integral epochs: exactly 3 copies of every 'a' doc
+    assert agg["a"].n == 3 * 100 and agg["a"].d == 100
+    # fractional: roughly half of 'b' docs, one copy each
+    assert 30 <= agg["b"].n <= 70 and agg["b"].n == agg["b"].d
+    # unlisted source: exactly one epoch
+    assert agg["c"].n == 100 and agg["c"].d == 100
+    # determinism across partitionings
+    a = sorted(map(tuple, up.collect()))
+    b = sorted(map(tuple, mixture_upsample(
+        docs.repartition(13), {"a": 3.0, "b": 0.5}).collect()))
+    assert a == b
