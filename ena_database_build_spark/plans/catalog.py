@@ -4265,24 +4265,26 @@ def q_dq_report(spark, sf_dir):
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
 
-    def mutated(key, **over):
-        row = orders.where(F.col("o_orderkey") == key)
-        for c, v in over.items():
-            row = row.withColumn(c, v)
-        return row
-
-    dirty = (
-        orders
-        .unionByName(mutated(0, o_orderkey=F.col("o_orderkey") + 10000000,
-                             o_custkey=F.lit(None).cast("long")))
-        .unionByName(mutated(1))  # byte-identical: duplicate orderkey
-        .unionByName(mutated(2, o_orderkey=F.col("o_orderkey") + 10000002,
-                             o_totalprice=F.lit(9999999.0)))
-        .unionByName(mutated(3, o_orderkey=F.col("o_orderkey") + 10000003,
-                             o_orderstatus=F.lit("X")))
-        .unionByName(mutated(4, o_orderkey=F.col("o_orderkey") + 10000004,
-                             o_custkey=F.lit(99999999)))
+    # one planted defect per check, derived from a SINGLE extra scan
+    # (keys 0-4, each mutated by a CASE on its key) rather than five
+    k = F.col("o_orderkey")
+    planted = orders.where(k < 5).select(
+        # key 1 keeps its id (duplicate orderkey); the rest re-key
+        F.when(k == 1, k).otherwise(k + 10000000).alias("o_orderkey"),
+        F.when(k == 0, F.lit(None).cast("long"))
+        .when(k == 4, F.lit(99999999))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(k == 3, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(k == 2, F.lit(9999999.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
     )
+    dirty = orders.unionByName(planted)
     dirty_li = (
         t(spark, sf_dir, "lineitem", spread=True)
         .select("l_orderkey")
