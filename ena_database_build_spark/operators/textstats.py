@@ -232,3 +232,36 @@ def boilerplate_kgrams(
         .agg(F.countDistinct(id_col).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def script_composition(text: Column, ndigits: int = 6) -> dict[str, Column]:
+    """Character-class composition of a document — the script/charset
+    signal corpus filters use next to language id (e.g. drop docs
+    whose letter share collapses, or whose 'other' share spikes —
+    mojibake, binary spill, markup residue).
+
+    Returns ratio expressions over the NON-SPACE characters:
+    ``letter_ratio``, ``digit_ratio``, ``punct_ratio``,
+    ``other_ratio``.  Each is one regexp_count over the raw text —
+    pure codegen expressions, no tokenization, no shuffle; ratios are
+    exact-count divisions rounded once, so any engine reproduces them
+    digit-for-digit."""
+    non_space = F.length(F.regexp_replace(text, r"\s", ""))
+    letters = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    punct = F.length(
+        F.regexp_replace(text, r"""[^.,;:!?'"()\[\]{}-]""", "")
+    )
+    other = non_space - letters - digits - punct
+
+    def ratio(n: Column) -> Column:
+        return F.round(
+            F.try_divide(n.cast("double"), non_space), ndigits
+        )
+
+    return {
+        "letter_ratio": ratio(letters),
+        "digit_ratio": ratio(digits),
+        "punct_ratio": ratio(punct),
+        "other_ratio": ratio(other),
+    }

@@ -5137,6 +5137,39 @@ FROM c WHERE n > 0 GROUP BY source
 """
 
 
+def q_script_composition(spark, sf_dir):
+    """Character-class composition per document
+    (textstats.script_composition): letter/digit/punct/other shares of
+    the non-space characters — the mojibake/markup-residue signal next
+    to language id.  Pure regexp-count expressions; exact-count
+    ratios."""
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    comp = T.script_composition(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.alias(n) for n, c in comp.items()]
+    )
+
+
+SQL_SCRIPT_COMPOSITION = r"""
+WITH c AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '\s', '', 'g')) AS non_space,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS letters,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+         length(regexp_replace(text,
+           '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS punct
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       round(CAST(letters AS DOUBLE) / non_space, 6) AS letter_ratio,
+       round(CAST(digits AS DOUBLE) / non_space, 6) AS digit_ratio,
+       round(CAST(punct AS DOUBLE) / non_space, 6) AS punct_ratio,
+       round(CAST(non_space - letters - digits - punct AS DOUBLE)
+             / non_space, 6) AS other_ratio
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5313,4 +5346,7 @@ CATALOG: dict[str, QueryDef] = {
     "schema_evolution": QueryDef(q_schema_evolution, SQL_SCHEMA_EVOLUTION),
     "span_corruption": QueryDef(q_span_corruption, SQL_SPAN_CORRUPTION),
     "mixture_upsample": QueryDef(q_mixture_upsample, SQL_MIXTURE_UPSAMPLE),
+    "script_composition": QueryDef(
+        q_script_composition, SQL_SCRIPT_COMPOSITION
+    ),
 }
