@@ -225,6 +225,17 @@ def near_dedup_incremental(
     verified = D.jaccard_pairs(tagged, pairs, text_col, id_col, k).where(
         F.col("jaccard") >= threshold
     )
+    return _resolve_incremental(verified, incoming, id_col)
+
+
+def _resolve_incremental(
+    verified: DataFrame, incoming: DataFrame, id_col: str
+) -> DataFrame:
+    """Applies the two incremental rules to a verified pair frame:
+    drop incoming docs in a cross pair (rule 1), then min-id-winner
+    cluster resolution over the in-batch pairs among the remaining
+    (rule 2).  ``verified`` may contain existing-existing pairs; they
+    are ignored."""
     inc_ids = incoming.select(F.col(id_col))
     il = inc_ids.select(F.col(id_col).alias("left_id")).withColumn(
         "_li", F.lit(True)
@@ -271,3 +282,85 @@ def near_dedup_incremental(
         F.col("node").alias(id_col)
     )
     return survivors.join(losers, id_col, "left_anti")
+
+
+def band_index(
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    band_size: int = 1,
+    k: int = 2,
+) -> DataFrame:
+    """The per-epoch materialization for continuous near-dedup: LSH
+    band rows ``(id, band_idx, band_sig)`` of the exact-collapsed
+    corpus.  Persist this once per epoch (parquet, bucketed by
+    band_sig if you like); each incoming batch then joins THESE rows
+    for cross-corpus candidates instead of re-shingling the corpus —
+    see :func:`near_dedup_incremental_indexed`."""
+    reps = _collapse_exact(
+        existing.select(F.col(id_col), F.col(text_col)), text_col, id_col
+    )
+    return D.band_rows(reps, text_col, id_col, num_hashes, band_size, k)
+
+
+def near_dedup_incremental_indexed(
+    incoming: DataFrame,
+    existing: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 4,
+    band_size: int = 1,
+    k: int = 2,
+) -> DataFrame:
+    """:func:`near_dedup_incremental` against a MATERIALIZED corpus
+    band index (:func:`band_index`) — result-identical (pinned by a
+    parity test), with the corpus-scale work removed from the batch
+    path:
+
+    * cross-corpus candidates come from joining the batch's band rows
+      to the index — the corpus is never re-shingled;
+    * exact-Jaccard verification re-reads ``existing`` ONLY for the
+      candidate ids (a semi-join), so the verify explode is sized by
+      the candidate set, not the corpus.
+
+    ``index`` must have been built with the same
+    ``num_hashes/band_size/k`` (band signatures are parameter-
+    specific)."""
+    incoming = _collapse_exact(
+        incoming.select(F.col(id_col), F.col(text_col)), text_col, id_col
+    )
+    inc_bands = D.band_rows(
+        incoming, text_col, id_col, num_hashes, band_size, k
+    )
+    ex_bands = index.select(
+        F.col(id_col).alias("_ex_id"), "band_idx", "band_sig"
+    )
+    cross = (
+        inc_bands.join(ex_bands, ["band_idx", "band_sig"])
+        .select(
+            F.least(F.col(id_col), F.col("_ex_id")).alias("left_id"),
+            F.greatest(F.col(id_col), F.col("_ex_id")).alias("right_id"),
+        )
+        .distinct()
+    )
+    in_batch = D.lsh_candidate_pairs(
+        incoming, text_col, id_col, num_hashes, band_size, k
+    )
+    pairs = cross.unionByName(in_batch).distinct()
+    ex_cand_ids = (
+        cross.select(F.col("left_id").alias(id_col))
+        .unionByName(cross.select(F.col("right_id").alias(id_col)))
+        .join(incoming.select(id_col), id_col, "left_anti")
+        .distinct()
+    )
+    ex_cand = _collapse_exact(
+        existing.select(F.col(id_col), F.col(text_col)), text_col, id_col
+    ).join(ex_cand_ids, id_col, "left_semi")
+    tagged = incoming.unionByName(ex_cand)
+    verified = D.jaccard_pairs(tagged, pairs, text_col, id_col, k).where(
+        F.col("jaccard") >= threshold
+    )
+    return _resolve_incremental(verified, incoming, id_col)

@@ -217,6 +217,41 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """``(id, band_idx, band_sig)`` LSH band rows — the unit every
+    candidate join keys on, and the thing a continuous build
+    MATERIALIZES per epoch (see cc.band_index): persist these rows
+    for the corpus once, and each incoming batch joins them instead
+    of re-shingling 100 TB."""
+    assert num_hashes % band_size == 0
+    nbands = num_hashes // band_size
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    return sigs.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{b * band_size + j}")
+                            for j in range(band_size)
+                        ],
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -231,22 +266,7 @@ def lsh_candidate_pairs(
     MinHash values.  The candidate join is an equi-join on
     ``(band_idx, band_sig)`` — one shuffle, no cross product.
     """
-    assert num_hashes % band_size == 0
-    nbands = num_hashes // band_size
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
-    bands = sigs.select(
-        id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-                    )
-                    for b in range(nbands)
-                ]
-            )
-        ).alias("band_idx", "band_sig"),
-    )
+    bands = band_rows(df, text_col, id_col, num_hashes, band_size, k)
     left = bands.alias("l")
     right = bands.alias("r")
     return (

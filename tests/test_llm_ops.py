@@ -523,3 +523,41 @@ def test_hash_sample_fraction_just_below_one_keeps_width(spark):
     docs = spark.range(200).withColumnRenamed("id", "doc_id")
     n = SMP.hash_sample(docs, 1 - 2**-53, id_col="doc_id").count()
     assert n >= 199  # keeps (essentially) everything; never collapses
+
+
+def test_indexed_incremental_near_dedup_matches_direct(spark):
+    from ena_database_build_spark.operators.cc import (
+        band_index,
+        near_dedup_incremental,
+        near_dedup_incremental_indexed,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(40):
+        rows.append((i, f"{base} unique{i} widget{i}"))
+    # near-dups of doc 3 and doc 7 (small perturbations), plus exact
+    # copies of doc 5
+    rows += [
+        (100, f"{base} unique3 gadget"),
+        (101, f"{base} unique7 gadget"),
+        (102, f"{base} unique5 widget5"),
+        (103, f"{base} unique5 widget5"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    incoming = docs.where("doc_id >= 100 OR doc_id % 4 = 0")
+    existing = docs.where("doc_id < 100 AND doc_id % 4 <> 0")
+    direct = sorted(
+        r.doc_id
+        for r in near_dedup_incremental(incoming, existing, k=2).collect()
+    )
+    idx = band_index(existing, k=2)
+    indexed = sorted(
+        r.doc_id
+        for r in near_dedup_incremental_indexed(
+            incoming, existing, idx, k=2
+        ).collect()
+    )
+    assert direct == indexed
+    assert direct, "fixture must keep at least one survivor"
+    assert len(direct) < incoming.count(), "fixture must drop something"
