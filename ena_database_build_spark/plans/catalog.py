@@ -4154,6 +4154,70 @@ def _bpe_merges_sql(n_merges: int) -> str:
 SQL_BPE_MERGES = _bpe_merges_sql(4)
 
 
+def q_bpe_compression(spark, sf_dir):
+    """Learning composed with serving: learn 4 BPE merges, apply them
+    to the vocabulary, report the corpus compression — token-weighted
+    average pieces per word before (chars) and after.  The oracle
+    extends the unrolled merge CTEs by one step: the final vocab
+    state's symbol counts ARE the applied tokenization, so the stats
+    check the learner AND the application path in one row.  Exact
+    fractions: integer sums divided once."""
+    docs = t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in B.learn_bpe(docs, n_merges=4).orderBy("rank").collect()
+    ]
+    wf = B.word_freqs(docs)
+    pieces = B.chars(F.col("word"))
+    for left, right in merges:
+        pieces = B.merge_pair(pieces, left, right)
+    sized = wf.select(
+        "freq",
+        F.length("word").alias("n_chars"),
+        F.size(pieces).alias("n_pieces"),
+    )
+    return sized.agg(
+        F.sum("freq").alias("total_words"),
+        F.sum(F.col("freq") * F.col("n_chars")).alias("total_chars"),
+        F.sum(F.col("freq") * F.col("n_pieces")).alias("total_pieces"),
+        F.round(
+            F.try_divide(
+                F.sum(F.col("freq") * F.col("n_pieces")).cast("double"),
+                F.sum("freq"),
+            ),
+            6,
+        ).alias("avg_pieces_per_word"),
+    )
+
+
+def _bpe_compression_sql(n_merges: int) -> str:
+    base = _bpe_merges_sql(n_merges)
+    # swap the merges UNION tail for a stats SELECT over the final
+    # vocab state (s{n} of one more unrolled step)
+    head = base[: base.index("SELECT 0 AS rank")].rstrip()
+    d = "chr(2)||chr(1)"
+    return (
+        head
+        + f""",
+final AS (
+  SELECT repr, freq,
+         string_split(substring(repr, 2, length(repr) - 2), {d}) AS syms
+  FROM v{n_merges}
+)
+SELECT CAST(sum(freq) AS BIGINT) AS total_words,
+       CAST(sum(freq * length(array_to_string(syms, ''))) AS BIGINT)
+         AS total_chars,
+       CAST(sum(freq * len(syms)) AS BIGINT) AS total_pieces,
+       round(CAST(sum(freq * len(syms)) AS DOUBLE) / sum(freq), 6)
+         AS avg_pieces_per_word
+FROM final
+"""
+    )
+
+
+SQL_BPE_COMPRESSION = _bpe_compression_sql(4)
+
+
 def q_incremental_stats(spark, sf_dir):
     """Incremental aggregate maintenance (operators/incremental.py):
     per-source document-length stats computed as
@@ -5349,4 +5413,5 @@ CATALOG: dict[str, QueryDef] = {
     "script_composition": QueryDef(
         q_script_composition, SQL_SCRIPT_COMPOSITION
     ),
+    "bpe_compression": QueryDef(q_bpe_compression, SQL_BPE_COMPRESSION),
 }
