@@ -47,6 +47,7 @@ from ena_database_build_spark.operators import similarity as SIM
 from ena_database_build_spark.operators import bpe as B
 from ena_database_build_spark.operators import incremental as INC
 from ena_database_build_spark.operators import sketch as SK
+from ena_database_build_spark.operators import skew as SKW
 from ena_database_build_spark.operators import textstats as T
 from ena_database_build_spark.operators import zorder as Z
 from ena_database_build_spark.streaming import events as STR
@@ -5234,6 +5235,43 @@ FROM c
 """
 
 
+def q_skew_salted_agg(spark, sf_dir):
+    """Hot-key-safe aggregation (operators/skew.py salted_aggregate):
+    per-event-type counts and value sums computed through the
+    two-phase (key + salt) -> key combine, so one hot key spreads
+    over 16 partial groups before the tiny final shuffle.  event_type
+    has only 5 values — the maximally skewed grouping — and the
+    oracle is the PLAIN aggregation: salting must be invisible in the
+    result, visible only in the plan (pinned separately by the
+    hot-key parity test in tests/test_skew.py)."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    out = SKW.salted_aggregate(
+        ev.where(F.col("event_type").isNotNull()),
+        ["event_type"],
+        {
+            "n_events": "count(*)",
+            "total_value": "sum(value)",
+            "max_value": "max(value)",
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+SQL_SKEW_SALTED_AGG = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(max(value), 6) AS max_value
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5414,4 +5452,5 @@ CATALOG: dict[str, QueryDef] = {
         q_script_composition, SQL_SCRIPT_COMPOSITION
     ),
     "bpe_compression": QueryDef(q_bpe_compression, SQL_BPE_COMPRESSION),
+    "skew_salted_agg": QueryDef(q_skew_salted_agg, SQL_SKEW_SALTED_AGG),
 }
