@@ -5272,6 +5272,35 @@ GROUP BY event_type
 """
 
 
+def q_skew_salted_join(spark, sf_dir):
+    """Hot-key-safe join (operators/skew.py salted_join): lineitem
+    joined to orders through the salt-and-replicate scheme (fact rows
+    salted 8 ways, each dim row replicated across the salts), then a
+    revenue rollup per order priority.  The oracle is the PLAIN join
+    + rollup — replication must be exactly invisible in the result."""
+    li = t(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = SKW.salted_join(li, o, ["l_orderkey"], n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+SQL_SKEW_SALTED_JOIN = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5453,4 +5482,5 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "bpe_compression": QueryDef(q_bpe_compression, SQL_BPE_COMPRESSION),
     "skew_salted_agg": QueryDef(q_skew_salted_agg, SQL_SKEW_SALTED_AGG),
+    "skew_salted_join": QueryDef(q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
 }
