@@ -198,3 +198,39 @@ def stratified_sample(
         .where(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): rank every row by ``ln(u) / w`` with ``u`` the row's
+    deterministic (seed, id)-hash uniform, keep the top ``n`` —
+    exactly the distribution of sequential weighted draws without
+    replacement, but embarrassingly parallel (each row's key is
+    independent; the selection is one top-n).
+
+    Deterministic end to end: ``u`` comes from the md5 hash axis every
+    sampler here uses, so the same corpus yields the same sample on
+    any partitioning — and an oracle can recompute the identical
+    ranking.  Rows with NULL, zero, or negative weight never qualify
+    (they'd have key -inf).  The top-n is Spark's
+    TakeOrderedAndProject (per-partition heads + one merge), not a
+    global sort."""
+    u = (
+        F.conv(sample_hash(F.col(id_col), seed), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**8 + 1))
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    return (
+        df.where(w.isNotNull() & (w > 0) & F.col(id_col).isNotNull())
+        .withColumn("_es_key", key)
+        .orderBy(F.desc("_es_key"), id_col)
+        .limit(n)
+        .drop("_es_key")
+    )

@@ -5301,6 +5301,32 @@ GROUP BY o_orderpriority
 """
 
 
+def q_weighted_sample_n(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (operators/sampling.py weighted_sample_n): exactly 50 docs drawn
+    with probability proportional to length, via the ln(u)/w key over
+    the deterministic hash uniform — embarrassingly parallel, one
+    top-n, reproducible on any partitioning.  The oracle recomputes
+    the identical ranking."""
+    docs = t(spark, sf_dir, "documents")
+    return SMP.weighted_sample_n(
+        docs, 50, weight_col="n_chars"
+    ).select("doc_id")
+
+
+SQL_WEIGHTED_SAMPLE_N = """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         ln((CAST(('0x' || substr(md5('|' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS UBIGINT) + 1)
+            / 4294967297.0) / n_chars AS k
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0 AND doc_id IS NOT NULL
+)
+ORDER BY k DESC, doc_id LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5483,4 +5509,5 @@ CATALOG: dict[str, QueryDef] = {
     "bpe_compression": QueryDef(q_bpe_compression, SQL_BPE_COMPRESSION),
     "skew_salted_agg": QueryDef(q_skew_salted_agg, SQL_SKEW_SALTED_AGG),
     "skew_salted_join": QueryDef(q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
+    "weighted_sample_n": QueryDef(q_weighted_sample_n, SQL_WEIGHTED_SAMPLE_N),
 }

@@ -561,3 +561,32 @@ def test_indexed_incremental_near_dedup_matches_direct(spark):
     assert direct == indexed
     assert direct, "fixture must keep at least one survivor"
     assert len(direct) < incoming.count(), "fixture must drop something"
+
+
+def test_weighted_sample_n_properties(spark):
+    from collections import Counter
+
+    from ena_database_build_spark.operators.sampling import (
+        weighted_sample_n,
+    )
+
+    rows = [(i, 100 if i < 20 else 1) for i in range(420)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    picked = [
+        r.doc_id for r in weighted_sample_n(df, 40, "w").collect()
+    ]
+    assert len(picked) == len(set(picked)) == 40  # without replacement
+    # the 20 heavy rows carry 2000/2400 of the weight: expect most in
+    heavy = sum(1 for i in picked if i < 20)
+    assert heavy >= 15
+    # deterministic across partitionings
+    again = [
+        r.doc_id
+        for r in weighted_sample_n(df.repartition(9), 40, "w").collect()
+    ]
+    assert sorted(picked) == sorted(again)
+    # zero/NULL weights never qualify
+    df2 = spark.createDataFrame(
+        [(1, 0), (2, None), (3, 5)], "doc_id long, w long"
+    )
+    assert [r.doc_id for r in weighted_sample_n(df2, 3, "w").collect()] == [3]
