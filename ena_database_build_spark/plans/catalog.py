@@ -5327,6 +5327,49 @@ ORDER BY k DESC, doc_id LIMIT 50
 """
 
 
+def q_rolling_user_value(spark, sf_dir):
+    """Trailing-hour rolling aggregate per user: for every event, the
+    count and value sum of the SAME user's events in the preceding
+    3600 seconds (inclusive) — a RANGE window frame over event-time
+    seconds, the time-series primitive behind rate limiting and
+    velocity features.  One user-keyed shuffle; the frame bound is
+    value-based (rangeBetween), not row-based, so irregular event
+    spacing is handled exactly.  Oracle: DuckDB RANGE window over the
+    identical integer axis."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    sec = F.unix_micros("ts").cast("double") / 1000000.0
+    base = ev.select(
+        "event_id", "user_id", sec.alias("ts_s"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_trailing"),
+        F.round(F.sum("value").over(w), 2).alias("sum_trailing"),
+    )
+
+
+SQL_ROLLING_USER_VALUE = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_trailing,
+       round(sum(value) OVER w, 2) AS sum_trailing
+FROM (
+  SELECT event_id, user_id, value,
+         CAST(epoch_ns(ts) // 1000 AS DOUBLE) / 1000000.0 AS ts_s
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5510,4 +5553,7 @@ CATALOG: dict[str, QueryDef] = {
     "skew_salted_agg": QueryDef(q_skew_salted_agg, SQL_SKEW_SALTED_AGG),
     "skew_salted_join": QueryDef(q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
     "weighted_sample_n": QueryDef(q_weighted_sample_n, SQL_WEIGHTED_SAMPLE_N),
+    "rolling_user_value": QueryDef(
+        q_rolling_user_value, SQL_ROLLING_USER_VALUE
+    ),
 }
