@@ -5370,6 +5370,81 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
 """
 
 
+def q_scd2_enrichment(spark, sf_dir):
+    """The classic warehouse composite: facts joined to the SCD2
+    dimension version VALID AT EVENT TIME.  The dimension is the
+    account-status stream (signup/error episodes via
+    operators/scd.py); every purchase picks the status whose
+    [eff_from, eff_to) interval covers its timestamp — a user-keyed
+    equi-join with an interval filter (per-user dim rows are few, so
+    the interval predicate rides the same shuffle; purchases before
+    any status keep NULL, the dead-letter rule).  Output: purchases
+    per (status-at-purchase-time)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    dim = SCD.scd2_build(
+        ev.where(F.col("event_type").isin("signup", "error")),
+        key_col="user_id",
+        ts_col="ts_us",
+        state_col="event_type",
+        seq_col="event_id",
+    ).select(
+        "user_id",
+        F.col("state").alias("status"),
+        "eff_from",
+        "eff_to",
+    )
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    joined = fact.join(
+        dim,
+        (fact["user_id"] == dim["user_id"])
+        & (dim["eff_from"] <= fact["ts_us"])
+        & (dim["eff_to"].isNull() | (fact["ts_us"] < dim["eff_to"])),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce("status", F.lit("none")).alias("status_at_purchase")
+    ).agg(F.count("*").alias("n_purchases"))
+
+
+SQL_SCD2_ENRICHMENT = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), s AS (
+  SELECT * FROM e WHERE event_type IN ('signup', 'error')
+), o AS (
+  SELECT *, lag(event_type) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+  FROM s
+), ch AS (
+  SELECT user_id, ts_us, event_id, event_type FROM o
+  WHERE prev IS NULL OR prev <> event_type
+), dim AS (
+  SELECT user_id, event_type AS status, ts_us AS eff_from,
+         lead(ts_us) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id) AS eff_to
+  FROM ch
+), fact AS (
+  SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'
+)
+SELECT coalesce(d.status, 'none') AS status_at_purchase,
+       count(*) AS n_purchases
+FROM fact f LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND d.eff_from <= f.ts_us
+ AND (d.eff_to IS NULL OR f.ts_us < d.eff_to)
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5556,4 +5631,5 @@ CATALOG: dict[str, QueryDef] = {
     "rolling_user_value": QueryDef(
         q_rolling_user_value, SQL_ROLLING_USER_VALUE
     ),
+    "scd2_enrichment": QueryDef(q_scd2_enrichment, SQL_SCD2_ENRICHMENT),
 }
