@@ -108,6 +108,15 @@ SCALE_EXTRAS = [
     "funnel_conversion",
     "replica_diff",
     "line_dedup",
+    "span_corruption",
+    "batch_cosine_topk",
+    "activity_streaks",
+    "event_transitions",
+    "scd2_enrichment",
+    "rolling_user_value",
+    "skew_salted_join",
+    "bpe_compression",
+    "weighted_sample_n",
 ]
 SCALE_QUERIES = HEADLINE + SCALE_EXTRAS
 
