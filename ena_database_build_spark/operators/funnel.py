@@ -33,6 +33,8 @@ def funnel_stages(
     """Per-user furthest funnel stage reached: ``(user, stage)`` with
     stage in [0, len(steps)] — stage k means the first k steps
     matched in order."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
     # epoch-micros axis for either timestamp flavor: unix_micros
     # rejects TIMESTAMP_NTZ (Spark >=4.1 infers tz-less parquet as
     # NTZ), where wall-clock timestampdiff is type-exact and carries

@@ -57,6 +57,8 @@ def merge_stats(*parts: DataFrame) -> DataFrame:
     each partial's own combine operation.  The shuffle carries
     #groups × #parts rows — independent of the underlying corpus
     size, which is the entire point."""
+    if not parts:
+        raise ValueError("merge_stats needs at least one partial")
     keys = [
         c
         for c in parts[0].columns

@@ -111,6 +111,8 @@ def plan_compaction(
     NULL paths are excluded (the path is the file identity); NULL
     sizes count 0.  Returns ``(path, bytes, group_id)``.
     """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
     from pyspark.sql import Window
 
     sized = (
