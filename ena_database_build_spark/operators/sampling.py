@@ -234,3 +234,37 @@ def weighted_sample_n(
         .limit(n)
         .drop("_es_key")
     )
+
+
+def weighted_sample_n_by(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    by: list[str],
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Stratified A-ES: :func:`weighted_sample_n` independently within
+    every ``by`` group — n weighted draws without replacement per
+    stratum (the per-source curation quota, but weighted).  Same
+    deterministic ln(u)/w key; the global top-n becomes one
+    row_number window over the group partitioning, so the whole
+    sample is a single shuffle keyed by the strata."""
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(sample_hash(F.col(id_col), seed), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**8 + 1))
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    win = Window.partitionBy(*by).orderBy(
+        F.desc("_es_key"), id_col
+    )
+    return (
+        df.where(w.isNotNull() & (w > 0) & F.col(id_col).isNotNull())
+        .withColumn("_es_key", key)
+        .withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= n)
+        .drop("_es_key", "_rn")
+    )

@@ -5445,6 +5445,34 @@ GROUP BY 1
 """
 
 
+def q_weighted_sample_by_source(spark, sf_dir):
+    """Stratified weighted sampling (sampling.weighted_sample_n_by):
+    3 length-weighted draws without replacement per source — the
+    weighted per-source quota, one strata-keyed shuffle.  Oracle
+    recomputes the identical per-group ln(u)/w ranking."""
+    docs = t(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()
+    )
+    return SMP.weighted_sample_n_by(
+        docs, 3, weight_col="n_chars", by=["source"]
+    ).select("source", "doc_id")
+
+
+SQL_WEIGHTED_SAMPLE_BY = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id, row_number() OVER (
+           PARTITION BY source
+           ORDER BY ln((CAST(('0x' || substr(md5('|' ||
+                      CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 1)
+                       / 4294967297.0) / n_chars DESC,
+                    doc_id) AS rn
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+    AND doc_id IS NOT NULL
+) WHERE rn <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5632,4 +5660,7 @@ CATALOG: dict[str, QueryDef] = {
         q_rolling_user_value, SQL_ROLLING_USER_VALUE
     ),
     "scd2_enrichment": QueryDef(q_scd2_enrichment, SQL_SCD2_ENRICHMENT),
+    "weighted_sample_by_source": QueryDef(
+        q_weighted_sample_by_source, SQL_WEIGHTED_SAMPLE_BY
+    ),
 }
