@@ -219,3 +219,28 @@ def test_bpe_pair_counts_single_shuffle(spark):
     # word_freqs' own agg + the pair agg = 2 hash exchanges max
     hashed = [ln for ln in _exchanges(plan) if "hashpartitioning" in ln]
     assert len(hashed) <= 2, plan
+
+
+def test_parquet_scan_pushdown_and_pruning(spark, tmp_path):
+    # contract from the scale brief: filters and projections must reach
+    # the parquet scan — PushedFilters carries the predicate and
+    # ReadSchema carries ONLY the projected columns
+    import re as _re
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"s{i % 3}", f"text {i}", i * 10) for i in range(100)],
+        "doc_id long, source string, text string, n_chars long",
+    ).write.mode("overwrite").parquet(p)
+    df = (
+        spark.read.parquet(p)
+        .where(F.col("n_chars") > 500)
+        .select("doc_id", "source")
+    )
+    plan = _executed_plan(df)
+    pushed = _re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "GreaterThan(n_chars,500)" in pushed.group(1), plan
+    schema = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in schema.group(1).split(",")}
+    assert "text" not in cols, plan  # projection pruned the wide column
+    assert {"doc_id", "source"} <= cols, plan
