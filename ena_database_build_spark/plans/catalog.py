@@ -5473,6 +5473,39 @@ SELECT source, doc_id FROM (
 """
 
 
+def q_cube_revenue(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): every grouping-set
+    combination — both margins and the grand total — in ONE pass
+    (Spark expands the sets before the exchange, so partial
+    aggregation covers all 4 levels with a single shuffle; the
+    sibling `rollup_revenue` pins the hierarchical variant).  NULL
+    grouping keys render as 'ALL' so the margin rows compare
+    portably."""
+    li = t(spark, sf_dir, "lineitem", spread=True)
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "revenue",
+        )
+    )
+
+
+SQL_CUBE_REVENUE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5663,4 +5696,5 @@ CATALOG: dict[str, QueryDef] = {
     "weighted_sample_by_source": QueryDef(
         q_weighted_sample_by_source, SQL_WEIGHTED_SAMPLE_BY
     ),
+    "cube_revenue": QueryDef(q_cube_revenue, SQL_CUBE_REVENUE),
 }
