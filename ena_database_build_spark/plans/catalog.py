@@ -5506,6 +5506,51 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_time_to_convert(spark, sf_dir):
+    """Conversion latency: for each user, whole seconds from their
+    FIRST view to the first purchase strictly after it — the funnel's
+    companion metric.  Two conditional min-aggregations over one
+    user-keyed shuffle (the second min rides a filtered self-join of
+    the first's 150-row result, broadcast); non-converting users drop
+    out."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+    ).where(F.col("user_id").isNotNull())
+    first_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(first_view), "user_id")
+        .where(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(
+            ((F.min("us") - F.min("v_us")) / 1000000)
+            .cast("long")
+            .alias("gap_s")
+        )
+    )
+
+
+SQL_TIME_TO_CONVERT = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type
+  FROM events WHERE user_id IS NOT NULL
+), v AS (
+  SELECT user_id, min(us) AS v_us FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+)
+SELECT e.user_id, CAST((min(us) - min(v_us)) // 1000000 AS BIGINT) AS gap_s
+FROM e JOIN v USING (user_id)
+WHERE event_type = 'purchase' AND us > v_us
+GROUP BY e.user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5697,4 +5742,5 @@ CATALOG: dict[str, QueryDef] = {
         q_weighted_sample_by_source, SQL_WEIGHTED_SAMPLE_BY
     ),
     "cube_revenue": QueryDef(q_cube_revenue, SQL_CUBE_REVENUE),
+    "time_to_convert": QueryDef(q_time_to_convert, SQL_TIME_TO_CONVERT),
 }
