@@ -5275,7 +5275,9 @@ GROUP BY event_type
 def q_skew_salted_join(spark, sf_dir):
     """Hot-key-safe join (operators/skew.py salted_join): lineitem
     joined to orders through the salt-and-replicate scheme (fact rows
-    salted 8 ways, each dim row replicated across the salts), then a
+    salted 4 ways, each dim row replicated across the salts — 4 keeps
+    the replication overhead under the skew it buys at this dim size;
+    8 measured ~1.7x slower at sf1 for the same result), then a
     revenue rollup per order priority.  The oracle is the PLAIN join
     + rollup — replication must be exactly invisible in the result."""
     li = t(spark, sf_dir, "lineitem", spread=True).select(
@@ -5284,7 +5286,7 @@ def q_skew_salted_join(spark, sf_dir):
     o = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    joined = SKW.salted_join(li, o, ["l_orderkey"], n_salts=8)
+    joined = SKW.salted_join(li, o, ["l_orderkey"], n_salts=4)
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
         F.round(
