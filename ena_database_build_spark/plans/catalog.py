@@ -5553,6 +5553,67 @@ GROUP BY e.user_id
 """
 
 
+def q_winsorize_counts(spark, sf_dir):
+    """Per-source outlier clipping report: how many document lengths
+    fall below the source's exact 10th / above its 90th percentile —
+    the winsorization pre-step of numeric feature cleaning, composed
+    from the bounded-state quantile operator (one counts shuffle)
+    plus a broadcast of the per-source bounds back onto the narrow
+    (source, n_chars) projection.  Counts are integer-exact; the
+    interpolated bounds themselves stay internal so no float-boundary
+    comparison leaks into the result."""
+    docs = t(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    qs = QNT.exact_quantiles(
+        docs, "n_chars", by=["source"], qs=[0.1, 0.9]
+    )
+    bounds = (
+        qs.groupBy("source")
+        .pivot("q", [0.1, 0.9])
+        .agg(F.first("value"))
+        .select(
+            "source",
+            F.col("`0.1`").alias("lo"),
+            F.col("`0.9`").alias("hi"),
+        )
+    )
+    return (
+        docs.select("source", "n_chars")
+        .join(F.broadcast(bounds), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_chars") < F.col("lo")).cast("long")).alias(
+                "n_below"
+            ),
+            F.sum((F.col("n_chars") > F.col("hi")).cast("long")).alias(
+                "n_above"
+            ),
+        )
+    )
+
+
+SQL_WINSORIZE = """
+WITH b AS (
+  SELECT source,
+         quantile_cont(n_chars, 0.1) AS lo,
+         quantile_cont(n_chars, 0.9) AS hi
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY source
+)
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below,
+       CAST(sum(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above
+FROM documents d JOIN b USING (source)
+WHERE d.n_chars IS NOT NULL
+GROUP BY d.source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5745,4 +5806,5 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "cube_revenue": QueryDef(q_cube_revenue, SQL_CUBE_REVENUE),
     "time_to_convert": QueryDef(q_time_to_convert, SQL_TIME_TO_CONVERT),
+    "winsorize_counts": QueryDef(q_winsorize_counts, SQL_WINSORIZE),
 }
