@@ -27,6 +27,7 @@ from ena_database_build_spark.functions.locations import (
 )
 from ena_database_build_spark.operators import asof as ASOF
 from ena_database_build_spark.operators import cc as CC
+from ena_database_build_spark.operators import contrastive as CTR
 from ena_database_build_spark.operators import curation as CUR
 from ena_database_build_spark.operators import dedup as D
 from ena_database_build_spark.operators import diff as DIFF
@@ -5614,6 +5615,57 @@ GROUP BY d.source
 """
 
 
+def q_contrastive_triples(spark, sf_dir):
+    """Contrastive (anchor, positive, negative) mining
+    (operators/contrastive.py): positives are the document's next
+    64-token chunk, negatives the chunk's successor on a
+    deterministic hash ring — uniform-random pairing semantics as a
+    pure function of the corpus, with the ring ordered inside 256
+    hash buckets so no global sort exists.  The oracle replays the
+    identical chunking, ring order, and drop rules."""
+    docs = t(spark, sf_dir, "documents")
+    return CTR.contrastive_triples(docs, size=64)
+
+
+SQL_CONTRASTIVE = f"""
+WITH sized AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk, len({_TOKS_SQL}) AS n
+  FROM documents
+), st AS (
+  SELECT doc_id, tk, n,
+         unnest(range(0, CAST(n AS BIGINT), 64)) AS s
+  FROM sized WHERE n > 1 OR tk[1] <> ''
+), ch AS (
+  SELECT doc_id,
+         CAST(s // 64 AS BIGINT) AS chunk_idx,
+         array_to_string(list_slice(tk, s + 1, s + 64), ' ') AS chunk_text,
+         CAST(doc_id AS VARCHAR) || '#' || CAST(s // 64 AS VARCHAR)
+           AS chunk_id
+  FROM st
+), wp AS (
+  SELECT *, lead(chunk_text) OVER (
+    PARTITION BY doc_id ORDER BY chunk_idx) AS pos_text
+  FROM ch
+), ring AS (
+  SELECT *,
+         substr(md5('neg|' || chunk_id), 1, 8) AS h,
+         substr(md5('neg|' || chunk_id), 1, 2) AS bucket
+  FROM wp
+), led AS (
+  SELECT *,
+         lead(chunk_text) OVER w AS neg_text,
+         lead(doc_id) OVER w AS neg_doc
+  FROM ring
+  WINDOW w AS (PARTITION BY bucket ORDER BY h, chunk_id)
+)
+SELECT chunk_id, md5(chunk_text) AS anchor_fp,
+       md5(pos_text) AS positive_fp, md5(neg_text) AS negative_fp
+FROM led
+WHERE pos_text IS NOT NULL AND neg_text IS NOT NULL
+  AND neg_doc <> doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5807,4 +5859,5 @@ CATALOG: dict[str, QueryDef] = {
     "cube_revenue": QueryDef(q_cube_revenue, SQL_CUBE_REVENUE),
     "time_to_convert": QueryDef(q_time_to_convert, SQL_TIME_TO_CONVERT),
     "winsorize_counts": QueryDef(q_winsorize_counts, SQL_WINSORIZE),
+    "contrastive_triples": QueryDef(q_contrastive_triples, SQL_CONTRASTIVE),
 }
