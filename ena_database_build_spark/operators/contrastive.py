@@ -79,3 +79,52 @@ def contrastive_triples(
             F.md5("_neg_text").alias("negative_fp"),
         )
     )
+
+
+def supervised_pairs(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    seed: str = "sup",
+) -> DataFrame:
+    """Supervised contrastive sampling over a labeled table:
+    ``(id, positive_id, negative_id)`` with the positive the next
+    SAME-label row on a per-label hash ring and the negative the next
+    OTHER-label row on the bucketed global ring — the
+    SupCon/triplet-loss pair builder, deterministic like everything
+    else here.
+
+    Shapes: the positive window partitions by (label, bucket) and the
+    negative window by bucket alone — both bounded partitions, no
+    global sort.  Rows whose ring successor is missing (bucket tail)
+    or label-identical (for the negative) drop; with balanced labels
+    that is a small, deterministic fraction."""
+    h = sample_hash(F.col(id_col).cast("string"), seed)
+    base = (
+        df.where(F.col(id_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(F.col(id_col), F.col(label_col))
+        .withColumn("_h", h)
+        .withColumn("_bucket", F.substring("_h", 1, 2))
+    )
+    w_pos = Window.partitionBy(label_col, "_bucket").orderBy(
+        "_h", id_col
+    )
+    w_neg = Window.partitionBy("_bucket").orderBy("_h", id_col)
+    out = (
+        base.withColumn("_pos", F.lead(id_col).over(w_pos))
+        .withColumn("_neg", F.lead(id_col).over(w_neg))
+        .withColumn("_neg_label", F.lead(label_col).over(w_neg))
+    )
+    return (
+        out.where(
+            F.col("_pos").isNotNull()
+            & F.col("_neg").isNotNull()
+            & (F.col("_neg_label") != F.col(label_col))
+        )
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.col("_pos").alias("positive_id"),
+            F.col("_neg").alias("negative_id"),
+        )
+    )

@@ -5666,6 +5666,37 @@ WHERE pos_text IS NOT NULL AND neg_text IS NOT NULL
 """
 
 
+def q_supervised_pairs(spark, sf_dir):
+    """SupCon/triplet pair sampling over the labeled embeddings table
+    (operators/contrastive.py supervised_pairs): positives from a
+    per-label hash ring, negatives from the bucketed global ring with
+    a different label — deterministic, bounded-partition windows, no
+    similarity computation.  The oracle replays both ring orders."""
+    emb = t(spark, sf_dir, "embeddings")
+    return CTR.supervised_pairs(emb)
+
+
+SQL_SUPERVISED_PAIRS = """
+WITH base AS (
+  SELECT vec_id, label,
+         substr(md5('sup|' || CAST(vec_id AS VARCHAR)), 1, 8) AS h,
+         substr(md5('sup|' || CAST(vec_id AS VARCHAR)), 1, 2) AS bucket
+  FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL
+), led AS (
+  SELECT *,
+         lead(vec_id) OVER (
+           PARTITION BY label, bucket ORDER BY h, vec_id) AS pos,
+         lead(vec_id) OVER wn AS neg,
+         lead(label) OVER wn AS neg_label
+  FROM base
+  WINDOW wn AS (PARTITION BY bucket ORDER BY h, vec_id)
+)
+SELECT vec_id, label, pos AS positive_id, neg AS negative_id
+FROM led
+WHERE pos IS NOT NULL AND neg IS NOT NULL AND neg_label <> label
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5860,4 +5891,5 @@ CATALOG: dict[str, QueryDef] = {
     "time_to_convert": QueryDef(q_time_to_convert, SQL_TIME_TO_CONVERT),
     "winsorize_counts": QueryDef(q_winsorize_counts, SQL_WINSORIZE),
     "contrastive_triples": QueryDef(q_contrastive_triples, SQL_CONTRASTIVE),
+    "supervised_pairs": QueryDef(q_supervised_pairs, SQL_SUPERVISED_PAIRS),
 }
