@@ -86,6 +86,7 @@ def supervised_pairs(
     label_col: str = "label",
     id_col: str = "vec_id",
     seed: str = "sup",
+    bucket_hex: int = 2,
 ) -> DataFrame:
     """Supervised contrastive sampling over a labeled table:
     ``(id, positive_id, negative_id)`` with the positive the next
@@ -98,13 +99,16 @@ def supervised_pairs(
     negative window by bucket alone — both bounded partitions, no
     global sort.  Rows whose ring successor is missing (bucket tail)
     or label-identical (for the negative) drop; with balanced labels
-    that is a small, deterministic fraction."""
+    that is a small, deterministic fraction.  ``bucket_hex`` sizes
+    the ring partitions (16**bucket_hex buckets): small tables want 1
+    hex digit so buckets stay dense enough to have successors; corpus
+    scale wants 2+ so partitions stay bounded."""
     h = sample_hash(F.col(id_col).cast("string"), seed)
     base = (
         df.where(F.col(id_col).isNotNull() & F.col(label_col).isNotNull())
         .select(F.col(id_col), F.col(label_col))
         .withColumn("_h", h)
-        .withColumn("_bucket", F.substring("_h", 1, 2))
+        .withColumn("_bucket", F.substring("_h", 1, bucket_hex))
     )
     w_pos = Window.partitionBy(label_col, "_bucket").orderBy(
         "_h", id_col

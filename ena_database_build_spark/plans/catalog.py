@@ -5671,16 +5671,18 @@ def q_supervised_pairs(spark, sf_dir):
     (operators/contrastive.py supervised_pairs): positives from a
     per-label hash ring, negatives from the bucketed global ring with
     a different label — deterministic, bounded-partition windows, no
-    similarity computation.  The oracle replays both ring orders."""
+    similarity computation.  One-hex buckets (16 rings) keep the
+    500-vector fixture dense enough that most rows find successors.
+    The oracle replays both ring orders."""
     emb = t(spark, sf_dir, "embeddings")
-    return CTR.supervised_pairs(emb)
+    return CTR.supervised_pairs(emb, bucket_hex=1)
 
 
 SQL_SUPERVISED_PAIRS = """
 WITH base AS (
   SELECT vec_id, label,
          substr(md5('sup|' || CAST(vec_id AS VARCHAR)), 1, 8) AS h,
-         substr(md5('sup|' || CAST(vec_id AS VARCHAR)), 1, 2) AS bucket
+         substr(md5('sup|' || CAST(vec_id AS VARCHAR)), 1, 1) AS bucket
   FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL
 ), led AS (
   SELECT *,
