@@ -153,3 +153,68 @@ def bloom_decontaminate(
     return flagged.groupBy(id_col).agg(
         F.count("*").alias("n_flagged_shingles")
     )
+
+
+def cms_positions(
+    value: Column, n_hashes: int = 3, hex_chars: int = 3
+) -> Column:
+    """Count-min row positions for ``value``: one ``16**hex_chars``-
+    wide counter row per hash function, md5-derived like
+    :func:`bloom_positions` — any engine rebuilds the identical
+    sketch, so its (over-)estimates are exactly checkable."""
+    return F.array(
+        *[
+            F.substring(
+                F.md5(F.concat(F.lit(f"cm{j}|"), value)), 1, hex_chars
+            )
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str = "value",
+    n_hashes: int = 3,
+    hex_chars: int = 3,
+) -> DataFrame:
+    """The sketch as a relation: ``(row_idx, pos, cnt)`` — at most
+    ``n_hashes * 16**hex_chars`` rows regardless of input size (the
+    count-min matrix in long form).  One posexplode + one
+    map-side-combinable count; the aggregate's shuffle carries
+    matrix-sized, not corpus-sized, data."""
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.posexplode(
+                cms_positions(F.col(value_col), n_hashes, hex_chars)
+            ).alias("row_idx", "pos")
+        )
+        .groupBy("row_idx", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    queries: DataFrame,
+    sketch: DataFrame,
+    value_col: str = "value",
+    n_hashes: int = 3,
+    hex_chars: int = 3,
+) -> DataFrame:
+    """Point-frequency estimates for ``queries`` rows: min over each
+    value's ``n_hashes`` counters — count-min's guarantee is
+    ``estimate >= true`` with bounded overestimation.  The sketch
+    broadcasts (bounded by the matrix size); the probe is a map-only
+    join + a per-value min."""
+    exploded = queries.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col),
+        F.posexplode(
+            cms_positions(F.col(value_col), n_hashes, hex_chars)
+        ).alias("row_idx", "pos"),
+    )
+    return (
+        exploded.join(F.broadcast(sketch), ["row_idx", "pos"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )

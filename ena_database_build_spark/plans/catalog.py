@@ -5699,6 +5699,65 @@ WHERE pos IS NOT NULL AND neg IS NOT NULL AND neg_label <> label
 """
 
 
+def q_cms_frequencies(spark, sf_dir):
+    """Count-min sketch point queries (operators/sketch.py cms_*):
+    a 3x4096 sketch built over every corpus token, probed for the 20
+    most frequent words and compared against their exact counts.
+    md5-derived positions make the sketch — and therefore every
+    (over-)estimate — reproducible in any engine, so an approximate
+    structure gets an exact oracle; `never_under` pins count-min's
+    one-sided error in-row."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(D.tokens(F.col("text"))).alias("value")
+    ).where(F.col("value") != "")
+    sketch = SK.cms_build(toks, "value", n_hashes=3, hex_chars=3)
+    exact = (
+        toks.groupBy("value")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "value")
+        .limit(20)
+    )
+    est = SK.cms_estimate(
+        exact.select("value"), sketch, "value", n_hashes=3, hex_chars=3
+    )
+    return exact.join(est, "value").select(
+        F.col("value").alias("word"),
+        "exact_n",
+        "est",
+        (F.col("est") >= F.col("exact_n")).alias("never_under"),
+    )
+
+
+SQL_CMS_FREQUENCIES = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS_SQL}) AS value FROM documents
+), tk AS (
+  SELECT value FROM toks WHERE value <> ''
+), m AS (
+  SELECT row_idx, pos, count(*) AS cnt FROM (
+    SELECT i AS row_idx,
+           substr(md5('cm' || CAST(i AS VARCHAR) || '|' || value), 1, 3)
+             AS pos
+    FROM tk, unnest([0, 1, 2]) AS t(i)
+  ) GROUP BY row_idx, pos
+), exact AS (
+  SELECT value, count(*) AS exact_n FROM tk GROUP BY value
+  ORDER BY exact_n DESC, value LIMIT 20
+), probe AS (
+  SELECT e.value, e.exact_n, i AS row_idx,
+         substr(md5('cm' || CAST(i AS VARCHAR) || '|' || e.value), 1, 3)
+           AS pos
+  FROM exact e, unnest([0, 1, 2]) AS t(i)
+)
+SELECT p.value AS word, CAST(p.exact_n AS BIGINT) AS exact_n,
+       CAST(min(coalesce(m.cnt, 0)) AS BIGINT) AS est,
+       min(coalesce(m.cnt, 0)) >= p.exact_n AS never_under
+FROM probe p LEFT JOIN m USING (row_idx, pos)
+GROUP BY p.value, p.exact_n
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5894,4 +5953,5 @@ CATALOG: dict[str, QueryDef] = {
     "winsorize_counts": QueryDef(q_winsorize_counts, SQL_WINSORIZE),
     "contrastive_triples": QueryDef(q_contrastive_triples, SQL_CONTRASTIVE),
     "supervised_pairs": QueryDef(q_supervised_pairs, SQL_SUPERVISED_PAIRS),
+    "cms_frequencies": QueryDef(q_cms_frequencies, SQL_CMS_FREQUENCIES),
 }

@@ -79,3 +79,35 @@ def test_null_values_ignored(spark):
     hit = SK.bloom_probe(vals, bits, "value")
     got = sorted(r.value for r in hit.collect())
     assert got == ["x", "y"]
+
+
+def test_cms_never_underestimates_and_bounds_error(spark):
+    from collections import Counter
+
+    from ena_database_build_spark.operators import sketch as SK
+
+    vals = [f"k{i % 37}" for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["value"])
+    sketch = SK.cms_build(df, "value", n_hashes=3, hex_chars=3)
+    qdf = spark.createDataFrame(
+        [(f"k{i}",) for i in range(37)] + [("absent",)], ["value"]
+    )
+    est = {
+        r.value: r.est
+        for r in SK.cms_estimate(qdf, sketch, "value").collect()
+    }
+    truth = Counter(vals)
+    for k, t in truth.items():
+        assert est[k] >= t  # one-sided error
+        assert est[k] <= t + len(vals) // 100  # far under the eps*N bound
+    # an absent key may collide but stays small
+    assert est["absent"] <= len(vals) // 100
+
+
+def test_cms_deterministic(spark):
+    from ena_database_build_spark.operators import sketch as SK
+
+    df = spark.createDataFrame([(f"v{i % 9}",) for i in range(200)], ["value"])
+    a = sorted(map(tuple, SK.cms_build(df, "value").collect()))
+    b = sorted(map(tuple, SK.cms_build(df.repartition(7), "value").collect()))
+    assert a == b
