@@ -218,3 +218,56 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
+
+
+def kmv_estimate(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count estimation per group:
+    ``(by..., n_seen, est_distinct)``.
+
+    KMV keeps each group's ``k`` smallest hash values; if the k-th
+    smallest is the fraction ``t`` of the hash space, the group holds
+    ~``(k-1)/t`` distinct values.  Unlike engine-private HLL
+    registers, the md5 hash makes the sketch — and therefore the
+    ESTIMATE — identical in any engine, so approximate cardinalities
+    get exact oracle rows.  KMV sketches also merge (union the
+    min-sets, re-take the k smallest), the same re-aggregation
+    property the incremental-stats partials rely on.
+
+    Shape: distinct (group, value) pairs -> one group-keyed window
+    rank -> a group-sized aggregate.  Groups with fewer than ``k``
+    distinct values report their EXACT count (every value is in the
+    sketch)."""
+    from pyspark.sql import Window
+
+    h = F.substring(
+        F.md5(F.concat(F.lit("kmv|"), F.col(value_col).cast("string"))),
+        1,
+        8,
+    )
+    pairs = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*by, h.alias("_h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*by).orderBy("_h")
+    ranked = pairs.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    frac = (
+        F.conv(F.max("_h"), 16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(float(16**8))
+    n_seen = F.count("*")
+    return ranked.groupBy(*by).agg(
+        n_seen.alias("n_seen"),
+        F.round(
+            F.when(n_seen < k, n_seen.cast("double")).otherwise(
+                (F.lit(float(k - 1))) / frac
+            ),
+            2,
+        ).alias("est_distinct"),
+    )

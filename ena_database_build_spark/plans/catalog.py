@@ -5758,6 +5758,54 @@ GROUP BY p.value, p.exact_n
 """
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-token estimation per source
+    (operators/sketch.py kmv_estimate, k=64) next to the exact count —
+    the deterministic alternative to engine-private HLL registers: the
+    md5-based sketch yields the IDENTICAL estimate in any engine, so
+    the approximate cardinality carries a normal exact oracle row
+    (`approx_distinct` pins Spark's own HLL separately via an error
+    envelope)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(D.tokens(F.col("text"))).alias("tok")
+    ).where((F.col("tok") != "") & F.col("source").isNotNull())
+    est = SK.kmv_estimate(toks, "tok", by=["source"], k=64)
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("tok").alias("exact_distinct")
+    )
+    return est.join(exact, "source").select(
+        "source", "n_seen", "est_distinct", "exact_distinct"
+    )
+
+
+SQL_KMV_DISTINCT = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+  WHERE source IS NOT NULL
+), tk AS (
+  SELECT DISTINCT source,
+         substr(md5('kmv|' || tok), 1, 8) AS h
+  FROM toks WHERE tok <> ''
+), ranked AS (
+  SELECT source, h, row_number() OVER (
+    PARTITION BY source ORDER BY h) AS rn
+  FROM tk
+), sk AS (
+  SELECT source, count(*) AS n_seen,
+         round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+               ELSE 63.0 / ((CAST(('0x' || max(h)) AS UBIGINT) + 1.0)
+                            / 4294967296.0) END, 2) AS est_distinct
+  FROM ranked WHERE rn <= 64 GROUP BY source
+), exact AS (
+  SELECT source, count(DISTINCT tok) AS exact_distinct
+  FROM toks WHERE tok <> '' GROUP BY source
+)
+SELECT source, n_seen, est_distinct, exact_distinct
+FROM sk JOIN exact USING (source)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5954,4 +6002,5 @@ CATALOG: dict[str, QueryDef] = {
     "contrastive_triples": QueryDef(q_contrastive_triples, SQL_CONTRASTIVE),
     "supervised_pairs": QueryDef(q_supervised_pairs, SQL_SUPERVISED_PAIRS),
     "cms_frequencies": QueryDef(q_cms_frequencies, SQL_CMS_FREQUENCIES),
+    "kmv_distinct": QueryDef(q_kmv_distinct, SQL_KMV_DISTINCT),
 }

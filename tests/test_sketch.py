@@ -111,3 +111,23 @@ def test_cms_deterministic(spark):
     a = sorted(map(tuple, SK.cms_build(df, "value").collect()))
     b = sorted(map(tuple, SK.cms_build(df.repartition(7), "value").collect()))
     assert a == b
+
+
+def test_kmv_estimate_accuracy_and_exact_small_groups(spark):
+    from ena_database_build_spark.operators import sketch as SK
+
+    rows = [("big", f"v{i}") for i in range(2000)] + [
+        ("small", f"s{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r.g: r for r in SK.kmv_estimate(df, "v", ["g"], k=64).collect()}
+    # sub-k group reports exactly
+    assert got["small"].n_seen == 10 and got["small"].est_distinct == 10.0
+    # k=64 KMV has ~1/sqrt(64) ~ 12.5% relative error; allow 3 sigma
+    assert abs(got["big"].est_distinct - 2000) / 2000 < 0.4
+    # determinism across partitionings
+    again = {
+        r.g: r.est_distinct
+        for r in SK.kmv_estimate(df.repartition(9), "v", ["g"], k=64).collect()
+    }
+    assert again == {g: r.est_distinct for g, r in got.items()}
