@@ -117,6 +117,13 @@ SCALE_EXTRAS = [
     "skew_salted_join",
     "bpe_compression",
     "weighted_sample_n",
+    "contrastive_triples",
+    "supervised_pairs",
+    "winsorize_counts",
+    "cube_revenue",
+    "time_to_convert",
+    "cms_frequencies",
+    "kmv_distinct",
 ]
 SCALE_QUERIES = HEADLINE + SCALE_EXTRAS
 
