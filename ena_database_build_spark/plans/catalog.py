@@ -5806,6 +5806,50 @@ FROM sk JOIN exact USING (source)
 """
 
 
+def q_daily_spine(spark, sf_dir):
+    """Gap-free daily reporting: a generated date spine (sequence +
+    explode from the observed [min, max] — rows from nothing, the
+    dual of filtering) left-joined to per-day purchase counts, absent
+    days zero-filled.  The spine derives from a 1-row aggregate
+    broadcast, so generation is map-side; counts ride one date-keyed
+    shuffle."""
+    ev = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    days = ev.select(F.to_date("ts").alias("d"))
+    bounds = days.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    return spine.join(daily, "d", "left").select(
+        F.col("d").cast("string").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n_purchases"),
+    )
+
+
+SQL_DAILY_SPINE = """
+WITH b AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+  FROM events WHERE ts IS NOT NULL
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM b
+), daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS n
+  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
+  GROUP BY 1
+)
+SELECT CAST(spine.d AS VARCHAR) AS day,
+       coalesce(n, 0) AS n_purchases
+FROM spine LEFT JOIN daily USING (d)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6003,4 +6047,5 @@ CATALOG: dict[str, QueryDef] = {
     "supervised_pairs": QueryDef(q_supervised_pairs, SQL_SUPERVISED_PAIRS),
     "cms_frequencies": QueryDef(q_cms_frequencies, SQL_CMS_FREQUENCIES),
     "kmv_distinct": QueryDef(q_kmv_distinct, SQL_KMV_DISTINCT),
+    "daily_spine": QueryDef(q_daily_spine, SQL_DAILY_SPINE),
 }
