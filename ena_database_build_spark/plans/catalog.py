@@ -5850,6 +5850,48 @@ FROM spine LEFT JOIN daily USING (d)
 """
 
 
+def q_session_bounce(spark, sf_dir):
+    """Bounce analysis on the streaming sessionizer's batch output:
+    per user, total 10-minute-gap sessions and single-event (bounce)
+    sessions — session_window + one user agg, same code path the
+    stream runs.  The oracle re-sessionizes with the proven
+    lag/cumsum SQL (strict > gap split, microsecond compare)."""
+    ev = t(spark, sf_dir, "events", spread=True).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    sess = STR.session_aggregates(ev, "10 minutes")
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+    )
+
+
+SQL_SESSION_BOUNCE = """
+WITH ev AS (
+  SELECT user_id, ts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), flagged AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                      OR (epoch_ns(ts) // 1000)
+                         - (epoch_ns(lag(ts) OVER w) // 1000)
+                         > 600000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), per_sess AS (
+  SELECT user_id, sid, count(*) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces
+FROM per_sess GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6048,4 +6090,5 @@ CATALOG: dict[str, QueryDef] = {
     "cms_frequencies": QueryDef(q_cms_frequencies, SQL_CMS_FREQUENCIES),
     "kmv_distinct": QueryDef(q_kmv_distinct, SQL_KMV_DISTINCT),
     "daily_spine": QueryDef(q_daily_spine, SQL_DAILY_SPINE),
+    "session_bounce": QueryDef(q_session_bounce, SQL_SESSION_BOUNCE),
 }
