@@ -5892,6 +5892,88 @@ FROM per_sess GROUP BY user_id
 """
 
 
+def q_trending_types(spark, sf_dir):
+    """Trending analysis: top-2 event types per day by count — the
+    windowed-ranking composite (daily grouped counts, then one rank
+    window over the per-day partitioning; both stages share the day
+    key, so the rank adds no second full shuffle).  Ties break on the
+    type name so the cut is engine-stable."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("d").orderBy(F.desc("n"), "event_type")
+    return (
+        daily.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "event_type",
+            "n",
+            "rank",
+        )
+    )
+
+
+SQL_TRENDING = """
+SELECT CAST(d AS VARCHAR) AS day, event_type, n, rank FROM (
+  SELECT d, event_type, n, row_number() OVER (
+    PARTITION BY d ORDER BY n DESC, event_type) AS rank
+  FROM (
+    SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+  )
+) WHERE rank <= 2
+"""
+
+
+def q_length_histogram(spark, sf_dir):
+    """Equi-width histogram of document lengths per source: 10
+    fixed-width bins over the GLOBAL [min, max] (bounds from a 1-row
+    broadcast aggregate, bin = integer arithmetic over exact longs so
+    edges are engine-identical); the max lands in the last bin.  The
+    binning map rides the scan; one (source, bin) aggregation."""
+    docs = t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("source").isNotNull()
+    )
+    bounds = docs.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    )
+    binned = docs.crossJoin(F.broadcast(bounds)).select(
+        "source",
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("n_chars") - F.col("lo")) * 10
+                / (F.col("hi") - F.col("lo") + 1)
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+SQL_LENGTH_HISTOGRAM = """
+WITH b AS (
+  SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents
+  WHERE n_chars IS NOT NULL AND source IS NOT NULL
+)
+SELECT source,
+       CAST(least(9, (n_chars - lo) * 10 // (hi - lo + 1)) AS INT)
+         AS bin,
+       count(*) AS n_docs
+FROM documents, b
+WHERE n_chars IS NOT NULL AND source IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6091,4 +6173,6 @@ CATALOG: dict[str, QueryDef] = {
     "kmv_distinct": QueryDef(q_kmv_distinct, SQL_KMV_DISTINCT),
     "daily_spine": QueryDef(q_daily_spine, SQL_DAILY_SPINE),
     "session_bounce": QueryDef(q_session_bounce, SQL_SESSION_BOUNCE),
+    "trending_types": QueryDef(q_trending_types, SQL_TRENDING),
+    "length_histogram": QueryDef(q_length_histogram, SQL_LENGTH_HISTOGRAM),
 }

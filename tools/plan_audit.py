@@ -50,6 +50,8 @@ ALLOW_NESTED = {
     "heavy_hitters",
     # bounded serving batch of query vectors broadcast over the corpus
     "batch_cosine_topk",
+    # 1-row global min/max bounds broadcast for the bin arithmetic
+    "length_histogram",
 }
 
 
