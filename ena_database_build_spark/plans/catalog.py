@@ -5974,6 +5974,58 @@ GROUP BY 1, 2
 """
 
 
+def q_revenue_share(spark, sf_dir):
+    """Contribution analysis (ratio-to-report): each nation's share
+    of its region's revenue — a window SUM over the 25-row aggregate,
+    so the share computation costs nothing after the rollup; the
+    share divides the two already-rounded sums, keeping the float
+    path identical in both engines."""
+    li = t(spark, sf_dir, "lineitem", spread=True).select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    agg = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("r_name")
+    return agg.select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "region_share"
+        ),
+    )
+
+
+SQL_REVENUE_SHARE = """
+WITH agg AS (
+  SELECT r_name AS region, n_name AS nation,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT region, nation, revenue,
+       round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+         AS region_share
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6175,4 +6227,5 @@ CATALOG: dict[str, QueryDef] = {
     "session_bounce": QueryDef(q_session_bounce, SQL_SESSION_BOUNCE),
     "trending_types": QueryDef(q_trending_types, SQL_TRENDING),
     "length_histogram": QueryDef(q_length_histogram, SQL_LENGTH_HISTOGRAM),
+    "revenue_share": QueryDef(q_revenue_share, SQL_REVENUE_SHARE),
 }
