@@ -6026,6 +6026,56 @@ FROM agg
 """
 
 
+def q_session_duration_quartiles(spark, sf_dir):
+    """Two tested operators composed: session_window durations feed
+    the bounded-state exact-quantile operator — the p25/p50/p75 of
+    session length in seconds, computed without any per-group
+    in-memory value array.  The oracle re-sessionizes with the proven
+    lag/cumsum SQL and applies quantile_cont."""
+    ev = t(spark, sf_dir, "events", spread=True).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    sess = STR.session_aggregates(ev, "10 minutes")
+    dur = sess.select(
+        F.lit(1).alias("_g"),
+        F.expr(
+            "timestampdiff(MICROSECOND, session_start, session_end)"
+            " div 1000000"
+        ).alias("dur_s"),
+    )
+    qd = QNT.exact_quantiles(dur, "dur_s", by=["_g"], qs=[0.25, 0.5, 0.75])
+    return qd.select("q", F.round("value", 6).alias("dur_s"))
+
+
+SQL_SESSION_DURATION_QUARTILES = """
+WITH ev AS (
+  SELECT user_id, ts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), flagged AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                      OR (epoch_ns(ts) // 1000)
+                         - (epoch_ns(lag(ts) OVER w) // 1000)
+                         > 600000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), dur AS (
+  -- session_window's end = last event + gap, so duration = span + gap
+  SELECT ((epoch_ns(max(ts)) // 1000) - (epoch_ns(min(ts)) // 1000)
+          + 600000000) // 1000000 AS dur_s
+  FROM sess GROUP BY user_id, sid
+)
+SELECT 0.25 AS q, round(quantile_cont(dur_s, 0.25), 6) AS dur_s FROM dur
+UNION ALL
+SELECT 0.5, round(quantile_cont(dur_s, 0.5), 6) FROM dur
+UNION ALL
+SELECT 0.75, round(quantile_cont(dur_s, 0.75), 6) FROM dur
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6228,4 +6278,7 @@ CATALOG: dict[str, QueryDef] = {
     "trending_types": QueryDef(q_trending_types, SQL_TRENDING),
     "length_histogram": QueryDef(q_length_histogram, SQL_LENGTH_HISTOGRAM),
     "revenue_share": QueryDef(q_revenue_share, SQL_REVENUE_SHARE),
+    "session_duration_quartiles": QueryDef(
+        q_session_duration_quartiles, SQL_SESSION_DURATION_QUARTILES
+    ),
 }
