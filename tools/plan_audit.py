@@ -52,6 +52,10 @@ ALLOW_NESTED = {
     "batch_cosine_topk",
     # 1-row global min/max bounds broadcast for the bin arithmetic
     "length_histogram",
+    # the quantile operator's 2-3-row target table joined to the
+    # cumulative counts (same bound as quantiles_exact)
+    "winsorize_counts",
+    "session_duration_quartiles",
 }
 
 
