@@ -6076,6 +6076,88 @@ SELECT 0.75, round(quantile_cont(dur_s, 0.75), 6) FROM dur
 """
 
 
+def q_purchase_gaps(spark, sf_dir):
+    """Inter-purchase cadence: per user, the count of consecutive
+    purchase pairs and their mean gap in whole seconds — one lag
+    window and the per-user aggregate on the same partitioning.  The
+    mean divides two exact integers once, so the float path is
+    engine-identical."""
+    ev = t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, lag(ts) OVER "
+                "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+                " div 1000000"
+            ).alias("gap_s"),
+        )
+        .where(F.col("gap_s").isNotNull())
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(
+            F.sum("gap_s").cast("double") / F.count("*"), 6
+        ).alias("mean_gap_s"),
+    )
+
+
+SQL_PURCHASE_GAPS = """
+WITH p AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+), g AS (
+  SELECT user_id,
+         (us - lag(us) OVER (
+            PARTITION BY user_id ORDER BY us, event_id)) // 1000000
+           AS gap_s
+  FROM p
+)
+SELECT user_id, count(*) AS n_gaps,
+       round(CAST(sum(gap_s) AS DOUBLE) / count(*), 6) AS mean_gap_s
+FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_lang_source_matrix(spark, sf_dir):
+    """Corpus composition crosstab: documents pivoted to one column
+    per language, one row per source — Spark's pivot with the value
+    set pinned (no extra distinct pass; engines agree on columns by
+    construction).  Missing cells zero-fill."""
+    docs = t(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
+    langs = ["en", "de", "fr", "es", "zh"]
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "source",
+        *[
+            F.coalesce(F.col(lang), F.lit(0)).alias(f"n_{lang}")
+            for lang in langs
+        ],
+    )
+
+
+SQL_LANG_SOURCE_MATRIX = """
+SELECT source,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
+FROM documents
+WHERE source IS NOT NULL AND lang IS NOT NULL
+GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6280,5 +6362,9 @@ CATALOG: dict[str, QueryDef] = {
     "revenue_share": QueryDef(q_revenue_share, SQL_REVENUE_SHARE),
     "session_duration_quartiles": QueryDef(
         q_session_duration_quartiles, SQL_SESSION_DURATION_QUARTILES
+    ),
+    "purchase_gaps": QueryDef(q_purchase_gaps, SQL_PURCHASE_GAPS),
+    "lang_source_matrix": QueryDef(
+        q_lang_source_matrix, SQL_LANG_SOURCE_MATRIX
     ),
 }
