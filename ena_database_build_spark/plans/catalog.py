@@ -6158,6 +6158,76 @@ GROUP BY source
 """
 
 
+def q_grouping_sets_revenue(spark, sf_dir):
+    """Arbitrary GROUPING SETS — the third grouping variant next to
+    ROLLUP and CUBE: revenue by (returnflag, shipyear) AND by
+    (shipyear) alone, a non-hierarchical pair neither rollup nor cube
+    expresses, still ONE pass/one shuffle via the grouping-set
+    expansion.  NULL set keys render 'ALL'."""
+    li = t(spark, sf_dir, "lineitem", spread=True).select(
+        "l_returnflag",
+        F.year("l_shipdate").alias("shipyear"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    out = li.groupingSets(
+        [["l_returnflag", "shipyear"], ["shipyear"]],
+        "l_returnflag",
+        "shipyear",
+    ).agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+    )
+    return out.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        "shipyear",
+        "n_items",
+        "revenue",
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       year(l_shipdate) AS shipyear,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, year(l_shipdate)),
+                        (year(l_shipdate)))
+"""
+
+
+def q_window_distinct_users(spark, sf_dir):
+    """Engagement breadth per tumbling day: exact distinct users per
+    (day window, event_type) — the distinct-aggregation counterpart
+    of events_tumbling's counts (a streaming run would swap in
+    approx_count_distinct; the batch anchor pins exact semantics)."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day").alias("win"), "event_type"
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.col("win.start").cast("long").alias("day_start_s"),
+            "event_type",
+            "n_users",
+        )
+    )
+
+
+SQL_WINDOW_DISTINCT_USERS = """
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+         AS day_start_s,
+       event_type, count(DISTINCT user_id) AS n_users
+FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6366,5 +6436,11 @@ CATALOG: dict[str, QueryDef] = {
     "purchase_gaps": QueryDef(q_purchase_gaps, SQL_PURCHASE_GAPS),
     "lang_source_matrix": QueryDef(
         q_lang_source_matrix, SQL_LANG_SOURCE_MATRIX
+    ),
+    "grouping_sets_revenue": QueryDef(
+        q_grouping_sets_revenue, SQL_GROUPING_SETS
+    ),
+    "window_distinct_users": QueryDef(
+        q_window_distinct_users, SQL_WINDOW_DISTINCT_USERS
     ),
 }
