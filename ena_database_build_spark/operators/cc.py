@@ -131,16 +131,29 @@ def _collapse_exact(
     The collapse provably preserves the survivor set: group members
     share corpus-hit status and cluster membership, and the cluster
     minimum over representatives (each its group's min id) IS the
-    minimum over all members."""
+    minimum over all members.  That proof needs every group member to
+    participate in LSH matching identically, which holds for any doc
+    with at least one token — ``shingle_rows`` emits a partial shingle
+    for sub-k-token docs — but NOT for no-content docs: NULL text
+    yields zero shingle rows (never an LSH candidate, always
+    survives), while ``fingerprint`` coalesces NULL and
+    whitespace-only text to the same '' identity.  Collapsing that
+    group would drop rows LSH never would have.  No-content docs are
+    therefore excluded from the collapse and passed through untouched
+    (round-3 ADVICE item #1)."""
     from pyspark.sql import Window
 
+    norm = D.normalized_text(F.col(text_col))
+    has_content = norm.isNotNull() & (norm != F.lit(""))
     w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc_nulls_last())
-    return (
-        df.withColumn("_fp", D.fingerprint(F.col(text_col)))
+    with_fp = df.withColumn("_fp", D.fingerprint(F.col(text_col)))
+    collapsible = (
+        with_fp.where(has_content)
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn", "_fp")
+        .drop("_rn")
     )
+    return collapsible.unionByName(with_fp.where(~has_content)).drop("_fp")
 
 
 def near_dedup(

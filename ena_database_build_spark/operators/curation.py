@@ -581,12 +581,22 @@ def line_dedup(
     frequency bucket).
 
     Returns ``(id, n_kept, n_dropped, text)`` with the rebuilt text.
+
+    ``sep`` is a LITERAL separator: ``F.split`` takes a Java regex, so
+    it is wrapped in ``\\Q...\\E`` quoting before splitting — a
+    separator like ``'.'`` or ``'|'`` splits on the literal character,
+    not on every-char / empty-alternation (round-3 ADVICE item #4).
+    The rebuild side (``concat_ws``) always treated it literally, so
+    quoting also removes a split/rebuild asymmetry.
     """
+    # \Q...\E quotes everything between; an embedded \E would close
+    # the quote early, so it is stitched around: \E -> \E\\E\Q
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = (
         df.where(F.col(text_col).isNotNull())
         .select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), sep)).alias(
+            F.posexplode(F.split(F.col(text_col), sep_rx)).alias(
                 "_pos", "_line"
             ),
         )

@@ -65,22 +65,35 @@ def metrics_report(
     """Evaluates ``{check_name: (metric_expr, min_required)}`` in ONE
     aggregation pass; returns ``(check_name, metric, passed)`` rows.
     ``passed`` compares the ROUNDED metric so the verdict is stable
-    across engines' float printing."""
+    across engines' float printing; a NULL metric (empty input — the
+    count-ratio checks all try_divide by a zero count) reports
+    ``passed = False``, never NULL: an un-measurable gate must fail
+    closed (round-3 ADVICE item #2).
+
+    Check names are carried exclusively as ``lit()`` values — the
+    un-pivot is an explode over an array of (name, metric) structs
+    with positional internal aliases, never interpolated into SQL —
+    so any printable name (quotes, backticks, dots) is safe."""
     names = list(checks)
     row = df.agg(
         *[
-            F.round(expr, ndigits).alias(name)
-            for name, (expr, _) in checks.items()
+            F.round(expr, ndigits).alias(f"_m{i}")
+            for i, (expr, _) in enumerate(checks.values())
         ]
     )
     stacked = row.select(
-        F.expr(
-            "stack({n}, {args}) AS (check_name, metric)".format(
-                n=len(names),
-                args=", ".join(f"'{n}', `{n}`" for n in names),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check_name"),
+                        F.col(f"_m{i}").alias("metric"),
+                    )
+                    for i, name in enumerate(names)
+                ]
             )
-        )
-    )
+        ).alias("kv")
+    ).select("kv.check_name", "kv.metric")
     thresholds = F.create_map(
         *[
             x
@@ -91,7 +104,10 @@ def metrics_report(
     return stacked.select(
         "check_name",
         "metric",
-        (F.col("metric") >= thresholds[F.col("check_name")]).alias("passed"),
+        F.coalesce(
+            F.col("metric") >= thresholds[F.col("check_name")],
+            F.lit(False),
+        ).alias("passed"),
     )
 
 

@@ -52,18 +52,33 @@ def partial_stats(
     )
 
 
-def merge_stats(*parts: DataFrame) -> DataFrame:
+_STAT_COLS = ("n", "total", "total_sq", "min_val", "max_val")
+
+
+def merge_stats(*parts: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Merges partial-stats tables: union + one groupBy re-applying
     each partial's own combine operation.  The shuffle carries
     #groups × #parts rows — independent of the underlying corpus
-    size, which is the entire point."""
+    size, which is the entire point.
+
+    ``keys`` defaults to "every column not named like a statistic",
+    matching :func:`partial_stats` output — but a GROUP KEY that
+    happens to be named ``n``/``total``/... would silently be summed
+    as a statistic under that inference, corrupting the merge
+    (round-3 ADVICE item #3).  Pass ``keys`` explicitly to merge such
+    schemas; the inferred path raises if any statistic column is
+    missing (the schema is then ambiguous, not partial-stats-shaped)."""
     if not parts:
         raise ValueError("merge_stats needs at least one partial")
-    keys = [
-        c
-        for c in parts[0].columns
-        if c not in ("n", "total", "total_sq", "min_val", "max_val")
-    ]
+    if keys is None:
+        missing = [c for c in _STAT_COLS if c not in parts[0].columns]
+        if missing:
+            raise ValueError(
+                f"partial is missing statistic columns {missing}; if a "
+                "group key shares a statistic name, pass keys=[...] "
+                "explicitly"
+            )
+        keys = [c for c in parts[0].columns if c not in _STAT_COLS]
     unioned = reduce(DataFrame.unionByName, parts)
     return unioned.groupBy(*keys).agg(
         F.sum("n").alias("n"),

@@ -94,12 +94,15 @@ def plan_compaction(
 ) -> DataFrame:
     """Small-file compaction planner (the OPTIMIZE half of layout
     maintenance, alongside :func:`write_zordered`): assigns every file
-    a ``group_id`` such that greedily filling groups in path order up
-    to ``target_bytes`` reproduces the assignment —
-    ``group = floor(exclusive_cumsum(bytes) / target)``.  Path order
-    keeps each group's files directory-adjacent (compacted outputs
-    stay partition-local); an oversized file spans its own group(s) by
-    the same arithmetic.
+    the ``group_id`` of the boundary-aligned byte range its START
+    offset falls in — ``group = floor(exclusive_cumsum(bytes) /
+    target)``.  Groups are therefore byte ranges of the path-ordered
+    concatenation, NOT a strict size cap: a file whose bytes straddle
+    a boundary lands wholly in the lower group, which may then exceed
+    ``target_bytes`` by up to one file (and an oversized file spans
+    several boundaries but is still assigned once, to its start
+    offset's group).  Path order keeps each group's files
+    directory-adjacent (compacted outputs stay partition-local).
 
     Scale shape: the global cumulative sum over path order uses the
     repo's two-phase prefix-sum pattern (packing.pack_sequences), with

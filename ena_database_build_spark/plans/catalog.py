@@ -4580,15 +4580,23 @@ WHERE doc_id NOT IN (SELECT n FROM losers)
 
 
 def q_tpch_q7_nation_volume(spark, sf_dir):
-    """TPC-H Q7 analog (cross-nation shipping volume by year): the
-    two-nation filter collapses `nation` to a 2-row broadcast applied
-    to supplier and customer BEFORE the fact-fact join, so lineitem
-    joins an already-nation-pruned supplier set (broadcast, map-only)
-    and the only shuffle is lineitem |x| orders on orderkey.  The
-    opposite-nation predicate reduces to supp != cust once both sides
-    are pre-filtered to the pair."""
-    nat = t(spark, sf_dir, "nation").where(
-        F.col("n_name").isin("NATION_1", "NATION_2")
+    """TPC-H Q7 analog (cross-bloc shipping volume by year): nations
+    split into two trade blocs by n_nationkey parity; revenue is
+    grouped per (supplier nation, customer nation, year) for pairs
+    that cross the bloc boundary.  The bloc split (vs TPC-H's literal
+    two-nation pair) keeps the query non-vacuous at every test SF —
+    sf0.001 has supplier rows in only a handful of nations, so any
+    fixed pair risks an empty, unfalsifiable result (round-3 VERDICT
+    item #2).  Plan shape is unchanged: `nation` is a 25-row broadcast
+    applied to supplier and customer BEFORE the fact-fact join, so
+    lineitem joins an already-annotated supplier set (broadcast,
+    map-only) and the only shuffle is lineitem |x| orders on orderkey.
+    The opposite-bloc predicate is a cheap int comparison on the two
+    broadcast-borne parity columns."""
+    nat = t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        (F.col("n_nationkey") % 2).alias("bloc"),
     )
     supp = (
         t(spark, sf_dir, "supplier")
@@ -4596,7 +4604,11 @@ def q_tpch_q7_nation_volume(spark, sf_dir):
             F.broadcast(nat),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .select(
+            "s_suppkey",
+            F.col("n_name").alias("supp_nation"),
+            F.col("bloc").alias("supp_bloc"),
+        )
     )
     cust = (
         t(spark, sf_dir, "customer")
@@ -4604,40 +4616,55 @@ def q_tpch_q7_nation_volume(spark, sf_dir):
             F.broadcast(nat),
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
-        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("cust_nation"),
+            F.col("bloc").alias("cust_bloc"),
+        )
     )
+    # volume is carried as an EXACT integer in ten-thousandths
+    # (price-cents x discount-basis-points, both exact ints for
+    # 2-decimal inputs) and divided back to currency once, after the
+    # sum: double rounding of a half-boundary sum is the one place
+    # Spark (BigDecimal half-up) and DuckDB (binary multiply) disagree,
+    # while bigint-sum / 1e4 is the same IEEE double in both engines.
     li = t(spark, sf_dir, "lineitem", spread=True).select(
         "l_orderkey",
         "l_suppkey",
         F.year("l_shipdate").alias("l_year"),
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "volume"
-        ),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * F.round(100 - F.col("l_discount") * 100).cast("long")
+        ).alias("volume_e4"),
     )
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (
         li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .where(F.col("supp_bloc") != F.col("cust_bloc"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(
+            (F.sum("volume_e4").cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            )
+        )
     )
 
 
 SQL_TPCH_Q7 = """
 SELECT supp_nation, cust_nation, l_year,
-       round(sum(volume), 2) AS revenue
+       CAST(sum(volume_e4) AS DOUBLE) / 10000.0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
-         l_extendedprice * (1 - l_discount) AS volume
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(100 - l_discount * 100) AS BIGINT) AS volume_e4
   FROM supplier, lineitem, orders, customer, nation n1, nation n2
   WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
     AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
     AND c_nationkey = n2.n_nationkey
-    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND (n1.n_nationkey % 2) <> (n2.n_nationkey % 2)
 )
 GROUP BY supp_nation, cust_nation, l_year
 """

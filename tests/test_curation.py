@@ -225,6 +225,28 @@ def test_line_dedup_drops_boilerplate_and_preserves_order(spark):
     assert got[5].n_dropped == 0
 
 
+def test_line_dedup_regex_metachar_separator_is_literal(spark):
+    """sep is a literal, not a Java regex (round-3 ADVICE #4): '|'
+    used to split on the empty alternation (every character)."""
+    from ena_database_build_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me|common footer"),
+            (2, "common footer|also unique"),
+            (3, "common footer"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in line_dedup(docs, max_doc_freq=2, sep="|").collect()
+    }
+    assert got[1].text == "keep me" and got[1].n_dropped == 1
+    assert got[2].text == "also unique"
+    assert got[3].n_kept == 0 and got[3].text == ""
+
+
 def test_decontaminate_bloom_prefilter_is_result_identical(spark):
     from ena_database_build_spark.operators.curation import decontaminate
 

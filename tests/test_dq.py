@@ -62,6 +62,22 @@ def test_metrics_report_is_single_job(spark, df):
     assert scans == 1 and "Join" not in plan and "Union" not in plan
 
 
+def test_metrics_report_hostile_names_and_empty_input(spark, df):
+    """Check names never touch a SQL string (round-3 ADVICE #2):
+    quotes/backticks/dots are plain data.  On an empty table every
+    count-ratio metric is NULL and the gate fails CLOSED."""
+    hostile = "o'brien's `check`.v1"
+    rep = {
+        r.check_name: r
+        for r in DQ.metrics_report(
+            df.where(F.lit(False)),
+            {hostile: (DQ.completeness("key"), 1.0)},
+        ).collect()
+    }
+    assert rep[hostile].metric is None
+    assert rep[hostile].passed is False  # False, not NULL
+
+
 def test_ri_coverage(spark, df):
     dim = spark.createDataFrame([(10,), (11,)], "pk long")
     row = DQ.ri_coverage(df, "key", dim, "pk", "key_ri").head()

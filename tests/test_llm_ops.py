@@ -329,6 +329,32 @@ def test_near_dedup_keeps_min_id_per_cluster(spark):
     assert 2 not in kept and 5 not in kept
 
 
+def test_near_dedup_degenerate_docs(spark):
+    """No-content docs are excluded from the exact-collapse (round-3
+    ADVICE #1): NULL-text docs yield zero shingle rows so LSH never
+    pairs them — ALL must survive, not be collapsed to one — while
+    whitespace-only docs share the '' shingle and dedup through the
+    LSH pipeline itself (min id wins).  Sub-k-token identical docs
+    emit their partial shingle, so they exact-collapse safely."""
+    docs = spark.createDataFrame(
+        [
+            (1, None),            # NULL content: survives
+            (2, None),            # NULL content: survives
+            (3, "   "),           # whitespace: LSH-dedups vs 4
+            (4, "\t \n"),         # whitespace: loses to 3
+            (5, "tok"),           # sub-k identical pair: collapse
+            (6, "tok"),           #   keeps min id 5
+            (7, "w x y z a b c"), # normal unique doc
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in CCOMP.near_dedup(docs, threshold=0.5, k=2).collect()
+    )
+    assert kept == [1, 2, 3, 5, 7]
+
+
 def test_kmeans_separates_obvious_clusters(spark):
     # two tight blobs around (0,0) and (10,10); seeds (ids 0,1) start
     # one in each blob, so 2 Lloyd rounds must separate them cleanly
