@@ -6261,27 +6261,170 @@ GROUP BY 1, 2
 
 # The driver's correctness run evaluates the FIRST 50 entries of this
 # dict per round (verified: CORRECTNESS_r02.json == the first 50 keys
-# of the round-2 ordering).  The registry therefore ROTATES each round
-# so every query gets a green driver row at most one round old:
-#   round 2 banked rows for the reference-surface set (S/F/P/G/A/J/O +
-#   ena_context + TPC-H Q1/Q3/Q5 + dedup/LSH/CC + ordered joins);
-#   round 3 puts the 48 queries that round never saw — plus the two
-#   new streaming anchors — in the window, and the banked set after.
-# Keep net new queries per round <= (50 - rotated backlog) so the
-# rotation stays complete; see tools/check_catalog.py for the
-# full-catalog local check.
+# of the round-2 ordering, CORRECTNESS_r03.json == the first 50 of the
+# round-3 ordering).  The registry therefore ROTATES each round so
+# every query gets a green driver row as fresh as the schedule allows;
+# NEVER edit a banked query's semantics while it is out of the checked
+# window — that would invalidate its prior-round green row.  See
+# tools/check_catalog.py for the full-catalog local check.
 #
-# Round-4 plan (apply only when window 2 rotates INTO the checked
-# window — editing a banked query's semantics while banked would
-# invalidate its prior-round green row): consolidate micro-queries
-# that pin related operator ids into multi-column queries
-# (P4+P5+P6 detectors; F6+F8 guards; S6+S7 sinks).  The freed slots
-# go to the round-3-continuation additions below window 3 — the
-# formerly-planned oracle rows for near_dedup_incremental,
-# asof_join_bucketed, and hash_sample_weighted were added mid-round-3
-# (window 3) and already pass the local harness.
+# Rotation state and schedule (round-3 VERDICT "Next round" #1 —
+# never-checked queries outrank banked-but-stale ones):
+#   round 4 (THIS ordering): the 50 queries below marked [r4 window]
+#     — the 11 mid-round-3 additions + 39 of the 49 window-3 queries,
+#     none of which has ever had a driver row.
+#   round 5: the 10 remaining never-checked queries (daily_spine ..
+#     window_distinct_users, first below the fold) followed by 40 of
+#     the banked §2 reference-surface set (r2 rows, two rounds stale
+#     by then) — micro-query §2 ids consolidated where planned
+#     (P4+P5+P6 detectors, F6+F8 guards, S6+S7 sinks) so the set
+#     rotates in fewer slots.
+#   round 6: the remaining §2 queries + the round-3-window set
+#     (r3 rows), completing the cycle; steady state is a 3-round
+#     rotation of the full catalog at 50 checked entries per round.
 CATALOG: dict[str, QueryDef] = {
-    # -- window 1 (round 3): previously driver-unseen + new this round
+    # ================== r4 window (positions 1-50) ==================
+    # -- appended mid-round-3 (after the r3 window snapshot): first
+    # driver rows for the materialized/profile/SCD/embedding-rollup
+    # surface
+    "heavy_hitters": QueryDef(q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "semantic_dedup": QueryDef(q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "scd2_user_state": QueryDef(q_scd2_user_state, SQL_SCD2),
+    "pagerank_suppliers": QueryDef(q_pagerank_suppliers, SQL_PAGERANK),
+    "zorder_values": QueryDef(q_zorder_values, SQL_ZORDER),
+    "embedding_project": QueryDef(q_embedding_project, SQL_JL_PROJECT),
+    "embedding_meanpool": QueryDef(q_embedding_meanpool, SQL_MEANPOOL),
+    "table_profile": QueryDef(q_table_profile, SQL_TABLE_PROFILE),
+    "source_cap": QueryDef(q_source_cap, SQL_SOURCE_CAP),
+    "snapshot_diff": QueryDef(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "cdc_latest_state": QueryDef(q_cdc_latest_state, SQL_CDC_LATEST),
+    # -- window 3 (round-3 continuation): sketch/BPE/incremental/DQ/
+    # funnel/layout/anti-entropy surface + relational breadth
+    "bloom_decontaminate": QueryDef(q_bloom_decontaminate, SQL_BLOOM_DECON),
+    "bpe_pair_counts": QueryDef(q_bpe_pair_counts, SQL_BPE_PAIRS),
+    "bpe_merges": QueryDef(q_bpe_merges, SQL_BPE_MERGES),
+    "incremental_stats": QueryDef(q_incremental_stats, SQL_INCREMENTAL_STATS),
+    "orc_roundtrip": QueryDef(q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
+    "stream_enrichment": QueryDef(q_stream_enrichment, SQL_STREAM_ENRICH),
+    "dq_report": QueryDef(q_dq_report, SQL_DQ_REPORT),
+    "asof_join_bucketed": QueryDef(q_asof_join_bucketed, SQL_ASOF_BUCKETED),
+    "hash_sample_weighted": QueryDef(
+        q_hash_sample_weighted, SQL_HASH_SAMPLE_WEIGHTED
+    ),
+    "near_dedup_incremental": QueryDef(
+        q_near_dedup_incremental, SQL_NEAR_DEDUP_INCREMENTAL
+    ),
+    "tpch_q7_nation_volume": QueryDef(q_tpch_q7_nation_volume, SQL_TPCH_Q7),
+    "tpch_q13_order_distribution": QueryDef(
+        q_tpch_q13_order_distribution, SQL_TPCH_Q13
+    ),
+    "user_retention": QueryDef(q_user_retention, SQL_USER_RETENTION),
+    "compaction_plan": QueryDef(q_compaction_plan, SQL_COMPACTION_PLAN),
+    "funnel_conversion": QueryDef(q_funnel_conversion, SQL_FUNNEL),
+    "replica_diff": QueryDef(q_replica_diff, SQL_REPLICA_DIFF),
+    "line_dedup": QueryDef(q_line_dedup, SQL_LINE_DEDUP),
+    "activity_streaks": QueryDef(q_activity_streaks, SQL_ACTIVITY_STREAKS),
+    "batch_cosine_topk": QueryDef(q_batch_cosine_topk, SQL_BATCH_COSINE),
+    "event_transitions": QueryDef(q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "top_purchases": QueryDef(q_top_purchases, SQL_TOP_PURCHASES),
+    "schema_evolution": QueryDef(q_schema_evolution, SQL_SCHEMA_EVOLUTION),
+    "span_corruption": QueryDef(q_span_corruption, SQL_SPAN_CORRUPTION),
+    "mixture_upsample": QueryDef(q_mixture_upsample, SQL_MIXTURE_UPSAMPLE),
+    "script_composition": QueryDef(
+        q_script_composition, SQL_SCRIPT_COMPOSITION
+    ),
+    "bpe_compression": QueryDef(q_bpe_compression, SQL_BPE_COMPRESSION),
+    "skew_salted_agg": QueryDef(q_skew_salted_agg, SQL_SKEW_SALTED_AGG),
+    "skew_salted_join": QueryDef(q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
+    "weighted_sample_n": QueryDef(q_weighted_sample_n, SQL_WEIGHTED_SAMPLE_N),
+    "rolling_user_value": QueryDef(
+        q_rolling_user_value, SQL_ROLLING_USER_VALUE
+    ),
+    "scd2_enrichment": QueryDef(q_scd2_enrichment, SQL_SCD2_ENRICHMENT),
+    "weighted_sample_by_source": QueryDef(
+        q_weighted_sample_by_source, SQL_WEIGHTED_SAMPLE_BY
+    ),
+    "cube_revenue": QueryDef(q_cube_revenue, SQL_CUBE_REVENUE),
+    "time_to_convert": QueryDef(q_time_to_convert, SQL_TIME_TO_CONVERT),
+    "winsorize_counts": QueryDef(q_winsorize_counts, SQL_WINSORIZE),
+    "contrastive_triples": QueryDef(q_contrastive_triples, SQL_CONTRASTIVE),
+    "supervised_pairs": QueryDef(q_supervised_pairs, SQL_SUPERVISED_PAIRS),
+    "cms_frequencies": QueryDef(q_cms_frequencies, SQL_CMS_FREQUENCIES),
+    "kmv_distinct": QueryDef(q_kmv_distinct, SQL_KMV_DISTINCT),
+    # ============== below the fold (not checked in r4) ==============
+    # -- never-checked remainder: FIRST in the round-5 window
+    "daily_spine": QueryDef(q_daily_spine, SQL_DAILY_SPINE),
+    "session_bounce": QueryDef(q_session_bounce, SQL_SESSION_BOUNCE),
+    "trending_types": QueryDef(q_trending_types, SQL_TRENDING),
+    "length_histogram": QueryDef(q_length_histogram, SQL_LENGTH_HISTOGRAM),
+    "revenue_share": QueryDef(q_revenue_share, SQL_REVENUE_SHARE),
+    "session_duration_quartiles": QueryDef(
+        q_session_duration_quartiles, SQL_SESSION_DURATION_QUARTILES
+    ),
+    "purchase_gaps": QueryDef(q_purchase_gaps, SQL_PURCHASE_GAPS),
+    "lang_source_matrix": QueryDef(
+        q_lang_source_matrix, SQL_LANG_SOURCE_MATRIX
+    ),
+    "grouping_sets_revenue": QueryDef(
+        q_grouping_sets_revenue, SQL_GROUPING_SETS
+    ),
+    "window_distinct_users": QueryDef(
+        q_window_distinct_users, SQL_WINDOW_DISTINCT_USERS
+    ),
+    # -- window 2 (banked green in round 2; rotates into the checked
+    # window in round 5, after the 10 above)
+    "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),
+    "f1_division_filter": QueryDef(q_f1_division_filter, SQL_F1),
+    "f2_prefix_filter": QueryDef(q_f2_prefix_filter, SQL_F2),
+    "f3_fungi_gate": QueryDef(q_f3_fungi_gate, SQL_F3),
+    "f4_whitelist_deadletter": QueryDef(q_f4_whitelist_deadletter, SQL_F4),
+    "f5_malformed_id_drop": QueryDef(q_f5_malformed_id_drop, SQL_F5),
+    "f6_empty_record_guard": QueryDef(q_f6_empty_record_guard, SQL_F6),
+    "f7_unparseable_cds_drop": QueryDef(q_f7_unparseable_cds_drop, SQL_F7),
+    "f8_empty_input_guard": QueryDef(q_f8_empty_input_guard, SQL_F8),
+    "p1_regex_extract": QueryDef(q_p1_regex_extract, SQL_P1),
+    "p2_alternation_extract": QueryDef(q_p2_alternation_extract, SQL_P2),
+    "p3_range_extract": QueryDef(q_p3_range_extract, SQL_P3),
+    "p4_feature_start": QueryDef(q_p4_feature_start, SQL_P4),
+    "p5_cds_head": QueryDef(q_p5_cds_head, SQL_P5),
+    "p6_qualifier_continuation": QueryDef(q_p6_qualifier_continuation, SQL_P6),
+    "p7_location_normalizer": QueryDef(q_p7_location_normalizer, SQL_P7),
+    "p8_strand_detector": QueryDef(q_p8_strand_detector, SQL_P8),
+    "p9_path_components": QueryDef(q_p9_path_components, SQL_P9),
+    "g1_sessionize": QueryDef(q_g1_sessionize, SQL_G1),
+    "g2_nested_sessionize": QueryDef(q_g2_nested_sessionize, SQL_G2),
+    "g3_final_flush": QueryDef(q_g3_final_flush, SQL_G3),
+    "g4_ordinals": QueryDef(q_g4_ordinals, SQL_G4),
+    "a1_collect_set": QueryDef(q_a1_collect_set, SQL_A1),
+    "a2_record_set_union": QueryDef(q_a2_record_set_union, SQL_A2),
+    "a3_flat_minmax": QueryDef(q_a3_flat_minmax, SQL_A3),
+    "a4_circular_resolution": QueryDef(q_a4_circular_resolution, SQL_A4),
+    "j1_lookup_join": QueryDef(q_j1_lookup_join, SQL_J1),
+    "j2_anti_join": QueryDef(q_j2_anti_join, SQL_J2),
+    "j3_fallback_coalesce": QueryDef(q_j3_fallback_coalesce, SQL_J3),
+    "o1_explode": QueryDef(q_o1_explode, SQL_O1),
+    "o2_seven_col_projection": QueryDef(q_o2_seven_col_projection, SQL_O2),
+    "o3_union": QueryDef(q_o3_union, SQL_O3),
+    "o4_topk": QueryDef(q_o4_topk, SQL_O4),
+    "o5_stable_range_sort": QueryDef(q_o5_stable_range_sort, SQL_O5),
+    "s5_tsv_roundtrip": QueryDef(q_s5_tsv_roundtrip, SQL_S5),
+    "s6_partitioned_shards": QueryDef(q_s6_partitioned_shards, SQL_S6),
+    "s7_concat_single_file": QueryDef(q_s7_concat_single_file, SQL_S7),
+    "ena_context_analog": QueryDef(q_ena_context_analog, SQL_ENA_CONTEXT),
+    "tpch_q1_pricing": QueryDef(q_tpch_q1_pricing, SQL_TPCH_Q1),
+    "tpch_q3_shipping": QueryDef(q_tpch_q3_shipping, SQL_TPCH_Q3),
+    "tpch_q5_volume": QueryDef(q_tpch_q5_volume, SQL_TPCH_Q5),
+    "dedup_exact": QueryDef(q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_signatures": QueryDef(q_minhash_signatures, SQL_MINHASH),
+    "lsh_candidate_pairs": QueryDef(q_lsh_candidate_pairs, SQL_LSH_PAIRS),
+    "simhash": QueryDef(q_simhash, SQL_SIMHASH),
+    "jaccard_pairs": QueryDef(q_jaccard_pairs, SQL_JACCARD),
+    "dedup_clusters": QueryDef(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "asof_join": QueryDef(q_asof_join, SQL_ASOF),
+    "range_join_transit": QueryDef(q_range_join_transit, SQL_RANGE_JOIN),
+    "transit_sweepline": QueryDef(q_transit_sweepline, SQL_SWEEPLINE),
+    # -- round-3 window (banked green in round 3; rotates back into
+    # the checked window in round 6)
     "rollup_revenue": QueryDef(q_rollup_revenue, SQL_ROLLUP),
     "order_analytics": QueryDef(q_order_analytics, SQL_ORDER_ANALYTICS),
     "quantiles_exact": QueryDef(q_quantiles_exact, SQL_QUANTILES),
@@ -6334,140 +6477,4 @@ CATALOG: dict[str, QueryDef] = {
     "props_extract": QueryDef(q_props_extract, SQL_PROPS_EXTRACT),
     "stream_totals": QueryDef(q_stream_totals, SQL_STREAM_TOTALS),
     "stream_dedup": QueryDef(q_stream_dedup, SQL_STREAM_DEDUP),
-    # -- window 2 (banked green in round 2; rotates first in round 4)
-    "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),
-    "f1_division_filter": QueryDef(q_f1_division_filter, SQL_F1),
-    "f2_prefix_filter": QueryDef(q_f2_prefix_filter, SQL_F2),
-    "f3_fungi_gate": QueryDef(q_f3_fungi_gate, SQL_F3),
-    "f4_whitelist_deadletter": QueryDef(q_f4_whitelist_deadletter, SQL_F4),
-    "f5_malformed_id_drop": QueryDef(q_f5_malformed_id_drop, SQL_F5),
-    "f6_empty_record_guard": QueryDef(q_f6_empty_record_guard, SQL_F6),
-    "f7_unparseable_cds_drop": QueryDef(q_f7_unparseable_cds_drop, SQL_F7),
-    "f8_empty_input_guard": QueryDef(q_f8_empty_input_guard, SQL_F8),
-    "p1_regex_extract": QueryDef(q_p1_regex_extract, SQL_P1),
-    "p2_alternation_extract": QueryDef(q_p2_alternation_extract, SQL_P2),
-    "p3_range_extract": QueryDef(q_p3_range_extract, SQL_P3),
-    "p4_feature_start": QueryDef(q_p4_feature_start, SQL_P4),
-    "p5_cds_head": QueryDef(q_p5_cds_head, SQL_P5),
-    "p6_qualifier_continuation": QueryDef(q_p6_qualifier_continuation, SQL_P6),
-    "p7_location_normalizer": QueryDef(q_p7_location_normalizer, SQL_P7),
-    "p8_strand_detector": QueryDef(q_p8_strand_detector, SQL_P8),
-    "p9_path_components": QueryDef(q_p9_path_components, SQL_P9),
-    "g1_sessionize": QueryDef(q_g1_sessionize, SQL_G1),
-    "g2_nested_sessionize": QueryDef(q_g2_nested_sessionize, SQL_G2),
-    "g3_final_flush": QueryDef(q_g3_final_flush, SQL_G3),
-    "g4_ordinals": QueryDef(q_g4_ordinals, SQL_G4),
-    "a1_collect_set": QueryDef(q_a1_collect_set, SQL_A1),
-    "a2_record_set_union": QueryDef(q_a2_record_set_union, SQL_A2),
-    "a3_flat_minmax": QueryDef(q_a3_flat_minmax, SQL_A3),
-    "a4_circular_resolution": QueryDef(q_a4_circular_resolution, SQL_A4),
-    "j1_lookup_join": QueryDef(q_j1_lookup_join, SQL_J1),
-    "j2_anti_join": QueryDef(q_j2_anti_join, SQL_J2),
-    "j3_fallback_coalesce": QueryDef(q_j3_fallback_coalesce, SQL_J3),
-    "o1_explode": QueryDef(q_o1_explode, SQL_O1),
-    "o2_seven_col_projection": QueryDef(q_o2_seven_col_projection, SQL_O2),
-    "o3_union": QueryDef(q_o3_union, SQL_O3),
-    "o4_topk": QueryDef(q_o4_topk, SQL_O4),
-    "o5_stable_range_sort": QueryDef(q_o5_stable_range_sort, SQL_O5),
-    "s5_tsv_roundtrip": QueryDef(q_s5_tsv_roundtrip, SQL_S5),
-    "s6_partitioned_shards": QueryDef(q_s6_partitioned_shards, SQL_S6),
-    "s7_concat_single_file": QueryDef(q_s7_concat_single_file, SQL_S7),
-    "ena_context_analog": QueryDef(q_ena_context_analog, SQL_ENA_CONTEXT),
-    "tpch_q1_pricing": QueryDef(q_tpch_q1_pricing, SQL_TPCH_Q1),
-    "tpch_q3_shipping": QueryDef(q_tpch_q3_shipping, SQL_TPCH_Q3),
-    "tpch_q5_volume": QueryDef(q_tpch_q5_volume, SQL_TPCH_Q5),
-    "dedup_exact": QueryDef(q_dedup_exact, SQL_DEDUP_EXACT),
-    "minhash_signatures": QueryDef(q_minhash_signatures, SQL_MINHASH),
-    "lsh_candidate_pairs": QueryDef(q_lsh_candidate_pairs, SQL_LSH_PAIRS),
-    "simhash": QueryDef(q_simhash, SQL_SIMHASH),
-    "jaccard_pairs": QueryDef(q_jaccard_pairs, SQL_JACCARD),
-    "dedup_clusters": QueryDef(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "asof_join": QueryDef(q_asof_join, SQL_ASOF),
-    "range_join_transit": QueryDef(q_range_join_transit, SQL_RANGE_JOIN),
-    "transit_sweepline": QueryDef(q_transit_sweepline, SQL_SWEEPLINE),
-    # -- appended mid-round-3 (after the window-1 snapshot): enters the
-    # checked window with the round-4 rotation
-    "heavy_hitters": QueryDef(q_heavy_hitters, SQL_HEAVY_HITTERS),
-    "semantic_dedup": QueryDef(q_semantic_dedup, SQL_SEMANTIC_DEDUP),
-    "scd2_user_state": QueryDef(q_scd2_user_state, SQL_SCD2),
-    "pagerank_suppliers": QueryDef(q_pagerank_suppliers, SQL_PAGERANK),
-    "zorder_values": QueryDef(q_zorder_values, SQL_ZORDER),
-    "embedding_project": QueryDef(q_embedding_project, SQL_JL_PROJECT),
-    "embedding_meanpool": QueryDef(q_embedding_meanpool, SQL_MEANPOOL),
-    "table_profile": QueryDef(q_table_profile, SQL_TABLE_PROFILE),
-    "source_cap": QueryDef(q_source_cap, SQL_SOURCE_CAP),
-    "snapshot_diff": QueryDef(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
-    "cdc_latest_state": QueryDef(q_cdc_latest_state, SQL_CDC_LATEST),
-    # -- window 3 (round-3 continuation): sketch/BPE/incremental/DQ/
-    # funnel/layout/anti-entropy surface + relational breadth; enters
-    # the checked window with the round-4 rotation
-    "bloom_decontaminate": QueryDef(q_bloom_decontaminate, SQL_BLOOM_DECON),
-    "bpe_pair_counts": QueryDef(q_bpe_pair_counts, SQL_BPE_PAIRS),
-    "bpe_merges": QueryDef(q_bpe_merges, SQL_BPE_MERGES),
-    "incremental_stats": QueryDef(q_incremental_stats, SQL_INCREMENTAL_STATS),
-    "orc_roundtrip": QueryDef(q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
-    "stream_enrichment": QueryDef(q_stream_enrichment, SQL_STREAM_ENRICH),
-    "dq_report": QueryDef(q_dq_report, SQL_DQ_REPORT),
-    "asof_join_bucketed": QueryDef(q_asof_join_bucketed, SQL_ASOF_BUCKETED),
-    "hash_sample_weighted": QueryDef(
-        q_hash_sample_weighted, SQL_HASH_SAMPLE_WEIGHTED
-    ),
-    "near_dedup_incremental": QueryDef(
-        q_near_dedup_incremental, SQL_NEAR_DEDUP_INCREMENTAL
-    ),
-    "tpch_q7_nation_volume": QueryDef(q_tpch_q7_nation_volume, SQL_TPCH_Q7),
-    "tpch_q13_order_distribution": QueryDef(
-        q_tpch_q13_order_distribution, SQL_TPCH_Q13
-    ),
-    "user_retention": QueryDef(q_user_retention, SQL_USER_RETENTION),
-    "compaction_plan": QueryDef(q_compaction_plan, SQL_COMPACTION_PLAN),
-    "funnel_conversion": QueryDef(q_funnel_conversion, SQL_FUNNEL),
-    "replica_diff": QueryDef(q_replica_diff, SQL_REPLICA_DIFF),
-    "line_dedup": QueryDef(q_line_dedup, SQL_LINE_DEDUP),
-    "activity_streaks": QueryDef(q_activity_streaks, SQL_ACTIVITY_STREAKS),
-    "batch_cosine_topk": QueryDef(q_batch_cosine_topk, SQL_BATCH_COSINE),
-    "event_transitions": QueryDef(q_event_transitions, SQL_EVENT_TRANSITIONS),
-    "top_purchases": QueryDef(q_top_purchases, SQL_TOP_PURCHASES),
-    "schema_evolution": QueryDef(q_schema_evolution, SQL_SCHEMA_EVOLUTION),
-    "span_corruption": QueryDef(q_span_corruption, SQL_SPAN_CORRUPTION),
-    "mixture_upsample": QueryDef(q_mixture_upsample, SQL_MIXTURE_UPSAMPLE),
-    "script_composition": QueryDef(
-        q_script_composition, SQL_SCRIPT_COMPOSITION
-    ),
-    "bpe_compression": QueryDef(q_bpe_compression, SQL_BPE_COMPRESSION),
-    "skew_salted_agg": QueryDef(q_skew_salted_agg, SQL_SKEW_SALTED_AGG),
-    "skew_salted_join": QueryDef(q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
-    "weighted_sample_n": QueryDef(q_weighted_sample_n, SQL_WEIGHTED_SAMPLE_N),
-    "rolling_user_value": QueryDef(
-        q_rolling_user_value, SQL_ROLLING_USER_VALUE
-    ),
-    "scd2_enrichment": QueryDef(q_scd2_enrichment, SQL_SCD2_ENRICHMENT),
-    "weighted_sample_by_source": QueryDef(
-        q_weighted_sample_by_source, SQL_WEIGHTED_SAMPLE_BY
-    ),
-    "cube_revenue": QueryDef(q_cube_revenue, SQL_CUBE_REVENUE),
-    "time_to_convert": QueryDef(q_time_to_convert, SQL_TIME_TO_CONVERT),
-    "winsorize_counts": QueryDef(q_winsorize_counts, SQL_WINSORIZE),
-    "contrastive_triples": QueryDef(q_contrastive_triples, SQL_CONTRASTIVE),
-    "supervised_pairs": QueryDef(q_supervised_pairs, SQL_SUPERVISED_PAIRS),
-    "cms_frequencies": QueryDef(q_cms_frequencies, SQL_CMS_FREQUENCIES),
-    "kmv_distinct": QueryDef(q_kmv_distinct, SQL_KMV_DISTINCT),
-    "daily_spine": QueryDef(q_daily_spine, SQL_DAILY_SPINE),
-    "session_bounce": QueryDef(q_session_bounce, SQL_SESSION_BOUNCE),
-    "trending_types": QueryDef(q_trending_types, SQL_TRENDING),
-    "length_histogram": QueryDef(q_length_histogram, SQL_LENGTH_HISTOGRAM),
-    "revenue_share": QueryDef(q_revenue_share, SQL_REVENUE_SHARE),
-    "session_duration_quartiles": QueryDef(
-        q_session_duration_quartiles, SQL_SESSION_DURATION_QUARTILES
-    ),
-    "purchase_gaps": QueryDef(q_purchase_gaps, SQL_PURCHASE_GAPS),
-    "lang_source_matrix": QueryDef(
-        q_lang_source_matrix, SQL_LANG_SOURCE_MATRIX
-    ),
-    "grouping_sets_revenue": QueryDef(
-        q_grouping_sets_revenue, SQL_GROUPING_SETS
-    ),
-    "window_distinct_users": QueryDef(
-        q_window_distinct_users, SQL_WINDOW_DISTINCT_USERS
-    ),
 }
