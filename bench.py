@@ -93,6 +93,17 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = float(Path(sf_dir).name.replace("sf", "") or 0)
+
+    # Same-session DuckDB oracle totals: the shared host's throughput
+    # swings ~40% between measurement windows, so the absolute Spark
+    # seconds of two different rounds are not comparable — the
+    # Spark/oracle RATIO measured back-to-back in ONE window is
+    # (round-3 VERDICT item #4).  Same protocol: warm-up run, then
+    # median of three.
+    oracle_timings = _time_oracles(sf_dir)
+    oracle_total = (
+        round(sum(oracle_timings.values()), 3) if oracle_timings else None
+    )
     print(
         json.dumps(
             {
@@ -101,11 +112,50 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "oracle_queries": oracle_timings,
+                "oracle_total": oracle_total,
+                "spark_over_oracle_ratio": (
+                    round(total / oracle_total, 3) if oracle_total else None
+                ),
                 "sf": sf,
                 "loadavg_1m": round(os.getloadavg()[0], 1),
             }
         )
     )
+
+
+def _time_oracles(sf_dir: str) -> dict[str, float]:
+    """Times each headline query's DuckDB oracle over the same parquet
+    tables (median of 3 after one warm-up, matching the Spark
+    protocol).  Returns {} if anything fails — the oracle side is a
+    comparison yardstick, never a reason to lose the Spark numbers."""
+    try:
+        import duckdb
+
+        from ena_database_build_spark.plans.catalog import TABLES
+
+        con = duckdb.connect()
+        for tab in TABLES:
+            con.sql(
+                f"CREATE VIEW {tab} AS "
+                f"SELECT * FROM '{sf_dir}/{tab}.parquet'"
+            )
+        out: dict[str, float] = {}
+        for name in HEADLINE:
+            oracle = CATALOG[name].oracle
+            if oracle is None:
+                continue
+            con.sql(oracle).fetchall()
+            runs = []
+            for _ in range(3):
+                st = time.perf_counter()
+                con.sql(oracle).fetchall()
+                runs.append(time.perf_counter() - st)
+            runs.sort()
+            out[name] = round(runs[1], 3)
+        return out
+    except Exception:  # noqa: BLE001 — yardstick only, see docstring
+        return {}
 
 
 if __name__ == "__main__":

@@ -54,3 +54,50 @@ def test_partition_independent(spark, events):
     a = FUN.funnel_counts(events.repartition(1), STEPS).collect()
     b = FUN.funnel_counts(events.repartition(11), STEPS).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bounded_variant_hand_computed(spark, events):
+    got = {
+        r.user_id: r.stage
+        for r in FUN.funnel_stages_bounded(events, STEPS).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 0, 4: 1, 5: 3}
+
+
+def test_bounded_variant_matches_fold_randomized(spark):
+    """funnel_stages_bounded is result-identical to the collect_list
+    fold on a randomized corpus (seeded), including a bot user with
+    3000 step events, repeated step types, and timestamp ties."""
+    import random
+
+    rng = random.Random(41)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = [
+        (uid, T0 + dt.timedelta(seconds=rng.randint(0, 500)),
+         rng.choice(types))
+        for uid in range(80)
+        for _ in range(rng.randint(1, 12))
+    ]
+    # pathological bot: floods the first step type
+    rows += [
+        (999, T0 + dt.timedelta(seconds=i % 400), "view")
+        for i in range(3000)
+    ]
+    rows += [(999, T0 + dt.timedelta(seconds=450), "click")]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    for steps in (
+        ["view", "click", "purchase"],
+        ["view", "view", "click"],   # repeated step type
+        ["purchase"],
+    ):
+        fold = {
+            r.user_id: r.stage
+            for r in FUN.funnel_stages(events, steps).collect()
+        }
+        bounded = {
+            r.user_id: r.stage
+            for r in FUN.funnel_stages_bounded(events, steps).collect()
+        }
+        assert bounded == fold, steps
