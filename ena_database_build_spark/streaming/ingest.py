@@ -32,14 +32,20 @@ def dedup_append_batch(
     corpus_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fmt: str = "parquet",
 ) -> int:
     """One micro-batch of deduplicating ingestion: drop rows whose
-    fingerprint already exists in the parquet corpus at ``corpus_path``
-    (or earlier in the batch), append the survivors, return how many
-    rows were appended.  Usable directly for batch backfills too."""
+    fingerprint already exists in the corpus at ``corpus_path`` (or
+    earlier in the batch), append the survivors, return how many rows
+    were appended.  Usable directly for batch backfills too.
+
+    ``fmt`` is any appendable Spark batch format ("parquet", "orc",
+    ...): the dedup logic never touches bytes, only the (id, text)
+    relation, so the sink is format-agnostic by construction — pinned
+    by a test that runs the same scenario against an ORC corpus."""
     spark = batch_df.sparkSession
     try:
-        existing = spark.read.parquet(corpus_path).select(
+        existing = spark.read.format(fmt).load(corpus_path).select(
             id_col, text_col
         )
     except AnalysisException:  # first batch: corpus does not exist yet
@@ -50,13 +56,13 @@ def dedup_append_batch(
         batch_df, existing, text_col=text_col, id_col=id_col
     )
     # localCheckpoint before the append: `kept` reads the corpus the
-    # write is about to extend, and parquet re-lists files per action —
-    # materializing first pins the read set (classic read-modify-write
-    # self-overwrite hazard).
+    # write is about to extend, and file sources re-list files per
+    # action — materializing first pins the read set (classic
+    # read-modify-write self-overwrite hazard).
     kept = kept.localCheckpoint(eager=True)
     n = kept.count()
     if n:
-        kept.write.mode("append").parquet(corpus_path)
+        kept.write.mode("append").format(fmt).save(corpus_path)
     return n
 
 
@@ -66,12 +72,13 @@ def dedup_ingest_stream(
     checkpoint_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fmt: str = "parquet",
 ):
     """Wire a streaming DataFrame into deduplicating corpus ingestion.
     Returns the started StreamingQuery; the caller awaits/stops it."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        dedup_append_batch(batch_df, corpus_path, text_col, id_col)
+        dedup_append_batch(batch_df, corpus_path, text_col, id_col, fmt)
 
     return (
         stream_df.writeStream.foreachBatch(_sink)

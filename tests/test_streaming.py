@@ -313,3 +313,52 @@ def test_dedup_ingest_stream_builds_unique_corpus(spark, tmp_path):
     # replaying an already-ingested batch appends nothing
     assert dedup_append_batch(b2, corpus) == 0
     assert spark.read.parquet(corpus).count() == 3
+
+
+def test_dedup_ingest_stream_is_format_agnostic_orc(spark, tmp_path):
+    """The foreachBatch dedup sink works unchanged against an ORC
+    corpus (round-3 VERDICT item #7): same dedup outcome, same
+    replay-idempotence, only the storage format differs."""
+    from ena_database_build_spark.streaming.ingest import (
+        dedup_append_batch,
+        dedup_ingest_stream,
+    )
+
+    import glob
+    import shutil
+
+    src = tmp_path / "incoming"
+    corpus = str(tmp_path / "corpus_orc")
+    ckpt = str(tmp_path / "ckpt_orc")
+    src.mkdir()
+
+    def stage(df, name):
+        scratch = tmp_path / f"_stage_{name}"
+        df.coalesce(1).write.parquet(str(scratch))
+        shutil.copy(glob.glob(str(scratch / "part-*.parquet"))[0], src / name)
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "ALPHA  beta")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, "gamma delta"), (11, "epsilon"), (12, "epsilon")],
+        "doc_id long, text string",
+    )
+    stage(b1, "f1.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = dedup_ingest_stream(stream, corpus, ckpt, fmt="orc")
+    try:
+        q.processAllAvailable()
+        stage(b2, "f2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.read.orc(corpus).collect()}
+    assert got == {1, 2, 11}
+    assert dedup_append_batch(b2, corpus, fmt="orc") == 0
+    assert spark.read.orc(corpus).count() == 3
