@@ -6256,6 +6256,162 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Consolidated §2 micro-queries (round-5 rotation prep, round-3 VERDICT
+# item #1): each multi-column query pins the SAME operator ids as the
+# micro-queries it supersedes, in one driver slot instead of 2-3.  The
+# superseded singles (p4/p5/p6, f6/f8, s6/s7) stay in the catalog until
+# their consolidated replacements have a green driver row (round 5), at
+# which point the singles can be dropped from the rotation.
+# --------------------------------------------------------------------------
+
+
+def q_p456_detectors(spark, sf_dir):
+    """P4+P5+P6 in one pass: feature-block-start (parse_embl.py:47),
+    CDS-head (parse_embl.py:557), and qualifier-continuation
+    (parse_embl.py:564) detectors evaluated as three boolean columns
+    over the same constructed feature-table line — one scan, three
+    operator ids."""
+    from ena_database_build_spark.functions import embl as E
+
+    docs = t(spark, sf_dir, "documents")
+    line = _ft_line(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        E.is_feature_start(line).alias("is_start"),
+        E.is_cds_head(line).alias("is_cds"),
+        E.is_qualifier_continuation(line).alias("is_cont"),
+    )
+
+
+SQL_P456 = """
+SELECT doc_id,
+       (doc_id % 5 IN (0, 2, 4)) AS is_start,
+       (doc_id % 5 = 0) AS is_cds,
+       (doc_id % 5 = 1) AS is_cont
+FROM documents
+"""
+
+
+def q_f68_guards(spark, sf_dir):
+    """F6+F8 in one union: the empty-collection record guard (a record
+    whose CDS collection is empty emits nothing, parse_embl.py:352-359)
+    and the empty-input aggregation guard (a provably empty input
+    aggregates to an empty result with the declared schema, not a
+    failure).  The empty-input branch contributes zero rows by
+    construction — its presence in the executed plan IS the F8
+    assertion."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    guarded = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.collect_list("l_linenumber").alias("_ranges"))
+        .where(F.size("_ranges") > 0)
+        .select(
+            F.lit("record_guard").alias("src"),
+            F.col("o_orderkey").cast("string").alias("key"),
+            F.size("_ranges").cast("long").alias("n"),
+        )
+    )
+    empty = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") < 0)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("empty_input").alias("src"),
+            F.col("l_returnflag").alias("key"),
+            F.col("n"),
+        )
+    )
+    return guarded.unionByName(empty)
+
+
+SQL_F68 = """
+SELECT 'record_guard' AS src, CAST(o_orderkey AS VARCHAR) AS key,
+       count(*) AS n
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY o_orderkey
+UNION ALL
+SELECT 'empty_input' AS src, l_returnflag AS key, count(*) AS n
+FROM lineitem WHERE l_quantity < 0
+GROUP BY l_returnflag
+"""
+
+
+def q_s67_sinks(spark, sf_dir):
+    """S6+S7 in one union: the shard-per-source-dir sink
+    (dask_tasks.py:168-211) and the concat-all single-file sink
+    (dask_tskmgr.py:232-241), each written through the real sink and
+    read back — per-shard row/id counts for S6, and the
+    exactly-one-part-file invariant for S7 (``n_files`` is NULL on
+    shard rows: physical file counts under a partitioned dir depend on
+    parallelism, which is not a semantic claim)."""
+    from ena_database_build_spark.sources.sinks import write_ena_tab
+
+    path6 = _sink_path(sf_dir, "s67_part")
+    path7 = _sink_path(sf_dir, "s67_single")
+    base = _sink_df(spark, sf_dir)
+    with_file = t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("wgs/public/abc/")).otherwise(
+                F.lit("sequence/con/")
+            ),
+            F.lit("d"), F.col("doc_id"), F.lit(".dat.gz"),
+        ).alias("file"),
+        F.concat(F.lit("ENA"), F.col("doc_id")).alias("ena_id"),
+        F.concat(F.lit("U"), F.col("doc_id") % 50).alias("uniprot_id"),
+        (F.col("doc_id") % 7 + 1).cast("int").alias("locus_num"),
+        (F.col("doc_id") % 2).cast("int").alias("chr_struct"),
+        ((F.col("doc_id") / 2).cast("int") % 2).alias("direction"),
+        (F.col("doc_id") * 3 + 1).cast("long").alias("start"),
+        (F.col("doc_id") * 3 + 500).cast("long").alias("end"),
+    )
+    write_ena_tab(with_file, path6, partition_by_source_dir=True)
+    write_ena_tab(base, path7, single_file=True)
+    rd = spark.read.schema(_ENA_TAB_READ_SCHEMA).option("sep", "\t").option(
+        "header", "false"
+    )
+    shards = (
+        rd.csv(path6)
+        .groupBy(F.col("source_dir").cast("string").alias("source_dir"))
+        .agg(F.count("*").alias("n_rows"), F.countDistinct("ena_id").alias("n_ids"))
+        .select(
+            F.concat(F.lit("s6:"), F.col("source_dir")).alias("sink"),
+            "n_rows",
+            "n_ids",
+            F.lit(None).cast("long").alias("n_files"),
+        )
+    )
+    single = (
+        rd.csv(path7)
+        .select("ena_id", F.input_file_name().alias("_part"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("ena_id").alias("n_ids"),
+            F.countDistinct("_part").alias("n_files"),
+        )
+        .select(F.lit("s7:single").alias("sink"), "n_rows", "n_ids", "n_files")
+    )
+    return shards.unionByName(single)
+
+
+SQL_S67 = """
+SELECT 's6:' || CASE WHEN doc_id % 3 = 0 THEN 'wgs-public-abc'
+                     ELSE 'sequence-con' END AS sink,
+       count(*) AS n_rows,
+       count(DISTINCT doc_id) AS n_ids,
+       CAST(NULL AS BIGINT) AS n_files
+FROM documents GROUP BY 1
+UNION ALL
+SELECT 's7:single' AS sink, count(*) AS n_rows,
+       count(DISTINCT doc_id) AS n_ids, CAST(1 AS BIGINT) AS n_files
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -6274,14 +6430,18 @@ GROUP BY 1, 2
 #     — the 11 mid-round-3 additions + 39 of the 49 window-3 queries,
 #     none of which has ever had a driver row.
 #   round 5: the 10 remaining never-checked queries (daily_spine ..
-#     window_distinct_users, first below the fold) followed by 40 of
-#     the banked §2 reference-surface set (r2 rows, two rounds stale
-#     by then) — micro-query §2 ids consolidated where planned
-#     (P4+P5+P6 detectors, F6+F8 guards, S6+S7 sinks) so the set
-#     rotates in fewer slots.
+#     window_distinct_users, first below the fold), then the 3
+#     consolidated §2 queries (p456_detectors / f68_guards /
+#     s67_sinks — each pins the same operator ids as the 2-3
+#     micro-queries it supersedes), then 37 of the banked §2
+#     reference-surface set (r2 rows, two rounds stale by then),
+#     SKIPPING the 7 superseded singles (p4/p5/p6, f6/f8, s6/s7) —
+#     once the consolidated queries have green rows, the singles can
+#     be deleted and §2 coverage cites the consolidated rows.
 #   round 6: the remaining §2 queries + the round-3-window set
-#     (r3 rows), completing the cycle; steady state is a 3-round
-#     rotation of the full catalog at 50 checked entries per round.
+#     (r3 rows), completing the cycle; steady state after the
+#     deletion is a ~3-round rotation of ~156 queries at 50 checked
+#     entries per round.
 CATALOG: dict[str, QueryDef] = {
     # ================== r4 window (positions 1-50) ==================
     # -- appended mid-round-3 (after the r3 window snapshot): first
@@ -6371,8 +6531,13 @@ CATALOG: dict[str, QueryDef] = {
     "window_distinct_users": QueryDef(
         q_window_distinct_users, SQL_WINDOW_DISTINCT_USERS
     ),
+    # -- consolidated §2 queries (added round 4, never checked):
+    # enter the round-5 window right after the 10 above
+    "p456_detectors": QueryDef(q_p456_detectors, SQL_P456),
+    "f68_guards": QueryDef(q_f68_guards, SQL_F68),
+    "s67_sinks": QueryDef(q_s67_sinks, SQL_S67),
     # -- window 2 (banked green in round 2; rotates into the checked
-    # window in round 5, after the 10 above)
+    # window in round 5, after the 13 above)
     "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),
     "f1_division_filter": QueryDef(q_f1_division_filter, SQL_F1),
     "f2_prefix_filter": QueryDef(q_f2_prefix_filter, SQL_F2),
