@@ -632,3 +632,98 @@ def line_dedup(
             ).alias(text_col),
         )
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring removal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" exact
+    substring dedup, re-expressed relationally at word granularity):
+    any word ``k``-gram occurring in at least ``min_docs`` DISTINCT
+    documents marks its ``k`` covering tokens as duplicated in every
+    document; duplicated tokens are removed and each document's text
+    is rebuilt from the survivors in order.
+
+    Where :func:`line_dedup` needs boilerplate to align on line
+    boundaries and ``decontaminate`` drops whole documents, this
+    removes the duplicated SPAN only — the suffix-array semantics of
+    the paper, bounded to k-gram resolution so it stays a pure
+    DataFrame computation (the true suffix array is inherently
+    sequential; k-gram cover converges to it as k shrinks).
+
+    Scale shape: tokens explode once; duplicated k-gram discovery is
+    ONE hash-keyed map-side-combinable count (the boilerplate-index
+    shape); membership returns via a semi-join on the hash; span
+    cover is a per-doc RANGE window over [pos-k+1, pos] — no
+    all-pairs stage, no per-doc state beyond the window frame, and
+    every shuffle is keyed (gram hash or doc id).  Output:
+    ``(id, n_kept, n_dropped, text)`` for every non-blank input doc.
+
+    Tokens are RAW whitespace splits (no case folding): removal
+    rebuilds the user-visible text, so the match key must be the text
+    itself, byte-for-byte.
+    """
+    base = df.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+    toks = base.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "_pos", "_tok"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    leads = [F.lead("_tok", j).over(w) for j in range(1, k)]
+    grams = toks.select(
+        F.col(id_col),
+        F.col("_pos"),
+        F.col("_tok"),
+        F.when(
+            leads[-1].isNotNull(),
+            F.md5(F.concat_ws(" ", F.col("_tok"), *leads)),
+        ).alias("_g"),
+    )
+    dup_grams = (
+        grams.where(F.col("_g").isNotNull())
+        .groupBy("_g")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_g")
+    )
+    dup_starts = (
+        grams.where(F.col("_g").isNotNull())
+        .join(dup_grams, "_g", "left_semi")
+        .select(F.col(id_col), F.col("_pos"), F.lit(1).alias("_dup"))
+    )
+    marked = grams.drop("_g").join(dup_starts, [id_col, "_pos"], "left")
+    cover = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rangeBetween(-(k - 1), 0)
+    )
+    verdict = marked.withColumn(
+        "_covered", F.max("_dup").over(cover).isNotNull()
+    )
+    return verdict.groupBy(id_col).agg(
+        F.sum((~F.col("_covered")).cast("long")).alias("n_kept"),
+        F.sum(F.col("_covered").cast("long")).alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_covered"),
+                            F.struct(F.col("_pos"), F.col("_tok")),
+                        )
+                    )
+                ),
+                lambda s: s["_tok"],
+            ),
+        ).alias(text_col),
+    )

@@ -6255,6 +6255,66 @@ GROUP BY 1, 2
 """
 
 
+def q_span_dedup(spark, sf_dir):
+    """Exact duplicated-substring removal (Lee et al. 2022 exact
+    substring dedup at word-8-gram resolution): any 8-gram shared by
+    >=2 distinct documents has its covering tokens stripped from every
+    document; text is rebuilt from the survivors.  See
+    operators/curation.span_dedup for the one-explode + hash-keyed
+    count + semi-join + RANGE-window-cover scale shape."""
+    from ena_database_build_spark.operators.curation import span_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    return span_dedup(docs, k=8, min_docs=2)
+
+
+_SPAN_K = 8
+_SPAN_LEADS = " || ' ' || ".join(
+    f"lead(tok, {j}) OVER w" for j in range(1, _SPAN_K)
+)
+SQL_SPAN_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id, trim(text) AS t FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(t, '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(t, '\\s+'), 1) - 1
+           AS pos
+  FROM base
+),
+grams AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN lead(tok, {_SPAN_K - 1}) OVER w IS NOT NULL
+              THEN md5(tok || ' ' || {_SPAN_LEADS}) END AS g
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+dup AS (
+  SELECT g FROM grams WHERE g IS NOT NULL
+  GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+),
+marked AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN g IN (SELECT g FROM dup) THEN 1 END AS dup
+  FROM grams
+),
+verdict AS (
+  SELECT doc_id, pos, tok,
+         max(dup) OVER (PARTITION BY doc_id ORDER BY pos
+                        RANGE BETWEEN {_SPAN_K - 1} PRECEDING
+                        AND CURRENT ROW) IS NOT NULL AS covered
+  FROM marked
+)
+SELECT doc_id,
+       count(*) FILTER (WHERE NOT covered) AS n_kept,
+       count(*) FILTER (WHERE covered) AS n_dropped,
+       coalesce(string_agg(tok, ' ' ORDER BY pos)
+                  FILTER (WHERE NOT covered), '') AS text
+FROM verdict GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Consolidated §2 micro-queries (round-5 rotation prep, round-3 VERDICT
 # item #1): each multi-column query pins the SAME operator ids as the
@@ -6536,6 +6596,9 @@ CATALOG: dict[str, QueryDef] = {
     "p456_detectors": QueryDef(q_p456_detectors, SQL_P456),
     "f68_guards": QueryDef(q_f68_guards, SQL_F68),
     "s67_sinks": QueryDef(q_s67_sinks, SQL_S67),
+    # -- round-4 capability additions (never checked): join the
+    # round-5 window after the consolidated trio
+    "span_dedup": QueryDef(q_span_dedup, SQL_SPAN_DEDUP),
     # -- window 2 (banked green in round 2; rotates into the checked
     # window in round 5, after the 13 above)
     "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),

@@ -265,3 +265,30 @@ def test_decontaminate_bloom_prefilter_is_result_identical(spark):
     ).collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, pre))
     assert plain, "fixture must produce contamination"
+
+
+def test_span_dedup_removes_cross_doc_spans_only(spark):
+    """Lee-et-al-style exact substring removal at k=4: a 4-gram shared
+    by two docs strips its covering tokens from BOTH docs, unique
+    text survives, sub-k docs are untouched, and a fully-duplicated
+    doc empties out."""
+    from ena_database_build_spark.operators.curation import span_dedup
+
+    shared = "the quick brown fox"          # the duplicated 4-gram
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared}"),               # fully duplicated -> empty
+            (3, "alpha beta gamma delta"),  # no shared 4-gram
+            (4, "tiny doc"),                # sub-k: no gram, untouched
+            (5, "the quick brown wolf ran away"),  # 3-token overlap only
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in span_dedup(docs, k=4).collect()}
+    assert got[1].text == "alpha beta gamma delta"
+    assert got[1].n_dropped == 4 and got[1].n_kept == 4
+    assert got[2].text == "" and got[2].n_kept == 0
+    assert got[3].text == "alpha beta gamma delta" and got[3].n_dropped == 0
+    assert got[4].text == "tiny doc" and got[4].n_dropped == 0
+    assert got[5].n_dropped == 0  # k-1 overlap is below the resolution
