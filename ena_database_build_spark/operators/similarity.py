@@ -271,3 +271,57 @@ def batch_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def standardize_dims(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding corpus —
+    the feature-scaling pass before k-means / quantile bucketing /
+    drift monitoring treats every dimension comparably.  Returns
+    long-form ``(id, pos, z)`` rows.
+
+    Engine-exact arithmetic (the embedding_meanpool discipline): each
+    component is quantized to an integer (``round(x * scale)``) so the
+    per-dimension sum and sum-of-squares are EXACT integers in any
+    engine, and mean/variance/z each collapse to one deterministic
+    IEEE double expression over those integers — no float-association
+    drift between Spark's partial aggregation order and a sequential
+    oracle.  A zero-variance dimension standardizes to ``z = 0.0``
+    (the convention that keeps constant features from emitting
+    NULL/inf into downstream distance math).
+
+    Scale shape: one posexplode (map-only), one dimension-keyed
+    map-side-combinable aggregation whose output is #dims rows, one
+    broadcast join back — the corpus is scanned twice, shuffled
+    never (the dim-stats exchange carries #dims rows)."""
+    q = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.round(x * scale).cast("long"),
+            )
+        ).alias("pos", "_xq"),
+    )
+    stats = q.groupBy("pos").agg(
+        F.count("*").alias("_n"),
+        F.sum("_xq").alias("_s"),
+        F.sum(F.col("_xq") * F.col("_xq")).alias("_sq"),
+    )
+    n = F.col("_n").cast("double")
+    s = F.col("_s").cast("double")
+    mean = s / n
+    var = (F.col("_sq").cast("double") - s * s / n) / n
+    z = F.when(
+        var > 0,
+        F.round((F.col("_xq").cast("double") - mean) / F.sqrt(var), ndigits),
+    ).otherwise(F.lit(0.0))
+    return (
+        q.join(F.broadcast(stats), "pos")
+        .select(F.col(id_col), F.col("pos"), z.alias("z"))
+    )

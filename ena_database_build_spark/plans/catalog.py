@@ -6255,6 +6255,48 @@ GROUP BY 1, 2
 """
 
 
+def q_embedding_standardize(spark, sf_dir):
+    """Per-dimension z-score standardization of the embedding corpus
+    (long-form (vec_id, pos, z) rows): integer-quantized sums make
+    mean/variance engine-exact; constant dimensions emit z = 0.  See
+    operators/similarity.standardize_dims for the map-only + #dims-row
+    broadcast scale shape."""
+    from ena_database_build_spark.operators.similarity import (
+        standardize_dims,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    return standardize_dims(emb)
+
+
+SQL_EMBEDDING_STANDARDIZE = """
+WITH q AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS xq
+  FROM embeddings
+),
+st AS (
+  SELECT pos, count(*) AS n, sum(xq) AS s, sum(xq * xq) AS sq
+  FROM q GROUP BY pos
+)
+SELECT q.vec_id, q.pos,
+       CASE WHEN (CAST(sq AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) > 0
+            THEN round(
+              (CAST(xq AS DOUBLE)
+               - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / sqrt((CAST(sq AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)),
+              6)
+            ELSE 0.0 END AS z
+FROM q JOIN st USING (pos)
+"""
+
+
 def q_span_dedup(spark, sf_dir):
     """Exact duplicated-substring removal (Lee et al. 2022 exact
     substring dedup at word-8-gram resolution): any 8-gram shared by
@@ -6599,6 +6641,9 @@ CATALOG: dict[str, QueryDef] = {
     # -- round-4 capability additions (never checked): join the
     # round-5 window after the consolidated trio
     "span_dedup": QueryDef(q_span_dedup, SQL_SPAN_DEDUP),
+    "embedding_standardize": QueryDef(
+        q_embedding_standardize, SQL_EMBEDDING_STANDARDIZE
+    ),
     # -- window 2 (banked green in round 2; rotates into the checked
     # window in round 5, after the 13 above)
     "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),

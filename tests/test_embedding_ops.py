@@ -60,3 +60,26 @@ def test_mean_pool_partition_independent(spark):
         for r in SIM.mean_pool(df.repartition(13), "doc").collect()
     )
     assert a == b
+
+
+def test_standardize_dims_hand_computed(spark):
+    """z-scores per dimension: dim 0 has mean 2, pop-std 1 -> z in
+    {-1,0,1}; dim 1 is constant -> z = 0.0 everywhere (not NULL)."""
+    from ena_database_build_spark.operators.similarity import (
+        standardize_dims,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [2.0, 5.0]), (3, [3.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.vec_id, r.pos): r.z for r in standardize_dims(df).collect()
+    }
+    import math
+
+    std = math.sqrt(2.0 / 3.0)
+    assert got[(1, 0)] == round(-1.0 / std, 6)
+    assert got[(2, 0)] == 0.0
+    assert got[(3, 0)] == round(1.0 / std, 6)
+    assert got[(1, 1)] == 0.0 and got[(3, 1)] == 0.0
