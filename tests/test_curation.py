@@ -292,3 +292,51 @@ def test_span_dedup_removes_cross_doc_spans_only(spark):
     assert got[3].text == "alpha beta gamma delta" and got[3].n_dropped == 0
     assert got[4].text == "tiny doc" and got[4].n_dropped == 0
     assert got[5].n_dropped == 0  # k-1 overlap is below the resolution
+
+
+def test_span_dedup_matches_pure_python_randomized(spark):
+    """Randomized differential: span_dedup vs a direct pure-Python
+    implementation of 'mark every token covered by a k-gram appearing
+    in >= min_docs distinct docs' on a seeded corpus with planted
+    shared spans, repeats within one doc, and whitespace noise."""
+    import random
+
+    from ena_database_build_spark.operators.curation import span_dedup
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(30)]
+    shared_a = [rng.choice(vocab) for _ in range(6)]
+    shared_b = [rng.choice(vocab) for _ in range(9)]
+    rows = []
+    for d in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        if d % 4 == 0:
+            at = rng.randint(0, len(words))
+            words[at:at] = shared_a
+        if d % 7 == 0:
+            at = rng.randint(0, len(words))
+            words[at:at] = shared_b
+        sep = rng.choice([" ", "  ", " \t "])
+        rows.append((d, sep.join(words)))
+    k = 4
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in span_dedup(docs, k=k).collect()}
+
+    # pure-python reference
+    toks = {d: t.split() for d, t in rows if t.strip()}
+    gram_docs = {}
+    for d, ws in toks.items():
+        for i in range(len(ws) - k + 1):
+            gram_docs.setdefault(tuple(ws[i : i + k]), set()).add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    for d, ws in toks.items():
+        covered = [False] * len(ws)
+        for i in range(len(ws) - k + 1):
+            if tuple(ws[i : i + k]) in dup:
+                for j in range(i, i + k):
+                    covered[j] = True
+        kept = [w for w, c in zip(ws, covered) if not c]
+        assert got[d].n_kept == len(kept), d
+        assert got[d].n_dropped == sum(covered), d
+        assert got[d].text == " ".join(kept), d
+    assert set(got) == set(toks)
