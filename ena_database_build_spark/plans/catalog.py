@@ -6255,6 +6255,59 @@ GROUP BY 1, 2
 """
 
 
+def q_sft_transcripts(spark, sf_dir):
+    """Conversation assembly for SFT-style training data: 24-hour
+    idle-gap sessions per user become ordered `event_type:props`
+    transcripts capped at 10 turns (cap applied BEFORE the collect, so
+    per-session state is bounded — see operators/conversations.py).
+    The 24 h gap (vs the analytics queries' 10-30 min) makes the
+    truncation branch NON-VACUOUS at every test SF — the synthetic
+    short-session fixture never exceeds 4 events under a 30 min gap,
+    and an untested cap is the vacuity class round 2/3 kept flagging."""
+    from ena_database_build_spark.operators.conversations import (
+        assemble_transcripts,
+    )
+
+    ev = t(spark, sf_dir, "events", spread=True)
+    return assemble_transcripts(ev, gap="24 hours", max_turns=10)
+
+
+SQL_SFT_TRANSCRIPTS = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+         event_type || ':' || coalesce(props, '') AS turn
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                      OR us - lag(us) OVER w > 86400000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, sess_id
+                            ORDER BY us, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, sess_id) AS tot,
+         min(us) OVER (PARTITION BY user_id, sess_id) AS start_us
+  FROM sess
+)
+SELECT user_id,
+       CAST(start_us // 1000000 AS BIGINT) AS session_start_s,
+       count(*) AS n_turns,
+       min(tot) AS n_total_turns,
+       min(tot) > 10 AS truncated,
+       string_agg(turn, ' | ' ORDER BY us, event_id) AS transcript
+FROM ranked WHERE rn <= 10
+GROUP BY user_id, sess_id, start_us
+"""
+
+
 def q_embedding_standardize(spark, sf_dir):
     """Per-dimension z-score standardization of the embedding corpus
     (long-form (vec_id, pos, z) rows): integer-quantized sums make
@@ -6644,6 +6697,7 @@ CATALOG: dict[str, QueryDef] = {
     "embedding_standardize": QueryDef(
         q_embedding_standardize, SQL_EMBEDDING_STANDARDIZE
     ),
+    "sft_transcripts": QueryDef(q_sft_transcripts, SQL_SFT_TRANSCRIPTS),
     # -- window 2 (banked green in round 2; rotates into the checked
     # window in round 5, after the 13 above)
     "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),

@@ -1,0 +1,55 @@
+"""Conversation/transcript assembly (operators/conversations.py):
+gap splitting, turn ordering, cap semantics, tie-breaking."""
+
+import datetime as dt
+
+from ena_database_build_spark.operators.conversations import (
+    assemble_transcripts,
+)
+
+T0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def ev(eid, uid, minute, typ, props=None):
+    return (eid, uid, T0 + dt.timedelta(minutes=minute), typ, props)
+
+
+def test_transcripts_hand_computed(spark):
+    rows = [
+        # u1 session 1: three turns inside the gap, one with NULL props
+        ev(1, 1, 0, "view", "a"),
+        ev(2, 1, 5, "click", None),
+        ev(3, 1, 10, "purchase", "c"),
+        # u1 session 2: a 31-minute idle gap starts a new session
+        ev(4, 1, 45, "view", "d"),
+        # u2: five turns, cap at 3 -> truncated
+        ev(10, 2, 0, "a", "1"),
+        ev(11, 2, 1, "b", "2"),
+        ev(12, 2, 2, "c", "3"),
+        ev(13, 2, 3, "d", "4"),
+        ev(14, 2, 4, "e", "5"),
+        # u3: timestamp tie broken by event_id (21 before 22)
+        ev(22, 3, 0, "second", "y"),
+        ev(21, 3, 0, "first", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, props string",
+    )
+    out = assemble_transcripts(df, gap="30 minutes", max_turns=3)
+    got = sorted(
+        ((r.user_id, r.transcript, r.n_turns, r.n_total_turns, r.truncated)
+         for r in out.collect())
+    )
+    assert got == [
+        (1, "view:a | click: | purchase:c", 3, 3, False),
+        (1, "view:d", 1, 1, False),
+        (2, "a:1 | b:2 | c:3", 3, 5, True),
+        (3, "first:x | second:y", 2, 2, False),
+    ]
+    starts = {
+        (r.user_id, r.transcript): r.session_start_s for r in out.collect()
+    }
+    # session_start_s is the epoch second of the first turn
+    assert starts[(1, "view:d")] - starts[(1, "view:a | click: | purchase:c")] == 45 * 60
