@@ -6255,6 +6255,84 @@ GROUP BY 1, 2
 """
 
 
+def q_psi_drift(spark, sf_dir):
+    """Distribution drift per event_type: PSI of `value` between the
+    first and second halves of the event-time range (fixed-width bins
+    from the reference half's min/max, Laplace-smoothed ratios — see
+    operators/drift.psi_report for the engine-exact arithmetic and
+    the one-union keyed-count scale shape)."""
+    from ena_database_build_spark.operators.drift import psi_report
+
+    ev = t(spark, sf_dir, "events", spread=True).where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select("event_type", "value", F.unix_micros("ts").alias("_us"))
+    bounds = ev.agg(
+        F.expr("(min(_us) + max(_us)) div 2").alias("_mid")
+    )
+    with_mid = ev.crossJoin(F.broadcast(bounds))
+    ref = with_mid.where(F.col("_us") <= F.col("_mid"))
+    cur = with_mid.where(F.col("_us") > F.col("_mid"))
+    return psi_report(ref, cur, "value", keys=["event_type"], bins=10)
+
+
+SQL_PSI_DRIFT = """
+WITH ev AS (
+  SELECT event_type, value, epoch_ns(ts) // 1000 AS us
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+r AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+      FROM ev, b WHERE us <= mid),
+c AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+      FROM ev, b WHERE us > mid),
+edges AS (SELECT event_type, min(v) AS mn, max(v) AS mx
+          FROM r GROUP BY 1),
+sides AS (
+  SELECT 'r' AS side, event_type, v FROM r
+  UNION ALL SELECT 'c', event_type, v FROM c
+),
+binned AS (
+  SELECT bo.side, bo.event_type,
+         CASE WHEN e.mn IS NULL THEN NULL
+              WHEN e.mx > e.mn THEN
+                greatest(least(CAST(floor((bo.v - e.mn)
+                                          / (e.mx - e.mn) * 10)
+                                    AS BIGINT), 9), 0)
+              ELSE 0 END AS bin
+  FROM sides bo LEFT JOIN edges e USING (event_type)
+),
+counts AS (
+  SELECT event_type, bin,
+         count(*) FILTER (WHERE side = 'r') AS rn,
+         count(*) FILTER (WHERE side = 'c') AS cn
+  FROM binned WHERE bin IS NOT NULL GROUP BY 1, 2
+),
+spine AS (SELECT event_type, unnest(range(10)) AS bin FROM edges),
+filled AS (
+  SELECT s.event_type, s.bin,
+         coalesce(co.rn, 0) AS rn, coalesce(co.cn, 0) AS cn
+  FROM spine s LEFT JOIN counts co
+    ON s.event_type = co.event_type AND s.bin = co.bin
+),
+tot AS (SELECT event_type, sum(rn) AS rt, sum(cn) AS ct
+        FROM filled GROUP BY 1),
+perbin AS (
+  SELECT f.event_type, f.rn, f.cn, t.rt, t.ct,
+         (f.rn + 0.5) / (t.rt + 5.0) AS p,
+         (f.cn + 0.5) / (t.ct + 5.0) AS q
+  FROM filled f JOIN tot t USING (event_type)
+)
+SELECT event_type, CAST(min(rt) AS BIGINT) AS n_ref,
+       CAST(min(ct) AS BIGINT) AS n_cur,
+       round(sum((p - q) * ln(p / q)), 6) AS psi
+FROM perbin GROUP BY event_type
+UNION ALL
+SELECT event_type, 0, count(*), NULL
+FROM c WHERE event_type NOT IN (SELECT event_type FROM edges)
+GROUP BY event_type
+"""
+
+
 def q_sft_transcripts(spark, sf_dir):
     """Conversation assembly for SFT-style training data: 24-hour
     idle-gap sessions per user become ordered `event_type:props`
@@ -6698,6 +6776,7 @@ CATALOG: dict[str, QueryDef] = {
         q_embedding_standardize, SQL_EMBEDDING_STANDARDIZE
     ),
     "sft_transcripts": QueryDef(q_sft_transcripts, SQL_SFT_TRANSCRIPTS),
+    "psi_drift": QueryDef(q_psi_drift, SQL_PSI_DRIFT),
     # -- window 2 (banked green in round 2; rotates into the checked
     # window in round 5, after the 13 above)
     "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),
