@@ -52,6 +52,10 @@ ALLOW_NESTED = {
     "batch_cosine_topk",
     # 1-row global min/max bounds broadcast for the bin arithmetic
     "length_histogram",
+    # 1-row time-range midpoint broadcast splitting ref/cur snapshots
+    # (drift.psi_report's per-key joins are all keyed; only the
+    # midpoint bound is nested-loop)
+    "psi_drift",
     # the quantile operator's 2-3-row target table joined to the
     # cumulative counts (same bound as quantiles_exact)
     "winsorize_counts",
