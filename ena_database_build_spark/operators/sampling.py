@@ -268,3 +268,47 @@ def weighted_sample_n_by(
         .where(F.col("_rn") <= n)
         .drop("_es_key", "_rn")
     )
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-based group rebalancing (the XLM-R / mC4
+    multilingual sampling scheme): languages (or any group) are kept
+    at rates proportional to ``p_group^(alpha-1)``, flattening the
+    head of the distribution toward the tail — ``alpha = 1`` keeps
+    everything, ``alpha -> 0`` approaches uniform-over-groups.
+
+    Downsampling-only formulation: ``rate_g = (n_g / n_min)^(alpha-1)``
+    (the rarest group keeps everything, larger groups shed), applied
+    as a deterministic per-row Bernoulli on the md5 hash axis — the
+    same reproducibility contract as every sampler here: re-runs,
+    re-partitions, and engine swaps agree row-for-row.
+
+    Scale shape: one map-side-combinable group count (rows = #groups),
+    a 1-row min broadcast, a broadcast join of the #groups rate table
+    onto the corpus, and a stateless filter — the corpus itself never
+    shuffles."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    mn = counts.agg(F.min("_n").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        group_col,
+        "_n",
+        F.least(
+            F.lit(1.0),
+            F.pow(
+                F.col("_n").cast("double") / F.col("_nmin"),
+                F.lit(alpha - 1.0),
+            ),
+        ).alias("_rate"),
+    )
+    u = F.conv(sample_hash(F.col(id_col), seed), 16, 10).cast("long")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(u < F.col("_rate") * F.lit(float(16**8)))
+        .drop("_n", "_rate")
+    )

@@ -6255,6 +6255,48 @@ GROUP BY 1, 2
 """
 
 
+def q_temperature_sampling(spark, sf_dir):
+    """Multilingual temperature rebalancing (XLM-R sampling, alpha =
+    0.5) of documents by language, summarized per language as
+    (lang, n_before, n_after) — n_after depends on every row's
+    deterministic hash decision, so the oracle re-derives the exact
+    kept set.  See operators/sampling.temperature_rebalance."""
+    from ena_database_build_spark.operators.sampling import (
+        temperature_rebalance,
+    )
+
+    docs = t(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
+    kept = temperature_rebalance(docs, "lang", alpha=0.5, seed="temp")
+    before = docs.groupBy("lang").agg(F.count("*").alias("n_before"))
+    after = kept.groupBy("lang").agg(F.count("*").alias("n_after"))
+    return before.join(after, "lang", "left").select(
+        "lang", "n_before", F.coalesce("n_after", F.lit(0)).alias("n_after")
+    )
+
+
+SQL_TEMPERATURE_SAMPLING = """
+WITH d AS (SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL),
+counts AS (SELECT lang, count(*) AS n FROM d GROUP BY lang),
+mn AS (SELECT min(n) AS nmin FROM counts),
+rates AS (
+  SELECT lang, n,
+         least(1.0, pow(CAST(n AS DOUBLE) / nmin, -0.5)) AS rate
+  FROM counts, mn
+),
+kept AS (
+  SELECT d.lang FROM d JOIN rates USING (lang)
+  WHERE CAST('0x' || substr(md5('temp|' || CAST(doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT)
+        < rate * 4294967296.0
+)
+SELECT c.lang, c.n AS n_before,
+       coalesce(k.n_after, 0) AS n_after
+FROM counts c LEFT JOIN
+     (SELECT lang, count(*) AS n_after FROM kept GROUP BY lang) k
+     USING (lang)
+"""
+
+
 def q_psi_drift(spark, sf_dir):
     """Distribution drift per event_type: PSI of `value` between the
     first and second halves of the event-time range (fixed-width bins
@@ -6777,6 +6819,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "sft_transcripts": QueryDef(q_sft_transcripts, SQL_SFT_TRANSCRIPTS),
     "psi_drift": QueryDef(q_psi_drift, SQL_PSI_DRIFT),
+    "temperature_sampling": QueryDef(
+        q_temperature_sampling, SQL_TEMPERATURE_SAMPLING
+    ),
     # -- window 2 (banked green in round 2; rotates into the checked
     # window in round 5, after the 13 above)
     "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),

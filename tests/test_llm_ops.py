@@ -616,3 +616,30 @@ def test_weighted_sample_n_properties(spark):
         [(1, 0), (2, None), (3, 5)], "doc_id long, w long"
     )
     assert [r.doc_id for r in weighted_sample_n(df2, 3, "w").collect()] == [3]
+
+
+def test_temperature_rebalance_flattens_groups(spark):
+    """XLM-R temperature sampling: the rarest group keeps everything,
+    the majority group sheds toward (n/n_min)^(alpha-1); alpha=1 is a
+    no-op; decisions are deterministic across partitionings."""
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, "small") for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = SMP.temperature_rebalance(df, "lang", alpha=0.5)
+    by = {r.lang: r.n for r in kept.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert by["small"] == 25                 # rate 1: all kept
+    # big rate = (400/25)^-0.5 = 0.25 -> ~100 kept (hash variance)
+    assert 60 <= by["big"] <= 140
+    # alpha = 1 keeps everything
+    assert SMP.temperature_rebalance(df, "lang", alpha=1.0).count() == 425
+    # partition-independent determinism
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(
+        r.doc_id
+        for r in SMP.temperature_rebalance(
+            df.repartition(13), "lang", alpha=0.5
+        ).collect()
+    )
+    assert a == b
