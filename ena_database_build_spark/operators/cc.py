@@ -117,7 +117,7 @@ def _truncate(df: DataFrame, reliable: bool) -> DataFrame:
 
 
 def _collapse_exact(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame, text_col: str, id_col: str, order_cols=None
 ) -> DataFrame:
     """One min-id representative row per exact content fingerprint.
 
@@ -145,7 +145,11 @@ def _collapse_exact(
 
     norm = D.normalized_text(F.col(text_col))
     has_content = norm.isNotNull() & (norm != F.lit(""))
-    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc_nulls_last())
+    # default representative: min id; callers may rank by quality
+    # first (near_dedup_best) — the survivor-set proof only needs the
+    # ordering to be deterministic and shared with the cluster stage
+    order_cols = order_cols or [F.col(id_col).asc_nulls_last()]
+    w = Window.partitionBy("_fp").orderBy(*order_cols)
     with_fp = df.withColumn("_fp", D.fingerprint(F.col(text_col)))
     collapsible = (
         with_fp.where(has_content)
@@ -183,6 +187,56 @@ def near_dedup(
         F.col("node").alias(id_col)
     )
     return reps.join(losers, id_col, "left_anti")
+
+
+def near_dedup_best(
+    df: DataFrame,
+    quality_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 4,
+    band_size: int = 1,
+    k: int = 2,
+) -> DataFrame:
+    """:func:`near_dedup` with a QUALITY-aware survivor policy: per
+    duplicate cluster, keep the row with the highest ``quality_col``
+    (ties -> min id) instead of the min id — the RefinedWeb /
+    production-curation policy of keeping the longest / best-scored
+    member, since near-duplicates are rarely byte-identical and the
+    discarded variants may be the truncated ones.
+
+    The exact-fingerprint collapse ranks by the same (quality DESC,
+    id ASC) order, so the cluster winner over representatives IS the
+    winner over all members: identical-text group members share every
+    LSH match decision, and the per-group maximum composes with the
+    per-cluster maximum under one consistent ordering.  NULL quality
+    sorts last (an unscored row never beats a scored one).  Same
+    banded/keyed pipeline as :func:`near_dedup` — one extra window
+    over the cluster labels replaces the anti-join."""
+    from pyspark.sql import Window
+
+    order = [
+        F.col(quality_col).desc_nulls_last(),
+        F.col(id_col).asc_nulls_last(),
+    ]
+    reps = _collapse_exact(df, text_col, id_col, order_cols=order)
+    pairs = D.lsh_candidate_pairs(
+        reps, text_col, id_col, num_hashes, band_size, k
+    )
+    verified = D.jaccard_pairs(reps, pairs, text_col, id_col, k).where(
+        F.col("jaccard") >= threshold
+    )
+    comp = connected_components(verified)
+    labeled = reps.join(
+        comp, reps[id_col] == comp["node"], "left"
+    ).withColumn("_cluster", F.coalesce(F.col("component"), F.col(id_col)))
+    w = Window.partitionBy("_cluster").orderBy(*order)
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_cluster", "node", "component")
+    )
 
 
 def near_dedup_incremental(

@@ -6255,6 +6255,98 @@ GROUP BY 1, 2
 """
 
 
+def q_near_dedup_keep_longest(spark, sf_dir):
+    """Quality-aware near-dedup (operators/cc.near_dedup_best): per
+    near-dup cluster keep the LONGEST document (n_chars desc, ties min
+    id) — the RefinedWeb survivor policy — instead of the min id.
+    Same banded LSH -> Jaccard >= 0.8 -> connected-components pipeline
+    as dedup_clusters; the oracle replays it with the collapse and the
+    winner window in SQL."""
+    from ena_database_build_spark.operators.cc import near_dedup_best
+
+    docs = t(spark, sf_dir, "documents")
+    out = near_dedup_best(
+        docs, "n_chars", threshold=0.8, num_hashes=4, band_size=1, k=2
+    )
+    return out.select("doc_id", "n_chars")
+
+
+SQL_NEAR_DEDUP_KEEP_LONGEST = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text, n_chars, {_NORM_SQL} AS norm FROM documents
+),
+content AS (
+  SELECT *, md5(coalesce(norm, '')) AS fp FROM base
+  WHERE norm IS NOT NULL AND norm <> ''
+),
+nocontent AS (
+  SELECT doc_id, n_chars FROM base WHERE norm IS NULL OR norm = ''
+),
+reps AS (
+  SELECT doc_id, text, n_chars FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY fp ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM content) WHERE rn = 1
+),
+toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM reps),
+sh AS (SELECT doc_id, {_shingle_sql(2)} AS sh FROM toks),
+sig AS (
+  SELECT doc_id, b.band_idx,
+         list_min(list_transform(sh, s -> md5(b.band_idx || '|' || s)))
+           AS band_sig
+  FROM sh, (SELECT unnest(['0','1','2','3']) AS band_idx) b
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM sig l JOIN sig r
+    ON l.band_idx = r.band_idx AND l.band_sig = r.band_sig
+   AND l.doc_id < r.doc_id
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT p.left_id, p.right_id, count(*) AS n_inter
+  FROM pairs p
+  JOIN ex a ON a.doc_id = p.left_id
+  JOIN ex b ON b.doc_id = p.right_id AND b.s = a.s
+  GROUP BY p.left_id, p.right_id
+),
+sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+verified AS (
+  SELECT p.left_id AS a, p.right_id AS b
+  FROM pairs p
+  JOIN inter i ON i.left_id = p.left_id AND i.right_id = p.right_id
+  JOIN sizes sa ON sa.doc_id = p.left_id
+  JOIN sizes sb ON sb.doc_id = p.right_id
+  WHERE round(CAST(i.n_inter AS DOUBLE)
+              / (sa.n + sb.n - i.n_inter), 6) >= 0.8
+),
+sym AS (SELECT a, b FROM verified UNION SELECT b, a FROM verified),
+reach(n, m) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+),
+clus AS (
+  SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+  FROM reach GROUP BY n
+),
+labeled AS (
+  SELECT r.doc_id, r.n_chars,
+         coalesce(c.cluster_id, r.doc_id) AS cl
+  FROM reps r LEFT JOIN clus c USING (doc_id)
+),
+winners AS (
+  SELECT doc_id, n_chars FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cl ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM labeled) WHERE rn = 1
+)
+SELECT doc_id, n_chars FROM winners
+UNION ALL
+SELECT doc_id, n_chars FROM nocontent
+"""
+
+
 def q_temperature_sampling(spark, sf_dir):
     """Multilingual temperature rebalancing (XLM-R sampling, alpha =
     0.5) of documents by language, summarized per language as
@@ -6821,6 +6913,9 @@ CATALOG: dict[str, QueryDef] = {
     "psi_drift": QueryDef(q_psi_drift, SQL_PSI_DRIFT),
     "temperature_sampling": QueryDef(
         q_temperature_sampling, SQL_TEMPERATURE_SAMPLING
+    ),
+    "near_dedup_keep_longest": QueryDef(
+        q_near_dedup_keep_longest, SQL_NEAR_DEDUP_KEEP_LONGEST
     ),
     # -- window 2 (banked green in round 2; rotates into the checked
     # window in round 5, after the 13 above)

@@ -643,3 +643,30 @@ def test_temperature_rebalance_flattens_groups(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_near_dedup_best_keeps_highest_quality(spark):
+    """Quality-aware survivor policy: the longest/best-scored member
+    of each near-dup cluster wins (ties -> min id); unique docs pass
+    through; NULL quality never beats a scored row; exact-dup groups
+    collapse to their best member first."""
+    docs = spark.createDataFrame(
+        [
+            # near-dup cluster: 2 is the longest -> wins despite max id
+            (1, "a b c d e f g h", 8),
+            (2, "a b c d e f g h i j", 10),
+            (3, "a b c d e f g x", 8),
+            # exact-dup pair: same text, higher quality (9) wins
+            (10, "p q r s t u v w", 3),
+            (11, "p q r s t u v w", 9),
+            # unique
+            (20, "totally different words here now", 5),
+            # NULL quality loses to its scored exact twin
+            (30, "m n o p q r s t", None),
+            (31, "m n o p q r s t", 1),
+        ],
+        "doc_id long, text string, quality int",
+    )
+    out = CCOMP.near_dedup_best(docs, "quality", threshold=0.5, k=2)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [2, 11, 20, 31]
