@@ -164,3 +164,44 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+PHASH_BITS = 16
+PHASH_SCHEMA = "doc_id long, phash string"
+
+
+def perceptual_hash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas perceptual hash: BINARY payload -> a 16-bit
+    above-average-signature string, the aHash/pHash structure (real
+    pHash takes DCT coefficient signs vs their mean; this codec-free
+    stand-in takes byte-low-nibble histogram bins vs their mean —
+    swapping in a real decode changes only the inner loop).
+
+    The bit rule is INTEGER arithmetic end-to-end:
+    ``bit_j = (16 * count_j > total_bytes)`` — no float ratios, so any
+    engine derives the identical hash from the identical bytes (the
+    oracle recomputes it from the hex dump in SQL).  Empty payloads
+    hash to all-zeros.
+
+    Identical-content payloads collide exactly; visually-near inputs
+    (byte-histogram-near here) collide on most bits, so Hamming-band
+    grouping over substrings of the hash gives near-dup image
+    candidates the same way simhash bands do for text."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p in pdf["payload"]:
+                p = p if p is not None else b""
+                counts = [0] * PHASH_BITS
+                for b in p:
+                    counts[b % PHASH_BITS] += 1
+                n = len(p)
+                out.append(
+                    "".join(
+                        "1" if PHASH_BITS * c > n else "0" for c in counts
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "phash": out})
+
+    return df.mapInPandas(batches, schema=PHASH_SCHEMA)

@@ -6255,6 +6255,60 @@ GROUP BY 1, 2
 """
 
 
+def q_phash_buckets(spark, sf_dir):
+    """Near-dup media candidate groups by perceptual hash: payloads
+    whose 16-bit above-average byte-histogram signature collides form
+    one bucket (operators/multimodal.perceptual_hash — Arrow-batched
+    mapInPandas, integer bit rule so the oracle recomputes the hash
+    from the hex dump).  Output: buckets with >= 2 members."""
+    from ena_database_build_spark.operators import multimodal as M
+
+    docs = t(spark, sf_dir, "documents")
+    ph = M.perceptual_hash(M.attach_binary_payload(docs))
+    return (
+        ph.groupBy("phash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+SQL_PHASH_BUCKETS = """
+WITH h AS (
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx FROM documents
+),
+idx AS (
+  SELECT doc_id, length(hx) // 2 AS n, hx,
+         unnest(range(length(hx) // 2)) AS i
+  FROM h
+),
+nibs AS (
+  SELECT doc_id, n,
+         CAST(('0x' || substr(hx, 2 * CAST(i AS INT) + 2, 1)) AS INT)
+           AS nib
+  FROM idx
+),
+hist AS (
+  SELECT doc_id, min(n) AS n, nib, count(*) AS c
+  FROM nibs GROUP BY doc_id, nib
+),
+bits AS (
+  SELECT d.doc_id,
+         coalesce(string_agg(
+           CASE WHEN 16 * h.c > h.n THEN '1' ELSE '0' END, ''
+           ORDER BY b.g), repeat('0', 16)) AS phash
+  FROM (SELECT DISTINCT doc_id FROM h) d
+  CROSS JOIN (SELECT unnest(range(16)) AS g) b
+  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.nib = b.g
+  GROUP BY d.doc_id
+)
+SELECT phash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM bits GROUP BY phash HAVING count(*) >= 2
+"""
+
+
 def q_near_dedup_keep_longest(spark, sf_dir):
     """Quality-aware near-dedup (operators/cc.near_dedup_best): per
     near-dup cluster keep the LONGEST document (n_chars desc, ties min
@@ -6917,6 +6971,7 @@ CATALOG: dict[str, QueryDef] = {
     "near_dedup_keep_longest": QueryDef(
         q_near_dedup_keep_longest, SQL_NEAR_DEDUP_KEEP_LONGEST
     ),
+    "phash_buckets": QueryDef(q_phash_buckets, SQL_PHASH_BUCKETS),
     # -- window 2 (banked green in round 2; rotates into the checked
     # window in round 5, after the 13 above)
     "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),

@@ -670,3 +670,27 @@ def test_near_dedup_best_keeps_highest_quality(spark):
     out = CCOMP.near_dedup_best(docs, "quality", threshold=0.5, k=2)
     kept = sorted(r.doc_id for r in out.collect())
     assert kept == [2, 11, 20, 31]
+
+
+def test_perceptual_hash_collision_structure(spark):
+    """Identical payloads hash equal; histogram-near payloads differ
+    in few bits; empty payload is all zeros; the bit rule is the
+    integer 16*count > total comparison."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaabbbbccccdddd"),
+            (2, "aaaabbbbccccdddd"),       # identical -> equal hash
+            (3, "aaaabbbbcccceeee"),       # one histogram bin moved
+            (4, ""),                        # empty -> all zeros
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.phash
+        for r in M.perceptual_hash(M.attach_binary_payload(docs)).collect()
+    }
+    assert all(len(v) == M.PHASH_BITS for v in out.values())
+    assert out[1] == out[2]
+    assert out[4] == "0" * M.PHASH_BITS
+    ham = sum(a != b for a, b in zip(out[1], out[3]))
+    assert 0 < ham <= 4  # near payloads stay hamming-close
