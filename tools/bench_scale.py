@@ -124,6 +124,17 @@ SCALE_EXTRAS = [
     "time_to_convert",
     "cms_frequencies",
     "kmv_distinct",
+    # round 4: span-level dedup, drift monitoring, temperature
+    # sampling, transcript assembly, perceptual hashing, per-dim
+    # standardization.  near_dedup_keep_longest is deliberately absent
+    # for the same replica-mesh reason as near_dedup_incremental (the
+    # generator makes every doc a 10-way near-dup cluster).
+    "span_dedup",
+    "psi_drift",
+    "temperature_sampling",
+    "sft_transcripts",
+    "phash_buckets",
+    "embedding_standardize",
 ]
 SCALE_QUERIES = HEADLINE + SCALE_EXTRAS
 
