@@ -656,13 +656,18 @@ def span_dedup(
     DataFrame computation (the true suffix array is inherently
     sequential; k-gram cover converges to it as k shrinks).
 
-    Scale shape: tokens explode once; duplicated k-gram discovery is
-    ONE hash-keyed map-side-combinable count (the boilerplate-index
-    shape); membership returns via a semi-join on the hash; span
-    cover is a per-doc RANGE window over [pos-k+1, pos] — no
-    all-pairs stage, no per-doc state beyond the window frame, and
-    every shuffle is keyed (gram hash or doc id).  Output:
-    ``(id, n_kept, n_dropped, text)`` for every non-blank input doc.
+    Scale shape: tokens explode once and are shuffled exactly THREE
+    times, each keyed, with no join in the default path — (1) by doc
+    for the lead-composed k-grams, (2) by gram hash, where "appears
+    in >= 2 distinct docs" is the windowed ``min(id) != max(id)``
+    (exact for the default ``min_docs = 2`` — at least two distinct
+    ids iff min and max differ — with no groupBy+join round-trip),
+    and (3) by doc for the RANGE-window span cover over
+    [pos-k+1, pos].  For ``min_docs > 2`` the gram verdict falls back
+    to a distinct-doc count joined back on the gram hash (one extra
+    keyed shuffle).  No all-pairs stage, no per-doc state beyond the
+    window frame.  Output: ``(id, n_kept, n_dropped, text)`` for
+    every non-blank input doc.
 
     Tokens are RAW whitespace splits (no case folding): removal
     rebuilds the user-visible text, so the match key must be the text
@@ -688,19 +693,25 @@ def span_dedup(
             F.md5(F.concat_ws(" ", F.col("_tok"), *leads)),
         ).alias("_g"),
     )
-    dup_grams = (
-        grams.where(F.col("_g").isNotNull())
-        .groupBy("_g")
-        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
-        .where(F.col("_nd") >= min_docs)
-        .select("_g")
-    )
-    dup_starts = (
-        grams.where(F.col("_g").isNotNull())
-        .join(dup_grams, "_g", "left_semi")
-        .select(F.col(id_col), F.col("_pos"), F.lit(1).alias("_dup"))
-    )
-    marked = grams.drop("_g").join(dup_starts, [id_col, "_pos"], "left")
+    if min_docs == 2:
+        wg = Window.partitionBy("_g")
+        marked = grams.withColumn(
+            "_dup",
+            F.when(
+                F.col("_g").isNotNull()
+                & (F.min(id_col).over(wg) != F.max(id_col).over(wg)),
+                1,
+            ),
+        ).drop("_g")
+    else:
+        dup_grams = (
+            grams.where(F.col("_g").isNotNull())
+            .groupBy("_g")
+            .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+            .where(F.col("_nd") >= min_docs)
+            .select("_g", F.lit(1).alias("_dup"))
+        )
+        marked = grams.join(dup_grams, "_g", "left").drop("_g", "_nd")
     cover = (
         Window.partitionBy(id_col)
         .orderBy("_pos")

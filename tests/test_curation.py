@@ -340,3 +340,27 @@ def test_span_dedup_matches_pure_python_randomized(spark):
         assert got[d].n_dropped == sum(covered), d
         assert got[d].text == " ".join(kept), d
     assert set(got) == set(toks)
+
+
+def test_span_dedup_min_docs_threshold_path(spark):
+    """min_docs > 2 takes the count+join fallback: a 4-gram shared by
+    exactly two docs survives at min_docs=3; shared by three, it
+    strips from all three."""
+    from ena_database_build_spark.operators.curation import span_dedup
+
+    pair = "one two three four"
+    trio = "five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{pair} alpha"),
+            (2, f"{pair} beta"),
+            (3, f"{trio} gamma"),
+            (4, f"{trio} delta"),
+            (5, f"{trio} epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in span_dedup(docs, k=4, min_docs=3).collect()}
+    assert got[1].text == f"{pair} alpha" and got[1].n_dropped == 0
+    assert got[3].text == "gamma" and got[3].n_dropped == 4
+    assert got[5].text == "epsilon"
