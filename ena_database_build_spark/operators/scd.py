@@ -96,3 +96,53 @@ def latest_snapshot(
     if op_col is not None:
         latest = latest.where(F.col(op_col) != F.lit(delete_op))
     return latest
+
+
+def merge_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    op_col: str | None = None,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """MERGE INTO analog (the lakehouse upsert): apply a CDC changelog
+    to an existing snapshot, producing the new snapshot —
+
+    * keys the changelog never touches pass through unchanged,
+    * keys whose newest change is an upsert take the change row,
+    * keys whose newest change is the ``delete_op`` tombstone drop,
+      even if present in the snapshot.
+
+    ``changes`` must carry every snapshot column (the row replaces the
+    snapshot row wholesale; partial-column updates are a projection
+    the caller does first).  Newest-change resolution reuses
+    :func:`latest_snapshot`'s ordering (``ts`` desc, ``seq`` desc).
+
+    Scale shape: one key-partitioned window over the changelog (with
+    the WindowGroupLimit map-side pre-trim), one key-keyed anti-join
+    that removes every touched key from the snapshot, and a union —
+    the snapshot is never windowed and never shuffled beyond the
+    anti-join; at 100 TB the changelog is the small side and the
+    snapshot moves once."""
+    base = changes.where(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(seq_col).desc()
+    )
+    latest = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    untouched = snapshot.join(
+        latest.select(key_col), key_col, "left_anti"
+    )
+    upserts = (
+        latest.where(F.col(op_col) != F.lit(delete_op))
+        if op_col is not None
+        else latest
+    )
+    return untouched.unionByName(upserts.select(*snapshot.columns))

@@ -6255,6 +6255,61 @@ GROUP BY 1, 2
 """
 
 
+def q_merge_upserts(spark, sf_dir):
+    """Lakehouse MERGE (scd.merge_apply): the first-half-of-time
+    snapshot (latest non-tombstone state per user) merged with the
+    second half as a CDC changelog — untouched users pass through,
+    updated users take their newest second-half row, users whose
+    newest change is the 'error' tombstone drop."""
+    ev = t(spark, sf_dir, "events", spread=True).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.round("value", 6).alias("value"),
+    )
+    bounds = ev.agg(F.expr("(min(ts_us) + max(ts_us)) div 2").alias("_mid"))
+    with_mid = ev.crossJoin(F.broadcast(bounds))
+    h1 = with_mid.where(F.col("ts_us") <= F.col("_mid")).drop("_mid")
+    h2 = with_mid.where(F.col("ts_us") > F.col("_mid")).drop("_mid")
+    snapshot = SCD.latest_snapshot(
+        h1, key_col="user_id", ts_col="ts_us", seq_col="event_id",
+        op_col="state", delete_op="error",
+    )
+    return SCD.merge_apply(
+        snapshot, h2, key_col="user_id", ts_col="ts_us",
+        seq_col="event_id", op_col="state", delete_op="error",
+    )
+
+
+SQL_MERGE_UPSERTS = """
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+         event_type AS state, round(value, 6) AS value
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+b AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid FROM ev),
+h1 AS (SELECT ev.* FROM ev, b WHERE ts_us <= mid),
+h2 AS (SELECT ev.* FROM ev, b WHERE ts_us > mid),
+snap AS (
+  SELECT user_id, ts_us, event_id, state, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM h1) WHERE rn = 1 AND state <> 'error'
+),
+latest2 AS (
+  SELECT user_id, ts_us, event_id, state, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM h2) WHERE rn = 1
+)
+SELECT s.* FROM snap s
+WHERE s.user_id NOT IN (SELECT user_id FROM latest2)
+UNION ALL
+SELECT * FROM latest2 WHERE state <> 'error'
+"""
+
+
 def q_phash_buckets(spark, sf_dir):
     """Near-dup media candidate groups by perceptual hash: payloads
     whose 16-bit above-average byte-histogram signature collides form
@@ -6972,6 +7027,7 @@ CATALOG: dict[str, QueryDef] = {
         q_near_dedup_keep_longest, SQL_NEAR_DEDUP_KEEP_LONGEST
     ),
     "phash_buckets": QueryDef(q_phash_buckets, SQL_PHASH_BUCKETS),
+    "merge_upserts": QueryDef(q_merge_upserts, SQL_MERGE_UPSERTS),
     # -- window 2 (banked green in round 2; rotates into the checked
     # window in round 5, after the 13 above)
     "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),

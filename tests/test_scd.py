@@ -110,3 +110,36 @@ def test_latest_snapshot_windowgrouplimit_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_merge_apply_upsert_delete_passthrough(spark):
+    """MERGE semantics: untouched keys pass through, the newest change
+    per key wins (upsert replaces, tombstone deletes even
+    snapshot-resident keys), inserts of brand-new keys land."""
+    from ena_database_build_spark.operators.scd import merge_apply
+
+    snapshot = spark.createDataFrame(
+        [(1, 100, 1, "active", 5.0), (2, 100, 2, "active", 6.0),
+         (3, 100, 3, "active", 7.0)],
+        "user_id long, ts_us long, event_id long, state string, value double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, 200, 10, "upgraded", 9.0),   # update key 2
+            (2, 150, 11, "stale", 1.0),      # older change: loses
+            (3, 200, 12, "delete", 0.0),     # tombstone key 3
+            (4, 200, 13, "new", 2.0),        # insert key 4
+        ],
+        "user_id long, ts_us long, event_id long, state string, value double",
+    )
+    out = {
+        r.user_id: r
+        for r in merge_apply(
+            snapshot, changes, "user_id", "ts_us", "event_id",
+            op_col="state", delete_op="delete",
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[1].state == "active" and out[1].value == 5.0
+    assert out[2].state == "upgraded" and out[2].value == 9.0
+    assert out[4].state == "new"
