@@ -6255,6 +6255,52 @@ GROUP BY 1, 2
 """
 
 
+def q_rate_anomalies(spark, sf_dir):
+    """Hourly rate anomaly flags per event type: every (type, hour)
+    window — INCLUDING empty ones, an outage is the anomaly most
+    worth catching — scored as a z-score against the type's own
+    window-count distribution; |z| > 3 flags.  Integer window ids,
+    integer count sums, one shared float expression — engine-exact
+    (operators/anomaly.rate_anomalies)."""
+    from ena_database_build_spark.operators.anomaly import rate_anomalies
+
+    ev = t(spark, sf_dir, "events", spread=True)
+    return rate_anomalies(ev, window_s=3600, z_threshold=3.0)
+
+
+SQL_RATE_ANOMALIES = """
+WITH ev AS (
+  SELECT event_type AS g,
+         (epoch_ns(ts) // 1000) // (CAST(3600 AS BIGINT) * 1000000) AS w
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+c AS (SELECT g, w, count(*) AS n FROM ev GROUP BY 1, 2),
+b AS (SELECT min(w) AS mn, max(w) AS mx FROM ev),
+spine AS (
+  SELECT DISTINCT g, unnest(range(mn, mx + 1)) AS w FROM ev, b
+),
+f AS (
+  SELECT s.g, s.w, coalesce(c.n, 0) AS n
+  FROM spine s LEFT JOIN c USING (g, w)
+),
+st AS (SELECT g, count(*) AS c, sum(n) AS s, sum(n * n) AS sq
+       FROM f GROUP BY g)
+SELECT f.g AS event_type, f.w * 3600 AS win_start_s, f.n,
+       CASE WHEN (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / c) / c > 0
+            THEN round((CAST(f.n AS DOUBLE) - CAST(s AS DOUBLE) / c)
+                       / sqrt((CAST(sq AS DOUBLE)
+                               - CAST(s AS DOUBLE) * s / c) / c), 6)
+            ELSE 0.0 END AS z,
+       CASE WHEN (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / c) / c > 0
+            THEN abs(round((CAST(f.n AS DOUBLE) - CAST(s AS DOUBLE) / c)
+                           / sqrt((CAST(sq AS DOUBLE)
+                                   - CAST(s AS DOUBLE) * s / c) / c), 6))
+                 > 3.0
+            ELSE FALSE END AS is_anomaly
+FROM f JOIN st USING (g)
+"""
+
+
 def q_merge_upserts(spark, sf_dir):
     """Lakehouse MERGE (scd.merge_apply): the first-half-of-time
     snapshot (latest non-tombstone state per user) merged with the
@@ -7028,6 +7074,7 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "phash_buckets": QueryDef(q_phash_buckets, SQL_PHASH_BUCKETS),
     "merge_upserts": QueryDef(q_merge_upserts, SQL_MERGE_UPSERTS),
+    "rate_anomalies": QueryDef(q_rate_anomalies, SQL_RATE_ANOMALIES),
     # -- window 2 (banked green in round 2; rotates into the checked
     # window in round 5, after the 13 above)
     "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),

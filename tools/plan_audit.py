@@ -56,6 +56,13 @@ ALLOW_NESTED = {
     # (drift.psi_report's per-key joins are all keyed; only the
     # midpoint bound is nested-loop)
     "psi_drift",
+    # 1-row time-bounds broadcast building the window spine (counts,
+    # stats, and the spine fill are all keyed joins)
+    "rate_anomalies",
+    "merge_upserts",
+    # 1-row min-group-count broadcast feeding the #groups rate table
+    # (the rate join onto the corpus is a keyed broadcast hash join)
+    "temperature_sampling",
     # the quantile operator's 2-3-row target table joined to the
     # cumulative counts (same bound as quantiles_exact)
     "winsorize_counts",
