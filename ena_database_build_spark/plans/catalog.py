@@ -6955,15 +6955,18 @@ FROM documents
 #     window_distinct_users, first below the fold), then the 3
 #     consolidated §2 queries (p456_detectors / f68_guards /
 #     s67_sinks — each pins the same operator ids as the 2-3
-#     micro-queries it supersedes), then 37 of the banked §2
-#     reference-surface set (r2 rows, two rounds stale by then),
-#     SKIPPING the 7 superseded singles (p4/p5/p6, f6/f8, s6/s7) —
-#     once the consolidated queries have green rows, the singles can
-#     be deleted and §2 coverage cites the consolidated rows.
+#     micro-queries it supersedes), then the 9 round-4 capability
+#     additions (span_dedup .. rate_anomalies), then 28 of the
+#     banked §2 reference-surface set (r2 rows, two rounds stale by
+#     then), SKIPPING the 7 superseded singles (p4/p5/p6, f6/f8,
+#     s6/s7) — once the consolidated queries have green rows, the
+#     singles can be deleted and §2 coverage cites the consolidated
+#     rows.
 #   round 6: the remaining §2 queries + the round-3-window set
 #     (r3 rows), completing the cycle; steady state after the
-#     deletion is a ~3-round rotation of ~156 queries at 50 checked
-#     entries per round.
+#     deletion is a ~3.3-round rotation of ~165 queries at 50
+#     checked entries per round (new capability additions extend the
+#     tail; keep net new per round modest so the cycle stays short).
 CATALOG: dict[str, QueryDef] = {
     # ================== r4 window (positions 1-50) ==================
     # -- appended mid-round-3 (after the r3 window snapshot): first
