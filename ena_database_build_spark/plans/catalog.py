@@ -6255,6 +6255,65 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_rate_flags(spark, sf_dir):
+    """Batch anchor for the STREAMING rate detector
+    (streaming/events.stream_rate_anomalies — stream-static broadcast
+    join against a pinned baseline): same function, batch input, so
+    the oracle can check the exact scoring the live stream applies.
+    The baseline is a fixed literal (the production pattern: stats
+    published by the batch detector, broadcast to the stream)."""
+    from ena_database_build_spark.streaming.events import (
+        stream_rate_anomalies,
+    )
+
+    ev = t(spark, sf_dir, "events", spread=True)
+    baseline = ev.sparkSession.createDataFrame(
+        [
+            ("view", 60.0, 12.0),
+            ("click", 60.0, 12.0),
+            ("purchase", 55.0, 11.0),
+            ("error", 55.0, 0.0),
+            ("signup", 55.0, 11.0),
+        ],
+        "event_type string, mean_n double, std_n double",
+    )
+    out = stream_rate_anomalies(ev, baseline, "1 hour", z_threshold=2.0)
+    return out.select(
+        F.col("win_start").cast("long").alias("win_start_s"),
+        "event_type",
+        "n",
+        "z",
+        "is_anomaly",
+    )
+
+
+SQL_STREAM_RATE_FLAGS = """
+WITH base AS (
+  SELECT * FROM (VALUES
+    ('view', 60.0, 12.0), ('click', 60.0, 12.0),
+    ('purchase', 55.0, 11.0), ('error', 55.0, 0.0),
+    ('signup', 55.0, 11.0)
+  ) AS t(event_type, mean_n, std_n)
+),
+c AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000)
+           // (CAST(3600 AS BIGINT) * 1000000) * 3600 AS win_start_s,
+         count(*) AS n
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT c.win_start_s, c.event_type, c.n,
+       CASE WHEN b.std_n > 0
+            THEN round((CAST(c.n AS DOUBLE) - b.mean_n) / b.std_n, 6)
+            ELSE 0.0 END AS z,
+       coalesce(abs(CASE WHEN b.std_n > 0
+            THEN round((CAST(c.n AS DOUBLE) - b.mean_n) / b.std_n, 6)
+            ELSE 0.0 END) > 2.0, FALSE) AS is_anomaly
+FROM c LEFT JOIN base b USING (event_type)
+"""
+
+
 def q_rate_anomalies(spark, sf_dir):
     """Hourly rate anomaly flags per event type: every (type, hour)
     window — INCLUDING empty ones, an outage is the anomaly most
@@ -7078,6 +7137,9 @@ CATALOG: dict[str, QueryDef] = {
     "phash_buckets": QueryDef(q_phash_buckets, SQL_PHASH_BUCKETS),
     "merge_upserts": QueryDef(q_merge_upserts, SQL_MERGE_UPSERTS),
     "rate_anomalies": QueryDef(q_rate_anomalies, SQL_RATE_ANOMALIES),
+    "stream_rate_flags": QueryDef(
+        q_stream_rate_flags, SQL_STREAM_RATE_FLAGS
+    ),
     # -- window 2 (banked green in round 2; rotates into the checked
     # window in round 5, after the 13 above)
     "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),

@@ -390,3 +390,53 @@ def top_purchases_batch(events: DataFrame, k: int = 3) -> DataFrame:
             F.sort_array(F.collect_list(F.round("value", 6)))
         ).alias("top_values")
     )
+
+
+def stream_rate_anomalies(
+    events: DataFrame,
+    baseline_stats: DataFrame,
+    width: str = "1 hour",
+    z_threshold: float = 3.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming rate-anomaly flags: tumbling per-type counts scored
+    against a STATIC baseline (per-type mean/std of historical window
+    counts, e.g. from ``operators/anomaly.rate_anomalies``'s batch
+    stats) — the stream-static shape of the batch detector, usable on
+    a live stream where the batch operator's own-history spine is not
+    yet closed.
+
+    ``baseline_stats`` is ``(event_type, mean_n, std_n)``, pinned
+    broadcast so every micro-batch scores with a map-side hash join;
+    the only stateful exchange is the watermarked tumbling count.
+    Works identically on a batch DataFrame (one code path, the
+    module's batch/stream parity convention)."""
+    src = (
+        events.withWatermark("ts", watermark)
+        if events.isStreaming
+        else events
+    )
+    counts = (
+        src.where(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    z = F.when(
+        F.col("std_n") > 0,
+        F.round(
+            (F.col("n").cast("double") - F.col("mean_n")) / F.col("std_n"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        counts.join(F.broadcast(baseline_stats), "event_type", "left")
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            z.alias("z"),
+            F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias(
+                "is_anomaly"
+            ),
+        )
+    )

@@ -362,3 +362,32 @@ def test_dedup_ingest_stream_is_format_agnostic_orc(spark, tmp_path):
     assert got == {1, 2, 11}
     assert dedup_append_batch(b2, corpus, fmt="orc") == 0
     assert spark.read.orc(corpus).count() == 3
+
+
+def test_stream_rate_anomalies_matches_batch(spark, event_dir):
+    """Streaming rate scoring against a static baseline agrees with
+    the batch run of the same function: stream-static broadcast join,
+    one code path; unknown types fail open (is_anomaly False, z NULL
+    semantics coalesced)."""
+    baseline = spark.createDataFrame(
+        [("view", 2.0, 1.5), ("click", 2.0, 1.5), ("purchase", 1.0, 0.0),
+         ("error", 0.5, 0.25), ("signup", 1.0, 0.5)],
+        "event_type string, mean_n double, std_n double",
+    )
+    stream = STR.read_event_stream(spark, event_dir, max_files_per_trigger=2)
+    got = _run_stream(
+        spark,
+        STR.stream_rate_anomalies(stream, baseline, "1 hour"),
+        "ranom",
+        mode="complete",
+    )
+    want = STR.stream_rate_anomalies(
+        _batch_events(spark, event_dir), baseline, "1 hour"
+    )
+    cols = ["win_start", "event_type", "n", "z", "is_anomaly"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # zero-std baseline types always score z = 0, never anomalous
+    zero_std = [r for r in got.collect() if r.event_type == "purchase"]
+    assert zero_std and all(
+        r.z == 0.0 and not r.is_anomaly for r in zero_std
+    )
