@@ -312,3 +312,27 @@ def temperature_rebalance(
         .where(u < F.col("_rate") * F.lit(float(16**8)))
         .drop("_n", "_rate")
     )
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    test_fraction: float = 0.1,
+    seed: str = "gsplit",
+) -> DataFrame:
+    """Leakage-free train/test split: the hash decision is a function
+    of the GROUP (user, session, document family), never the row, so
+    every row of a group lands in the same split — the property that
+    keeps a user's test events from leaking into training, which a
+    row-hashed split silently violates.  Same md5 axis and
+    determinism contract as :func:`hash_sample`; NULL groups go to
+    'train' (no identity to leak by).  Adds a ``split`` column."""
+    is_test = sample_hash(F.col(group_col), seed) < F.lit(
+        _hex_threshold(test_fraction)
+    )
+    return df.withColumn(
+        "split",
+        F.when(
+            F.col(group_col).isNotNull() & is_test, F.lit("test")
+        ).otherwise(F.lit("train")),
+    )

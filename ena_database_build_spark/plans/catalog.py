@@ -6255,6 +6255,83 @@ GROUP BY 1, 2
 """
 
 
+def q_grouped_split(spark, sf_dir):
+    """Leakage-free train/test split (sampling.grouped_split): the
+    split decision hashes the USER, so all of a user's events land in
+    one split — summarized per split as (split, n_users, n_events);
+    the oracle recomputes the same user-hash decisions, which makes
+    any row-level leak a row-count mismatch."""
+    from ena_database_build_spark.operators.sampling import grouped_split
+
+    ev = t(spark, sf_dir, "events", spread=True)
+    return (
+        grouped_split(ev, "user_id", test_fraction=0.2)
+        .groupBy("split")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_GROUPED_SPLIT = """
+SELECT CASE WHEN user_id IS NOT NULL
+             AND substr(md5('gsplit|' || CAST(user_id AS VARCHAR)), 1, 8)
+                 < printf('%08x', CAST(0.2 * 4294967296 AS BIGINT))
+            THEN 'test' ELSE 'train' END AS split,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_customer_set_ops(spark, sf_dir):
+    """Relational set-operator breadth (INTERSECT / EXCEPT as real
+    Spark operators, not join re-writes): customers ordering in both
+    halves of the date range vs. only the first half (churned) vs.
+    only the second (acquired), labeled and unioned."""
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+    ).select(
+        "o_custkey",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ'1970-01-01 00:00:00', o_orderdate)"
+        ).alias("_us"),
+    )
+    bounds = o.agg(F.expr("(min(_us) + max(_us)) div 2").alias("_mid"))
+    om = o.crossJoin(F.broadcast(bounds))
+    h1 = om.where(F.col("_us") <= F.col("_mid")).select("o_custkey")
+    h2 = om.where(F.col("_us") > F.col("_mid")).select("o_custkey")
+    retained = h1.intersect(h2).select(
+        F.lit("retained").alias("cohort"), F.col("o_custkey")
+    )
+    churned = h1.subtract(h2).select(
+        F.lit("churned").alias("cohort"), F.col("o_custkey")
+    )
+    acquired = h2.subtract(h1).select(
+        F.lit("acquired").alias("cohort"), F.col("o_custkey")
+    )
+    return retained.unionByName(churned).unionByName(acquired)
+
+
+SQL_CUSTOMER_SET_OPS = """
+WITH o AS (SELECT o_custkey, epoch_ns(o_orderdate) // 1000 AS us
+           FROM orders WHERE o_orderdate IS NOT NULL),
+b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM o),
+h1 AS (SELECT o_custkey FROM o, b WHERE us <= mid),
+h2 AS (SELECT o_custkey FROM o, b WHERE us > mid)
+SELECT 'retained' AS cohort, o_custkey
+FROM (SELECT o_custkey FROM h1 INTERSECT SELECT o_custkey FROM h2)
+UNION ALL
+SELECT 'churned', o_custkey
+FROM (SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2)
+UNION ALL
+SELECT 'acquired', o_custkey
+FROM (SELECT o_custkey FROM h2 EXCEPT SELECT o_custkey FROM h1)
+"""
+
+
 def q_stream_rate_flags(spark, sf_dir):
     """Batch anchor for the STREAMING rate detector
     (streaming/events.stream_rate_anomalies — stream-static broadcast
@@ -7139,6 +7216,10 @@ CATALOG: dict[str, QueryDef] = {
     "rate_anomalies": QueryDef(q_rate_anomalies, SQL_RATE_ANOMALIES),
     "stream_rate_flags": QueryDef(
         q_stream_rate_flags, SQL_STREAM_RATE_FLAGS
+    ),
+    "grouped_split": QueryDef(q_grouped_split, SQL_GROUPED_SPLIT),
+    "customer_set_ops": QueryDef(
+        q_customer_set_ops, SQL_CUSTOMER_SET_OPS
     ),
     # -- window 2 (banked green in round 2; rotates into the checked
     # window in round 5, after the 13 above)

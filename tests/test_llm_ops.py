@@ -694,3 +694,23 @@ def test_perceptual_hash_collision_structure(spark):
     assert out[4] == "0" * M.PHASH_BITS
     ham = sum(a != b for a, b in zip(out[1], out[3]))
     assert 0 < ham <= 4  # near payloads stay hamming-close
+
+
+def test_grouped_split_no_leakage(spark):
+    """Every row of a group lands in ONE split (the property a
+    row-hashed split violates); NULL groups default to train."""
+    rows = [(u, e) for u in range(50) for e in range(4)] + [(None, 999)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long")
+    out = SMP.grouped_split(df, "user_id", test_fraction=0.4)
+    per_user = (
+        out.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r.k == 1 for r in per_user)
+    splits = {r.split for r in out.collect()}
+    assert splits == {"train", "test"}
+    assert (
+        out.where(F.col("user_id").isNull()).head().split == "train"
+    )
