@@ -6255,6 +6255,108 @@ GROUP BY 1, 2
 """
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (the XLM-R data-mixing
+    diagnostic): mean BPE pieces per word occurrence and the share of
+    occurrences encoded as a single piece, under the corpus-learned
+    4-merge vocabulary.  A language whose fertility stays near its
+    character count is under-served by the vocabulary — the signal
+    multilingual mixture tuning reads.  Exact integer sums divided
+    once; the 4-row merge collect is the documented bounded pattern
+    (bpe_compression)."""
+    docs = t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in B.learn_bpe(docs, n_merges=4).orderBy("rank").collect()
+    ]
+    from ena_database_build_spark.operators.dedup import tokens as _toks
+
+    lw = (
+        docs.where(F.col("lang").isNotNull())
+        .select("lang", F.explode(_toks(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pieces = B.chars(F.col("word"))
+    for left, right in merges:
+        pieces = B.merge_pair(pieces, left, right)
+    sized = lw.select("lang", "freq", F.size(pieces).alias("n_pieces"))
+    return sized.groupBy("lang").agg(
+        F.sum("freq").alias("total_words"),
+        F.round(
+            F.sum(F.col("freq") * F.col("n_pieces")).cast("double")
+            / F.sum("freq"),
+            6,
+        ).alias("avg_pieces"),
+        F.round(
+            F.sum(
+                F.col("freq") * (F.col("n_pieces") == 1).cast("long")
+            ).cast("double")
+            / F.sum("freq"),
+            6,
+        ).alias("single_piece_share"),
+    )
+
+
+def _bpe_fertility_sql(n_merges: int) -> str:
+    d = "chr(2)||chr(1)"
+    ctes = [
+        f"""v0 AS (
+  SELECT word, chr(1) || array_to_string(
+           list_transform(range(1, length(word) + 1),
+                          i -> substring(word, i, 1)), {d})
+         || chr(2) AS repr,
+         count(*)::BIGINT AS freq
+  FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1, 2
+)"""
+    ]
+    for n in range(n_merges):
+        ctes.append(
+            f"""s{n} AS (
+  SELECT word, repr, freq,
+         string_split(substring(repr, 2, length(repr) - 2), {d}) AS syms
+  FROM v{n}
+), a{n} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS w
+  FROM s{n}, unnest(range(1, len(syms))) AS t(i)
+  GROUP BY 1, 2 ORDER BY w DESC, l, r LIMIT 1
+), v{n + 1} AS (
+  SELECT word, replace(repr, chr(1)||l||chr(2)||chr(1)||r||chr(2),
+                 chr(1)||l||r||chr(2)) AS repr, freq
+  FROM s{n}, a{n}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+pieces AS (
+  SELECT word,
+         len(string_split(substring(repr, 2, length(repr) - 2), {d}))
+           AS n_pieces
+  FROM v{n_merges}
+),
+lw AS (
+  SELECT lang, word, count(*)::BIGINT AS freq
+  FROM (SELECT lang, unnest({_TOKS_SQL}) AS word FROM documents
+        WHERE lang IS NOT NULL)
+  WHERE word <> '' GROUP BY 1, 2
+)
+SELECT lang, CAST(sum(freq) AS BIGINT) AS total_words,
+       round(CAST(sum(freq * n_pieces) AS DOUBLE) / sum(freq), 6)
+         AS avg_pieces,
+       round(CAST(sum(freq * CASE WHEN n_pieces = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / sum(freq), 6) AS single_piece_share
+FROM lw JOIN pieces USING (word) GROUP BY lang
+"""
+    )
+
+
+SQL_TOKENIZER_FERTILITY = _bpe_fertility_sql(4)
+
+
 def q_grouped_split(spark, sf_dir):
     """Leakage-free train/test split (sampling.grouped_split): the
     split decision hashes the USER, so all of a user's events land in
@@ -7218,6 +7320,9 @@ CATALOG: dict[str, QueryDef] = {
         q_stream_rate_flags, SQL_STREAM_RATE_FLAGS
     ),
     "grouped_split": QueryDef(q_grouped_split, SQL_GROUPED_SPLIT),
+    "tokenizer_fertility": QueryDef(
+        q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY
+    ),
     "customer_set_ops": QueryDef(
         q_customer_set_ops, SQL_CUSTOMER_SET_OPS
     ),
