@@ -31,7 +31,17 @@ def profile(
 ) -> DataFrame:
     """(col_name, n_rows, n_nulls, n_distinct, min_val, max_val) — one
     row per profiled column; min/max rendered as strings so mixed
-    column types share one schema (NULL when the column is all-NULL)."""
+    column types share one schema (NULL when the column is all-NULL).
+
+    Cost note: ``distinct='exact'`` with several columns triggers
+    Spark's multi-distinct EXPAND rewrite (each input row replicated
+    once per distinct column before the shuffle).  That is the
+    DELIBERATE trade at scale — one replicated scan beats one scan
+    per column, which is the only exact alternative — and it is why
+    the sf1 bench reads this query well above the single-process
+    oracle.  ``distinct='approx'`` (the default, HLL partials, no
+    expand) is the production path; exact exists so the oracle can
+    check values."""
     if distinct not in ("approx", "exact"):
         raise ValueError("distinct must be 'approx' or 'exact'")
     cols = cols or df.columns
