@@ -63,6 +63,9 @@ ALLOW_NESTED = {
     # 1-row min-group-count broadcast feeding the #groups rate table
     # (the rate join onto the corpus is a keyed broadcast hash join)
     "temperature_sampling",
+    # 1-row order-date midpoint broadcast splitting the cohort halves
+    # (INTERSECT/EXCEPT themselves are keyed set operators)
+    "customer_set_ops",
     # the quantile operator's 2-3-row target table joined to the
     # cumulative counts (same bound as quantiles_exact)
     "winsorize_counts",
