@@ -738,3 +738,68 @@ def span_dedup(
             ),
         ).alias(text_col),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean CONDITIONAL log-probability under the
+    corpus's own add-k-smoothed bigram model — one step up from
+    :func:`unigram_logprob`: word-order scrambles and unnatural
+    collocations score low even when every individual token is
+    common, which is exactly what the unigram score cannot see.
+
+    ``P(w2 | w1) = (C(w1 w2) + k) / (C(w1 ·) + k·V)`` with ``V`` the
+    corpus vocabulary size; the context count ``C(w1 ·)`` is the
+    number of bigrams starting at ``w1`` (not the unigram count), so
+    probabilities per context sum to 1 over the smoothed vocabulary.
+
+    Scale shape: the bigram stream (one explode + one per-doc lead)
+    aggregates to (doc, w1, w2, n) first, then corpus bigram and
+    context counts attach via window sums over that AGGREGATED
+    relation (the tf-idf discipline — no second corpus pass); V is a
+    1-row broadcast.  Counts are exact integers; the smoothed ratio,
+    ``ln``, and the per-doc average are one float expression rounded
+    once.  Docs with fewer than two tokens have no bigram and are
+    absent (no conditional model scores them).
+
+    Returns ``(doc_id, n_bigrams, mean_logprob)``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_w"),
+    ).where(F.col("_w") != "")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    bi = (
+        toks.select(
+            F.col(id_col),
+            F.col("_w").alias("w1"),
+            F.lead("_w").over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count("*").alias("n"))
+    )
+    with_counts = bi.withColumn(
+        "c12", F.sum("n").over(Window.partitionBy("w1", "w2"))
+    ).withColumn("c1", F.sum("n").over(Window.partitionBy("w1")))
+    vocab = toks.agg(
+        F.count_distinct("_w").cast("double").alias("_v")
+    )
+    logp = F.log(
+        (F.col("c12") + F.lit(k))
+        / (F.col("c1") + F.lit(k) * F.col("_v"))
+    )
+    return (
+        with_counts.join(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("n") * logp) / F.sum("n"), 6
+            ).alias("mean_logprob"),
+        )
+    )

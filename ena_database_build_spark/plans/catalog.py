@@ -6255,6 +6255,45 @@ GROUP BY 1, 2
 """
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Per-document mean conditional log-probability under the
+    corpus's own add-0.5-smoothed bigram LM
+    (curation.bigram_logprob) — scrambled word order scores low even
+    when every token is common, the signal unigram_logprob can't
+    see.  Sub-2-token docs have no bigram and are absent."""
+    from ena_database_build_spark.operators.curation import bigram_logprob
+
+    docs = t(spark, sf_dir, "documents")
+    return bigram_logprob(docs, k=0.5)
+
+
+SQL_BIGRAM_LOGPROB = f"""
+WITH raw AS (SELECT doc_id, {_TOKS_SQL} AS ws FROM documents),
+toks AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+  FROM raw
+),
+tok2 AS (SELECT * FROM toks WHERE w <> ''),
+bi AS (
+  SELECT doc_id, w1, w2, count(*) AS n FROM (
+    SELECT doc_id, w AS w1,
+           lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok2)
+  WHERE w2 IS NOT NULL GROUP BY 1, 2, 3
+),
+wc AS (
+  SELECT *, sum(n) OVER (PARTITION BY w1, w2) AS c12,
+         sum(n) OVER (PARTITION BY w1) AS c1
+  FROM bi
+),
+v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vsz FROM tok2)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+       round(sum(n * ln((c12 + 0.5) / (c1 + 0.5 * vsz))) / sum(n), 6)
+         AS mean_logprob
+FROM wc, v GROUP BY doc_id
+"""
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """Per-language tokenizer fertility (the XLM-R data-mixing
     diagnostic): mean BPE pieces per word occurrence and the share of
@@ -7323,6 +7362,7 @@ CATALOG: dict[str, QueryDef] = {
     "tokenizer_fertility": QueryDef(
         q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY
     ),
+    "bigram_logprob": QueryDef(q_bigram_logprob, SQL_BIGRAM_LOGPROB),
     "customer_set_ops": QueryDef(
         q_customer_set_ops, SQL_CUSTOMER_SET_OPS
     ),

@@ -364,3 +364,36 @@ def test_span_dedup_min_docs_threshold_path(spark):
     assert got[1].text == f"{pair} alpha" and got[1].n_dropped == 0
     assert got[3].text == "gamma" and got[3].n_dropped == 4
     assert got[5].text == "epsilon"
+
+
+def test_bigram_logprob_order_sensitivity(spark):
+    """The conditional model separates natural from scrambled word
+    order even with identical token multisets — the property the
+    unigram score cannot have; hand-check the smoothed math on a
+    2-doc corpus."""
+    import math
+
+    from ena_database_build_spark.operators.curation import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat sat"),
+            (3, "sat the cat"),   # same tokens, scrambled order
+            (4, "solo"),          # < 2 tokens: absent from output
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob(docs, k=0.5).collect()}
+    assert 4 not in out
+    assert out[1].n_bigrams == 2
+    # natural order repeats its bigrams across docs 1-2 -> higher
+    # conditional probability than doc 3's one-off transitions
+    assert out[1].mean_logprob == out[2].mean_logprob
+    assert out[1].mean_logprob > out[3].mean_logprob
+    # exact check: V=4 ('the','cat','sat','solo').  'the cat' occurs
+    # in all three docs (doc 3 contributes 'sat the', 'the cat'), so
+    # C(the cat)=3, C(the .)=3; C(cat sat)=2, C(cat .)=2.  doc1 mean
+    # = mean(ln(3.5/5), ln(2.5/4)).
+    want = round((math.log(3.5 / 5.0) + math.log(2.5 / 4.0)) / 2, 6)
+    assert abs(out[1].mean_logprob - want) < 1e-6
