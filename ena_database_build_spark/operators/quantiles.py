@@ -202,3 +202,81 @@ def exact_quantiles(
         "q",
         (F.col("vlo") + frac * (F.col("vhi") - F.col("vlo"))).alias("value"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    bins: int = 256,
+    out_col: str = "qnorm",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact position-normalization of a score column to [0, 1]:
+    ``qnorm = global_rank / (N - 1)`` under the deterministic total
+    order ``(value, id)`` — the calibration step that makes scores
+    from different models/heuristics comparable before mixing them
+    into one quality gate (rank-based, so any monotone transform of
+    the input yields identical output).
+
+    The global rank is NEVER a global-order window (single-partition
+    at scale): values range-bucket into ``bins`` fixed-width bins from
+    the global min/max (1-row broadcast), phase 1 ranks within each
+    bin (a window over the bin partitioning), phase 2 prefix-sums the
+    ``bins`` bin counts (a windowed pass over ``bins`` rows) and the
+    offsets broadcast back — the pack_sequences two-phase pattern
+    pointed at a value axis instead of a hash axis.  Heavily skewed
+    value distributions concentrate rows in few bins; raise ``bins``
+    (the phase-2 pass stays tiny) for such columns.
+
+    NULL values/ids are excluded (no position in the order); a
+    single-row input normalizes to 0.0.  Adds ``out_col`` to the
+    surviving rows."""
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    bounds = base.agg(
+        F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
+    )
+    v = F.col(value_col).cast("double")
+    binned = base.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bin",
+        F.when(
+            F.col("_mx") > F.col("_mn"),
+            F.least(
+                F.floor(
+                    (v - F.col("_mn"))
+                    / (F.col("_mx").cast("double") - F.col("_mn"))
+                    * bins
+                ),
+                F.lit(bins - 1),
+            ),
+        ).otherwise(F.lit(0)),
+    ).drop("_mn", "_mx")
+    w_local = Window.partitionBy("_bin").orderBy(value_col, id_col)
+    ranked = binned.withColumn("_lr", F.row_number().over(w_local))
+    counts = ranked.groupBy("_bin").agg(F.count("*").alias("_c"))
+    w_off = Window.orderBy("_bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_bin",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+    )
+    total = counts.agg(F.sum("_c").cast("double").alias("_n"))
+    return (
+        ranked.join(F.broadcast(offsets), "_bin")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_n") > 1,
+                F.round(
+                    (F.col("_off") + F.col("_lr") - 1)
+                    / (F.col("_n") - 1),
+                    ndigits,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_bin", "_lr", "_off", "_n")
+    )

@@ -6255,6 +6255,35 @@ GROUP BY 1, 2
 """
 
 
+def q_quantile_normalize(spark, sf_dir):
+    """Exact percent-rank calibration of document length
+    (quantiles.quantile_normalize — the two-phase bucketed rank, no
+    global-order window): qnorm = rank/(N-1) under the deterministic
+    (n_chars, doc_id) order.  The oracle IS the single-window
+    definition, so the distributed rank must match it row-for-row."""
+    from ena_database_build_spark.operators.quantiles import (
+        quantile_normalize,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return quantile_normalize(docs, "n_chars")
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH base AS (
+  SELECT doc_id, n_chars FROM documents
+  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+)
+SELECT doc_id, n_chars,
+       CASE WHEN count(*) OVER () > 1
+            THEN round(CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                            - 1 AS DOUBLE)
+                       / (count(*) OVER () - 1), 6)
+            ELSE 0.0 END AS qnorm
+FROM base
+"""
+
+
 def q_bigram_logprob(spark, sf_dir):
     """Per-document mean conditional log-probability under the
     corpus's own add-0.5-smoothed bigram LM
@@ -7363,6 +7392,9 @@ CATALOG: dict[str, QueryDef] = {
         q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY
     ),
     "bigram_logprob": QueryDef(q_bigram_logprob, SQL_BIGRAM_LOGPROB),
+    "quantile_normalize": QueryDef(
+        q_quantile_normalize, SQL_QUANTILE_NORMALIZE
+    ),
     "customer_set_ops": QueryDef(
         q_customer_set_ops, SQL_CUSTOMER_SET_OPS
     ),

@@ -49,3 +49,40 @@ def test_exact_quantiles_ignores_nulls(spark):
     # percentile_cont ignores NULLs: median of {1,2,3} is 2.0, not the
     # null-shifted 1.5
     assert len(out) == 1 and out[0]["value"] == 2.0
+
+
+def test_quantile_normalize_matches_global_window(spark):
+    """The two-phase bucketed rank equals the single-window
+    percent-rank definition on random data with ties, independent of
+    partitioning; single-row input normalizes to 0."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from ena_database_build_spark.operators.quantiles import (
+        quantile_normalize,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, float(rng.randint(0, 30))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    got = {
+        r.doc_id: r.qnorm
+        for r in quantile_normalize(
+            df.repartition(7), "score", bins=16
+        ).collect()
+    }
+    want_df = df.select(
+        "doc_id",
+        F.round(
+            (
+                F.row_number().over(W.orderBy("score", "doc_id")) - 1
+            ).cast("double")
+            / (300 - 1),
+            6,
+        ).alias("qnorm"),
+    )
+    want = {r.doc_id: r.qnorm for r in want_df.collect()}
+    assert got == want
+    single = spark.createDataFrame([(1, 9.0)], "doc_id long, score double")
+    assert quantile_normalize(single, "score").head().qnorm == 0.0

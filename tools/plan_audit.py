@@ -66,6 +66,12 @@ ALLOW_NESTED = {
     # 1-row order-date midpoint broadcast splitting the cohort halves
     # (INTERSECT/EXCEPT themselves are keyed set operators)
     "customer_set_ops",
+    # 1-row vocabulary-size broadcast (the bigram/context count joins
+    # are window sums over the aggregated relation, all keyed)
+    "bigram_logprob",
+    # 1-row min/max bounds + 1-row total broadcasts around the
+    # two-phase bucketed rank (bin ranks and offsets are keyed)
+    "quantile_normalize",
     # the quantile operator's 2-3-row target table joined to the
     # cumulative counts (same bound as quantiles_exact)
     "winsorize_counts",
