@@ -135,6 +135,14 @@ SCALE_EXTRAS = [
     "sft_transcripts",
     "phash_buckets",
     "embedding_standardize",
+    "merge_upserts",
+    "rate_anomalies",
+    "stream_rate_flags",
+    "grouped_split",
+    "customer_set_ops",
+    "tokenizer_fertility",
+    "bigram_logprob",
+    "quantile_normalize",
 ]
 SCALE_QUERIES = HEADLINE + SCALE_EXTRAS
 
