@@ -328,12 +328,21 @@ def jaccard_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
 ) -> DataFrame:
-    """Per-doc 16-bit SimHash via explode + one vectorized hash-agg
-    (16 conditional sums), semantically identical to :func:`simhash16`
-    but with map-side partial aggregation instead of 16 per-row array
-    folds.  Output: ``id_col, simhash STRING``."""
+    """Per-doc ``width``-bit SimHash via explode + one vectorized
+    hash-agg (``width`` conditional sums), semantically identical to
+    :func:`simhash16` at the default width but with map-side partial
+    aggregation instead of per-row array folds.  ``width`` up to 32
+    (one bit per md5 hex digit — bit i votes on hex digit i's high
+    bit); wider signatures make Hamming-band candidate joins sparser
+    (see :func:`simhash_candidates`).  Output:
+    ``id_col, simhash STRING``."""
+    if not 1 <= width <= 32:
+        raise ValueError("width must be in [1, 32]")
     df = spread_by_id(df, id_col)
     tk = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
@@ -343,12 +352,12 @@ def simhash_signatures(
         F.sum(
             F.when(F.substring(h, i, 1) >= "8", 1).otherwise(-1)
         ).alias(f"v{i}")
-        for i in range(1, 17)
+        for i in range(1, width + 1)
     ]
     votes = tk.groupBy(id_col).agg(*aggs)
     bits = [
         F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(1, 17)
+        for i in range(1, width + 1)
     ]
     return votes.select(F.col(id_col), F.concat(*bits).alias("simhash"))
 
@@ -373,3 +382,80 @@ def simhash16(text: Column) -> Column:
         vote = F.aggregate(toks, F.lit(0), voter(i))
         bit_cols.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bit_cols)
+
+
+def simhash_candidates(
+    df: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    width: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hamming-banded near-dup candidate pairs from the ``width``-bit
+    SimHash — the simhash counterpart of the MinHash band join: the
+    signature splits into ``bands`` equal bit-bands, pairs agreeing on
+    at least one band meet in an equi-join, and the exact Hamming
+    distance (``width`` fixed char compares, pure codegen) filters to
+    ``<= max_hamming``.
+
+    Pigeonhole completeness: a pair differing in fewer than ``bands``
+    bits MUST agree on some band, so with the defaults (4 bands,
+    max_hamming 3) the candidate set contains EVERY pair within the
+    radius — no probabilistic recall gap, unlike MinHash banding.
+
+    Width sizes the join density: at 16 bits each band carries 4 bits
+    (1/16 collision chance for unrelated docs — a quarter of all
+    pairs met in the measured fixture), at the default 32 bits each
+    band carries 8 bits (1/256) — the difference between a
+    near-quadratic candidate set and a sparse one, at zero recall
+    cost within the radius.
+
+    Scale shape: one banded equi-join keyed on (band_idx, band_bits)
+    over #docs x bands narrow rows — never an all-pairs stage; the
+    distinct collapses multi-band agreements before the (cheap)
+    Hamming filter.  Output: ``(left_id, right_id, hamming)``."""
+    if width % bands:
+        raise ValueError("bands must divide width")
+    sigs = simhash_signatures(df, text_col, id_col, width=width)
+    band_w = width // bands
+    band_arr = F.array(
+        *[
+            F.substring("simhash", i * band_w + 1, band_w)
+            for i in range(bands)
+        ]
+    )
+    rows = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(band_arr).alias("band_idx", "band_bits"),
+    )
+    left = rows.select(
+        F.col(id_col).alias("left_id"),
+        F.col("simhash").alias("_sl"),
+        "band_idx",
+        "band_bits",
+    )
+    right = rows.select(
+        F.col(id_col).alias("right_id"),
+        F.col("simhash").alias("_sr"),
+        "band_idx",
+        "band_bits",
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_bits"])
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "_sl", "_sr")
+        .distinct()
+    )
+    ham = sum(
+        (
+            F.substring("_sl", i, 1) != F.substring("_sr", i, 1)
+        ).cast("int")
+        for i in range(1, width + 1)
+    )
+    return (
+        pairs.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("left_id", "right_id", "hamming")
+    )

@@ -6255,6 +6255,57 @@ GROUP BY 1, 2
 """
 
 
+def q_simhash_candidates(spark, sf_dir):
+    """Hamming-banded simhash near-dup candidates
+    (dedup.simhash_candidates): 32-bit signature, 4 eight-bit bands,
+    exact Hamming <= 3 — pigeonhole-complete within the radius, no
+    recall gap, and ~16x sparser band collisions than the 16-bit
+    signature (measured: a quarter of ALL pairs met at 16 bits on
+    this fixture).  One banded equi-join, never all-pairs."""
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash_candidates(docs, bands=4, max_hamming=3, width=32)
+
+
+def _simhash_sql_w(width: int) -> str:
+    bits = []
+    for i in range(1, width + 1):
+        bits.append(
+            "CASE WHEN list_sum(list_transform(tk, "
+            f"x -> CASE WHEN substr(md5(x), {i}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+_SIMHASH_HAM = " + ".join(
+    f"CASE WHEN substr(a.simhash, {i}, 1) <> substr(b.simhash, {i}, 1) "
+    "THEN 1 ELSE 0 END"
+    for i in range(1, 33)
+)
+SQL_SIMHASH_CANDIDATES = f"""
+WITH sigs AS (
+  WITH toks AS (SELECT doc_id, {{toks}} AS tk FROM documents)
+  SELECT doc_id, {{sig}} AS simhash FROM toks
+),
+bands AS (
+  SELECT doc_id, simhash, g AS band_idx,
+         substr(simhash, CAST(g AS INT) * 8 + 1, 8) AS band_bits
+  FROM sigs, (SELECT unnest(range(4)) AS g)
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_bits = r.band_bits
+   AND l.doc_id < r.doc_id
+)
+SELECT p.left_id, p.right_id, {_SIMHASH_HAM} AS hamming
+FROM pairs p
+JOIN sigs a ON a.doc_id = p.left_id
+JOIN sigs b ON b.doc_id = p.right_id
+WHERE {_SIMHASH_HAM} <= 3
+""".format(toks=_TOKS_SQL, sig=_simhash_sql_w(32), _SIMHASH_HAM=_SIMHASH_HAM)
+
+
 def q_quantile_normalize(spark, sf_dir):
     """Exact percent-rank calibration of document length
     (quantiles.quantile_normalize — the two-phase bucketed rank, no
@@ -7394,6 +7445,9 @@ CATALOG: dict[str, QueryDef] = {
     "bigram_logprob": QueryDef(q_bigram_logprob, SQL_BIGRAM_LOGPROB),
     "quantile_normalize": QueryDef(
         q_quantile_normalize, SQL_QUANTILE_NORMALIZE
+    ),
+    "simhash_candidates": QueryDef(
+        q_simhash_candidates, SQL_SIMHASH_CANDIDATES
     ),
     "customer_set_ops": QueryDef(
         q_customer_set_ops, SQL_CUSTOMER_SET_OPS

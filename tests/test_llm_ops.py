@@ -714,3 +714,31 @@ def test_grouped_split_no_leakage(spark):
     assert (
         out.where(F.col("user_id").isNull()).head().split == "train"
     )
+
+
+def test_simhash_candidates_complete_within_radius(spark):
+    """The banded join must surface EVERY pair within the Hamming
+    radius (pigeonhole over 4 bands), with the exact distance
+    attached; far pairs with no shared band never appear."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r.left_id, r.right_id): r.hamming
+        for r in D.simhash_candidates(
+            docs, bands=4, max_hamming=3, width=32
+        ).collect()
+    }
+    # exact dups (1,2,5 modulo norm) are hamming 0 of each other
+    assert got[(1, 2)] == 0 and got[(1, 5)] == 0 and got[(2, 5)] == 0
+    # brute-force reference: every pair within radius 3 must be present
+    sigs = {
+        r.doc_id: r.simhash
+        for r in D.simhash_signatures(docs, width=32).collect()
+    }
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            if h <= 3:
+                assert got[(a, b)] == h, (a, b)
+            else:
+                assert (a, b) not in got or got[(a, b)] > 3
