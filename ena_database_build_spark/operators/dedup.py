@@ -459,3 +459,75 @@ def simhash_candidates(
         .where(F.col("hamming") <= max_hamming)
         .select("left_id", "right_id", "hamming")
     )
+
+
+def edit_distance1_pairs(
+    df: DataFrame, str_col: str, id_col: str | None = None
+) -> DataFrame:
+    """EXACT edit-distance-1 pairs over a string column via
+    deletion-neighborhood joins (the SymSpell index made exact):
+
+    * substitution pairs: equal-length strings whose single-deletion
+      variants match AT THE SAME POSITION — ``del(a, i) == del(b, i)``
+      holds iff a and b differ only at position i;
+    * insert/delete pairs: ``del(a, i) == b`` for ``len(a) = len(b)+1``
+      is itself the definition of one deletion.
+
+    Carrying the deletion index makes both joins exact — no
+    verification UDF, no Levenshtein: position-less deletion matching
+    (classic SymSpell) would also pair transpositions like
+    ``ab``/``ba`` (edit distance 2), which the same-position equi-key
+    excludes by construction.
+
+    Scale shape: one explode to (string, i, variant) rows — ~len(s)
+    rows per string — and two keyed equi-joins (on (variant, i, len)
+    and on (variant == other string)); never an all-pairs or
+    length-bucket cross.  Pairs order canonically (left < right).
+    Output: ``(left, right, kind)`` with kind 'sub' or 'indel'."""
+    strs = df.select(F.col(str_col).alias("s")).where(
+        F.col("s").isNotNull() & (F.col("s") != "")
+    ).distinct()
+    n = F.length("s")
+    variants = strs.select(
+        "s",
+        n.alias("_len"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat(
+                    F.substring(F.col("s"), 1, i.cast("int") - 1),
+                    F.col("s").substr(i.cast("int") + 1, n),
+                ),
+            )
+        ).alias("_i", "_v"),
+    )
+    lv = variants.select(
+        F.col("s").alias("left"), F.col("_len").alias("_ll"),
+        "_i", "_v",
+    )
+    rv = variants.select(
+        F.col("s").alias("right"), F.col("_len").alias("_rl"),
+        F.col("_i").alias("_ri"), F.col("_v").alias("_rv"),
+    )
+    subs = (
+        lv.join(
+            rv,
+            (F.col("_v") == F.col("_rv"))
+            & (F.col("_i") == F.col("_ri"))
+            & (F.col("_ll") == F.col("_rl")),
+        )
+        .where(F.col("left") < F.col("right"))
+        .select("left", "right", F.lit("sub").alias("kind"))
+        .distinct()
+    )
+    indel = (
+        lv.join(rv.select(F.col("right")).distinct(),
+                F.col("_v") == F.col("right"))
+        .select(
+            F.least("left", "right").alias("left"),
+            F.greatest("left", "right").alias("right"),
+            F.lit("indel").alias("kind"),
+        )
+        .distinct()
+    )
+    return subs.unionByName(indel)

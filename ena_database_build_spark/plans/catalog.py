@@ -6255,6 +6255,65 @@ GROUP BY 1, 2
 """
 
 
+def q_edit1_pairs(spark, sf_dir):
+    """Exact edit-distance-1 vocabulary pairs
+    (dedup.edit_distance1_pairs — the SymSpell deletion index made
+    exact by keying on the deletion POSITION, which excludes
+    transpositions the classic index wrongly pairs).  Vocabulary =
+    part-name words + brand codes (>= 4 chars) — the documents
+    fixture's 31-word vocabulary has NO edit-1 pairs at any SF, which
+    would make this oracle row unfalsifiable (the vacuity class the
+    round reviews keep flagging); brands like Brand#13/Brand#14 pin
+    'sub' and name words pin 'indel' at every scale.  'sub' = same
+    length differing at one position, 'indel' = one insert/delete
+    apart."""
+    from ena_database_build_spark.operators.dedup import (
+        edit_distance1_pairs,
+    )
+
+    part = t(spark, sf_dir, "part")
+    words = (
+        part.select(
+            F.explode(F.split(F.lower("p_name"), " ")).alias("w")
+        )
+        .unionByName(part.select(F.lower("p_brand").alias("w")))
+        .where((F.col("w") != "") & (F.length("w") >= 4))
+    )
+    out = edit_distance1_pairs(words, "w")
+    return out.select(
+        F.col("left").alias("w1"), F.col("right").alias("w2"), "kind"
+    )
+
+
+SQL_EDIT1_PAIRS = """
+WITH words AS (
+  SELECT DISTINCT w AS s FROM (
+    SELECT unnest(string_split(lower(p_name), ' ')) AS w FROM part
+    UNION ALL SELECT lower(p_brand) FROM part)
+  WHERE w <> '' AND length(w) >= 4
+),
+vars AS (
+  SELECT s, length(s) AS l, i,
+         substr(s, 1, CAST(i AS INT) - 1)
+           || substr(s, CAST(i AS INT) + 1) AS v
+  FROM words, unnest(range(1, length(s) + 1)) AS t(i)
+),
+subs AS (
+  SELECT DISTINCT a.s AS w1, b.s AS w2, 'sub' AS kind
+  FROM vars a JOIN vars b
+    ON a.v = b.v AND a.i = b.i AND a.l = b.l AND a.s < b.s
+),
+indel AS (
+  SELECT DISTINCT least(a.s, w.s) AS w1, greatest(a.s, w.s) AS w2,
+         'indel' AS kind
+  FROM vars a JOIN words w ON a.v = w.s
+)
+SELECT w1, w2, kind FROM subs
+UNION ALL
+SELECT w1, w2, kind FROM indel
+"""
+
+
 def q_simhash_candidates(spark, sf_dir):
     """Hamming-banded simhash near-dup candidates
     (dedup.simhash_candidates): 32-bit signature, 4 eight-bit bands,
@@ -7449,6 +7508,7 @@ CATALOG: dict[str, QueryDef] = {
     "simhash_candidates": QueryDef(
         q_simhash_candidates, SQL_SIMHASH_CANDIDATES
     ),
+    "edit1_pairs": QueryDef(q_edit1_pairs, SQL_EDIT1_PAIRS),
     "customer_set_ops": QueryDef(
         q_customer_set_ops, SQL_CUSTOMER_SET_OPS
     ),

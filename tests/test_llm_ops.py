@@ -742,3 +742,40 @@ def test_simhash_candidates_complete_within_radius(spark):
                 assert got[(a, b)] == h, (a, b)
             else:
                 assert (a, b) not in got or got[(a, b)] > 3
+
+
+def test_edit_distance1_pairs_exact(spark):
+    """The position-keyed deletion join is EXACT at radius 1:
+    substitutions and indels pair, transpositions (ed 2) never do,
+    and the output matches a brute-force Levenshtein-1 sweep."""
+    words = ["cat", "bat", "cart", "dog", "dogs", "ab", "ba",
+             "hello", "hallo", "hell"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        (r.left, r.right): r.kind
+        for r in D.edit_distance1_pairs(df, "w").collect()
+    }
+
+    def ed1(a, b):
+        if a == b:
+            return None
+        la, lb = len(a), len(b)
+        if la == lb:
+            return "sub" if sum(x != y for x, y in zip(a, b)) == 1 else None
+        if abs(la - lb) != 1:
+            return None
+        lo, hi = (a, b) if la < lb else (b, a)
+        for i in range(len(hi)):
+            if hi[:i] + hi[i + 1:] == lo:
+                return "indel"
+        return None
+
+    want = {}
+    ws = sorted(set(words))
+    for i, a in enumerate(ws):
+        for b in ws[i + 1:]:
+            k = ed1(a, b)
+            if k:
+                want[(a, b)] = k
+    assert got == want
+    assert ("ab", "ba") not in got  # transposition stays out
