@@ -165,11 +165,16 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    bounded: bool = False,
 ) -> DataFrame:
     """The funnel report: for each step k (1-indexed), how many users
     reached AT LEAST step k.  One user-keyed shuffle + a 1-row
-    histogram agg."""
-    st = funnel_stages(events, steps, user_col, ts_col, type_col)
+    histogram agg.  ``bounded=True`` swaps the collect_list fold for
+    the per-step min-aggregation variant (:func:`funnel_stages_bounded`
+    — bounded per-user state for bot-heavy logs); the two are
+    result-identical by the differential test."""
+    stages_fn = funnel_stages_bounded if bounded else funnel_stages
+    st = stages_fn(events, steps, user_col, ts_col, type_col)
     row = st.agg(
         *[
             F.sum((F.col("stage") >= k).cast("long")).alias(f"s{k}")

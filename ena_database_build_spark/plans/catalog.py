@@ -6255,6 +6255,18 @@ GROUP BY 1, 2
 """
 
 
+def q_funnel_conversion_bounded(spark, sf_dir):
+    """The ordered funnel computed by the BOUNDED-state engine
+    (funnel.funnel_stages_bounded — one conditional min-aggregation
+    per step, no per-user collect_list, the bot-proof path): same
+    k-self-join oracle as funnel_conversion, so the driver row proves
+    the bounded formulation equals the relational semantics too."""
+    ev = t(spark, sf_dir, "events")
+    return FUN.funnel_counts(
+        ev, ["view", "click", "purchase"], bounded=True
+    )
+
+
 def q_edit1_pairs(spark, sf_dir):
     """Exact edit-distance-1 vocabulary pairs
     (dedup.edit_distance1_pairs — the SymSpell deletion index made
@@ -7509,6 +7521,9 @@ CATALOG: dict[str, QueryDef] = {
         q_simhash_candidates, SQL_SIMHASH_CANDIDATES
     ),
     "edit1_pairs": QueryDef(q_edit1_pairs, SQL_EDIT1_PAIRS),
+    "funnel_conversion_bounded": QueryDef(
+        q_funnel_conversion_bounded, SQL_FUNNEL
+    ),
     "customer_set_ops": QueryDef(
         q_customer_set_ops, SQL_CUSTOMER_SET_OPS
     ),
