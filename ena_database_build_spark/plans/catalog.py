@@ -6255,6 +6255,77 @@ GROUP BY 1, 2
 """
 
 
+def q_quality_ensemble(spark, sf_dir):
+    """Calibrated multi-signal quality gate: the heuristic quality
+    score and the repetition-novelty score are each percent-rank
+    normalized (quantiles.quantile_normalize — rank-based, so the two
+    heterogeneous scales become comparable), averaged, and gated at
+    ensemble >= 0.3 (~keep the top 70%).  The production pattern for
+    combining quality classifiers whose raw scores live on different
+    scales; both inputs are the already-oracle-checked catalog
+    signals, so this row checks the COMPOSITION."""
+    from ena_database_build_spark.operators.curation import (
+        repetition_stats,
+    )
+    from ena_database_build_spark.operators.quantiles import (
+        quantile_normalize,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    quality = docs.select(
+        "doc_id",
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    novelty = repetition_stats(docs).select(
+        "doc_id",
+        F.round(1 - F.col("dup_token_frac"), 6).alias("novelty"),
+    )
+    j = quality.join(novelty, "doc_id")
+    x = quantile_normalize(j, "quality", out_col="qn_quality")
+    x = quantile_normalize(x, "novelty", out_col="qn_novelty")
+    # SUM, not mean: halving two 1e-6-grid values lands exactly on
+    # .5-boundary midpoints where Spark (half-up) and DuckDB
+    # (half-even) disagree — the recurring cross-engine rounding trap.
+    # The sum stays off-midpoint, so round-6 is engine-identical;
+    # range is [0, 2] and the ~70% gate sits at 0.6.
+    ens = F.round(F.col("qn_quality") + F.col("qn_novelty"), 6)
+    return x.select(
+        "doc_id",
+        ens.alias("ensemble"),
+        (ens >= 0.6).alias("keep"),
+    )
+
+
+SQL_QUALITY_ENSEMBLE = f"""
+WITH qs AS ({SQL_QUALITY}),
+rep AS ({SQL_REPETITION}),
+j AS (
+  SELECT q.doc_id, q.quality,
+         round(1 - r.dup_token_frac, 6) AS novelty
+  FROM qs q JOIN rep r USING (doc_id)
+),
+n AS (SELECT count(*) AS c FROM j),
+r1 AS (
+  SELECT doc_id, quality, novelty,
+         CASE WHEN c > 1 THEN round(
+           CAST(row_number() OVER (ORDER BY quality, doc_id) - 1
+                AS DOUBLE) / (c - 1), 6) ELSE 0.0 END AS qn_quality
+  FROM j, n
+),
+r2 AS (
+  SELECT doc_id, qn_quality,
+         CASE WHEN c > 1 THEN round(
+           CAST(row_number() OVER (ORDER BY novelty, doc_id) - 1
+                AS DOUBLE) / (c - 1), 6) ELSE 0.0 END AS qn_novelty
+  FROM r1, n
+)
+SELECT doc_id,
+       round(qn_quality + qn_novelty, 6) AS ensemble,
+       round(qn_quality + qn_novelty, 6) >= 0.6 AS keep
+FROM r2
+"""
+
+
 def q_funnel_conversion_bounded(spark, sf_dir):
     """The ordered funnel computed by the BOUNDED-state engine
     (funnel.funnel_stages_bounded — one conditional min-aggregation
@@ -7523,6 +7594,9 @@ CATALOG: dict[str, QueryDef] = {
     "edit1_pairs": QueryDef(q_edit1_pairs, SQL_EDIT1_PAIRS),
     "funnel_conversion_bounded": QueryDef(
         q_funnel_conversion_bounded, SQL_FUNNEL
+    ),
+    "quality_ensemble": QueryDef(
+        q_quality_ensemble, SQL_QUALITY_ENSEMBLE
     ),
     "customer_set_ops": QueryDef(
         q_customer_set_ops, SQL_CUSTOMER_SET_OPS
