@@ -6287,12 +6287,16 @@ def q_quality_ensemble(spark, sf_dir):
     # .5-boundary midpoints where Spark (half-up) and DuckDB
     # (half-even) disagree — the recurring cross-engine rounding trap.
     # The sum stays off-midpoint, so round-6 is engine-identical;
-    # range is [0, 2] and the ~70% gate sits at 0.6.
+    # range is [0, 2].  The two signals are strongly ANTI-correlated
+    # on this corpus (repetitive docs score higher on the heuristic),
+    # so sums cluster near 1.0 and a naive 0.6 gate kept everything —
+    # the vacuous-branch defect class; 0.9 splits both ways at every
+    # test SF (verified against the oracle distribution).
     ens = F.round(F.col("qn_quality") + F.col("qn_novelty"), 6)
     return x.select(
         "doc_id",
         ens.alias("ensemble"),
-        (ens >= 0.6).alias("keep"),
+        (ens >= 0.9).alias("keep"),
     )
 
 
@@ -6321,7 +6325,7 @@ r2 AS (
 )
 SELECT doc_id,
        round(qn_quality + qn_novelty, 6) AS ensemble,
-       round(qn_quality + qn_novelty, 6) >= 0.6 AS keep
+       round(qn_quality + qn_novelty, 6) >= 0.9 AS keep
 FROM r2
 """
 
