@@ -72,6 +72,8 @@ ALLOW_NESTED = {
     # 1-row min/max bounds + 1-row total broadcasts around the
     # two-phase bucketed rank (bin ranks and offsets are keyed)
     "quantile_normalize",
+    # same bounded broadcasts, twice (one per normalized signal)
+    "quality_ensemble",
     # the quantile operator's 2-3-row target table joined to the
     # cumulative counts (same bound as quantiles_exact)
     "winsorize_counts",
