@@ -53,3 +53,64 @@ def test_transcripts_hand_computed(spark):
     }
     # session_start_s is the epoch second of the first turn
     assert starts[(1, "view:d")] - starts[(1, "view:a | click: | purchase:c")] == 45 * 60
+
+
+def test_transcripts_match_pure_python_randomized(spark):
+    """Randomized differential vs a direct single-process
+    implementation: random users, timestamp ties, NULL payloads, a
+    bot session longer than the cap, and multi-session users."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for uid in range(25):
+        t = 0
+        for _ in range(rng.randint(1, 15)):
+            t += rng.choice([0, 1, 5, 40])  # minutes; 40 splits (gap 30)
+            rows.append(
+                (eid, uid, T0 + dt.timedelta(minutes=t),
+                 rng.choice("abc"), rng.choice(["x", None]))
+            )
+            eid += 1
+    # bot: 30 events inside one session, cap = 5
+    for j in range(30):
+        rows.append((eid, 99, T0 + dt.timedelta(seconds=j), "b", "p"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, props string",
+    )
+    got = sorted(
+        (r.user_id, r.session_start_s, r.n_turns, r.n_total_turns,
+         r.truncated, r.transcript)
+        for r in assemble_transcripts(
+            df, gap="30 minutes", max_turns=5
+        ).collect()
+    )
+
+    # pure-python reference
+    per_user = {}
+    for eid_, uid, ts, typ, props in rows:
+        us = int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        per_user.setdefault(uid, []).append((us, eid_, typ, props))
+    want = []
+    gap_us = 30 * 60 * 1_000_000
+    for uid, evs in per_user.items():
+        evs.sort()
+        sessions, cur = [], [evs[0]]
+        for prev, nxt in zip(evs, evs[1:]):
+            if nxt[0] - prev[0] > gap_us:
+                sessions.append(cur)
+                cur = []
+            cur.append(nxt)
+        sessions.append(cur)
+        for sess in sessions:
+            turns = [f"{t}:{p if p is not None else ''}" for _, _, t, p in sess]
+            kept = turns[:5]
+            want.append(
+                (uid, sess[0][0] // 1_000_000, len(kept), len(sess),
+                 len(sess) > 5, " | ".join(kept))
+            )
+    assert got == sorted(want)
