@@ -52,3 +52,44 @@ def test_psi_new_group_reports_null(spark):
     assert got["b"].psi is None
     assert got["b"].n_ref == 0 and got["b"].n_cur == 2
     assert got["a"].psi is not None
+
+
+def test_psi_matches_pure_python_randomized(spark):
+    """Randomized differential: psi_report vs a direct implementation
+    of reference-anchored binning + Laplace smoothing on seeded data
+    with out-of-range drift and uneven group sizes."""
+    import random
+
+    rng = random.Random(23)
+    ref_rows, cur_rows = [], []
+    for k in ("a", "b", "c"):
+        base = rng.uniform(-5, 5)
+        for _ in range(rng.randint(20, 60)):
+            ref_rows.append((k, base + rng.uniform(0, 10)))
+        shift = rng.uniform(-8, 8)
+        for _ in range(rng.randint(10, 50)):
+            cur_rows.append((k, base + shift + rng.uniform(0, 10)))
+    ref = spark.createDataFrame(ref_rows, "k string, v double")
+    cur = spark.createDataFrame(cur_rows, "k string, v double")
+    got = {
+        r.k: (r.n_ref, r.n_cur, r.psi)
+        for r in psi_report(ref, cur, "v", keys=["k"], bins=10).collect()
+    }
+
+    for k in ("a", "b", "c"):
+        rv = [v for g, v in ref_rows if g == k]
+        cv = [v for g, v in cur_rows if g == k]
+        mn, mx = min(rv), max(rv)
+
+        def bin_of(x):
+            if mx <= mn:
+                return 0
+            return max(min(int((x - mn) / (mx - mn) * 10), 9), 0)
+
+        rn, cn = [0] * 10, [0] * 10
+        for x in rv:
+            rn[bin_of(x)] += 1
+        for x in cv:
+            cn[bin_of(x)] += 1
+        assert got[k][:2] == (len(rv), len(cv))
+        assert got[k][2] == _psi(rn, cn)

@@ -143,3 +143,55 @@ def test_merge_apply_upsert_delete_passthrough(spark):
     assert out[1].state == "active" and out[1].value == 5.0
     assert out[2].state == "upgraded" and out[2].value == 9.0
     assert out[4].state == "new"
+
+
+def test_merge_apply_matches_pure_python_randomized(spark):
+    """Randomized differential: a snapshot plus a shuffled changelog
+    with duplicate keys, timestamp ties (seq breaks them), tombstones,
+    and brand-new keys must merge exactly like the dict-based
+    reference."""
+    import random
+
+    from ena_database_build_spark.operators.scd import merge_apply
+
+    rng = random.Random(31)
+    snap_rows = [
+        (k, 0, 0, "base", float(k)) for k in range(30)
+    ]
+    ch_rows = []
+    eid = 1000
+    for _ in range(120):
+        k = rng.randint(0, 45)  # keys 30..45 are inserts
+        ts = rng.randint(1, 5)
+        op = rng.choice(["up", "up", "up", "delete"])
+        ch_rows.append((k, ts, eid, op, rng.random()))
+        eid += 1
+    rng.shuffle(ch_rows)
+    snapshot = spark.createDataFrame(
+        snap_rows,
+        "k long, ts long, seq long, op string, val double",
+    )
+    changes = spark.createDataFrame(
+        ch_rows, "k long, ts long, seq long, op string, val double"
+    )
+    got = {
+        r.k: (r.ts, r.seq, r.op, r.val)
+        for r in merge_apply(
+            snapshot, changes, "k", "ts", "seq",
+            op_col="op", delete_op="delete",
+        ).collect()
+    }
+
+    latest = {}
+    for k, ts, seq, op, val in ch_rows:
+        cur = latest.get(k)
+        if cur is None or (ts, seq) > (cur[0], cur[1]):
+            latest[k] = (ts, seq, op, val)
+    want = {}
+    for k, ts, seq, op, val in snap_rows:
+        if k not in latest:
+            want[k] = (ts, seq, op, val)
+    for k, (ts, seq, op, val) in latest.items():
+        if op != "delete":
+            want[k] = (ts, seq, op, val)
+    assert got == want
