@@ -779,3 +779,33 @@ def test_edit_distance1_pairs_exact(spark):
                 want[(a, b)] = k
     assert got == want
     assert ("ab", "ba") not in got  # transposition stays out
+
+
+def test_temperature_rebalance_matches_python_hash(spark):
+    """The kept set is a pure function of (seed, id, group rates):
+    recompute every Bernoulli decision in Python from the same md5
+    axis and rate formula and require the identical row set."""
+    import hashlib
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(240)] + [
+        (1000 + i, "rare") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    alpha = 0.5
+    got = sorted(
+        r.doc_id
+        for r in SMP.temperature_rebalance(
+            df, "lang", alpha=alpha, seed="tt"
+        ).collect()
+    )
+    counts = {}
+    for _, g in rows:
+        counts[g] = counts.get(g, 0) + 1
+    nmin = min(counts.values())
+    want = []
+    for i, g in rows:
+        rate = min(1.0, (counts[g] / nmin) ** (alpha - 1.0))
+        u = int(hashlib.md5(f"tt|{i}".encode()).hexdigest()[:8], 16)
+        if u < rate * 16**8:
+            want.append(i)
+    assert got == sorted(want)

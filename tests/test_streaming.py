@@ -391,3 +391,64 @@ def test_stream_rate_anomalies_matches_batch(spark, event_dir):
     assert zero_std and all(
         r.z == 0.0 and not r.is_anomaly for r in zero_std
     )
+
+
+def test_ingest_then_monitor_composite(spark, tmp_path):
+    """The ops loop end-to-end: stream documents through the
+    deduplicating ingestion sink, then run the batch drift/profile
+    surface over the ingested corpus — the two halves share nothing
+    but the corpus files, which is the production contract."""
+    import glob
+    import shutil
+
+    from ena_database_build_spark.operators.drift import psi_report
+    from ena_database_build_spark.streaming.ingest import (
+        dedup_ingest_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    b1 = spark.createDataFrame(
+        [(i, f"doc body {i}", float(i % 7)) for i in range(40)],
+        "doc_id long, text string, score double",
+    )
+    # first 20 duplicate batch-1 bodies (drop); last 20 are fresh
+    b2 = spark.createDataFrame(
+        [(100 + i,
+          f"doc body {i}" if i < 20 else f"fresh body {i}",
+          float(i % 7) + 3.0)
+         for i in range(40)],
+        "doc_id long, text string, score double",
+    )
+
+    def stage(df, name):
+        scratch = tmp_path / f"_s_{name}"
+        df.coalesce(1).write.parquet(str(scratch))
+        shutil.copy(
+            glob.glob(str(scratch / "part-*.parquet"))[0], src / name
+        )
+
+    stage(b1, "f1.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, score double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = dedup_ingest_stream(stream, corpus, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        stage(b2, "f2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ingested = spark.read.parquet(corpus)
+    # batch2's first 20 docs duplicate batch1 bodies -> dropped
+    assert ingested.count() == 60
+    # drift gate over the ingested corpus: batch2 survivors carry the
+    # +3 score shift, so PSI between the id cohorts must be positive
+    ref = ingested.where(F.col("doc_id") < 100)
+    cur = ingested.where(F.col("doc_id") >= 100)
+    row = psi_report(ref, cur, "score").head()
+    assert row.n_ref == 40 and row.n_cur == 20
+    assert row.psi > 0.1
