@@ -452,3 +452,64 @@ def test_ingest_then_monitor_composite(spark, tmp_path):
     row = psi_report(ref, cur, "score").head()
     assert row.n_ref == 40 and row.n_cur == 20
     assert row.psi > 0.1
+
+
+def test_ingest_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Operational recovery: stop the ingestion query after batch 1,
+    start a NEW query from the same checkpoint, deliver batch 2 —
+    the corpus ends complete with no duplicates and the restarted
+    query does not re-append batch 1 (checkpoint + content-level
+    idempotence together give exactly-once corpus rows)."""
+    import glob
+    import shutil
+
+    from ena_database_build_spark.streaming.ingest import (
+        dedup_ingest_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ck")
+
+    def stage(df, name):
+        scratch = tmp_path / f"_s_{name}"
+        df.coalesce(1).write.parquet(str(scratch))
+        shutil.copy(
+            glob.glob(str(scratch / "part-*.parquet"))[0], src / name
+        )
+
+    b1 = spark.createDataFrame(
+        [(i, f"first {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, f"second {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    stage(b1, "f1.parquet")
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        return dedup_ingest_stream(stream, corpus, ckpt)
+
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    assert spark.read.parquet(corpus).count() == 10
+
+    stage(b2, "f2.parquet")
+    q2 = start()  # fresh query object, same checkpoint
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = spark.read.parquet(corpus)
+    assert got.count() == 20
+    assert got.select("doc_id").distinct().count() == 20
