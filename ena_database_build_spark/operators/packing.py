@@ -435,3 +435,96 @@ def mixture_upsample(
         .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_n"))))
         .drop("_n")
     )
+
+
+def plan_batches(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "batch",
+) -> DataFrame:
+    """Padding-aware dynamic batch planning: documents group into
+    power-of-two LENGTH buckets (pad target = the bucket ceiling, the
+    standard bucketed-batching practice) and each bucket fills
+    batches of ``floor(budget / ceiling)`` docs in deterministic hash
+    order — the training-loader counterpart of :func:`pack_sequences`
+    (which concatenates; this BATCHES with padding, and reports the
+    padding cost so mixture tuning can see it).
+
+    Within a length bucket every doc pads to the same ceiling, so
+    batch membership needs the doc's RANK in the bucket — computed
+    with the same two-phase prefix pattern as pack_sequences, sub-
+    bucketed by the hash's first two hex digits so no single-partition
+    window ever sees a whole length bucket.
+
+    Returns one row per batch:
+    ``(batch_id, len_bucket, pad_len, n_docs, n_tokens,
+    padding_waste)`` where ``pad_len`` is the bucket ceiling every
+    member pads to and ``padding_waste = n_docs * pad_len -
+    n_tokens``.  Zero-token docs are excluded (nothing to batch); a
+    budget smaller than a bucket's ceiling still emits one doc per
+    batch (capacity clamps to 1)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    sized = (
+        with_token_counts(df, text_col, id_col)
+        .where(F.col("n_tokens") > 0)
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            sample_hash(F.col(id_col), seed).alias("_h"),
+            # bit-length arithmetic, not floor(log2(n)): libm log2 of
+            # an exact power of two can return 9.9999... in one engine
+            # and 10.0 in another, silently shifting the bucket
+            (
+                F.length(
+                    F.conv(F.col("n_tokens").cast("string"), 10, 2)
+                )
+                - 1
+            ).cast("long").alias("_lb"),
+        )
+        .where(F.col("_h").isNotNull())
+        .withColumn("_sub", F.substring("_h", 1, 2))
+    )
+    w_local = Window.partitionBy("_lb", "_sub").orderBy("_h", id_col)
+    local = sized.withColumn(
+        "_lr", F.row_number().over(w_local) - 1
+    )
+    w_off = (
+        Window.partitionBy("_lb")
+        .orderBy("_sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("_lb", "_sub")
+        .agg(F.count("*").alias("_c"))
+        .withColumn(
+            "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))
+        )
+        .select("_lb", "_sub", "_off")
+    )
+    ceiling = F.expr("CAST(shiftleft(1L, CAST(_lb + 1 AS INT)) AS BIGINT)")
+    cap = F.greatest(
+        (F.lit(budget) / ceiling).cast("long"), F.lit(1)
+    )
+    ranked = local.join(F.broadcast(offsets), ["_lb", "_sub"], "left")
+    batched = ranked.select(
+        F.col(id_col),
+        "n_tokens",
+        F.col("_lb").alias("len_bucket"),
+        ceiling.alias("_ceil"),
+        F.concat_ws(
+            ":",
+            F.col("_lb"),
+            ((F.col("_off") + F.col("_lr")) / cap).cast("long"),
+        ).alias("batch_id"),
+    )
+    return batched.groupBy("batch_id", "len_bucket").agg(
+        F.min("_ceil").alias("pad_len"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        (
+            F.count("*") * F.min("_ceil") - F.sum("n_tokens")
+        ).cast("long").alias("padding_waste"),
+    )

@@ -6255,6 +6255,51 @@ GROUP BY 1, 2
 """
 
 
+def q_plan_batches(spark, sf_dir):
+    """Padding-aware dynamic batch plan (packing.plan_batches):
+    power-of-two length buckets, 2048-token batch budget,
+    deterministic hash order within buckets — one row per batch with
+    the padding cost mixture tuning reads.  Bit-length bucket
+    arithmetic (never floor(log2): libm log2 of an exact power of two
+    rounds differently across engines)."""
+    from ena_database_build_spark.operators.packing import plan_batches
+
+    docs = t(spark, sf_dir, "documents")
+    return plan_batches(docs, budget=2048)
+
+
+SQL_PLAN_BATCHES = f"""
+WITH sized AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS n_tokens,
+         substr(md5('batch|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents
+),
+valid AS (
+  SELECT doc_id, n_tokens, h,
+         length(bin(n_tokens)) - 1 AS lb
+  FROM sized WHERE n_tokens > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lb ORDER BY h, doc_id) - 1
+            AS r,
+         CAST(1 AS BIGINT) << CAST(lb + 1 AS INT) AS ceil_len
+  FROM valid
+),
+batched AS (
+  SELECT *, r // greatest(2048 // ceil_len, 1) AS bidx FROM ranked
+)
+SELECT lb || ':' || CAST(bidx AS VARCHAR) AS batch_id,
+       lb AS len_bucket,
+       min(ceil_len) AS pad_len,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(*) * min(ceil_len) - sum(n_tokens) AS BIGINT)
+         AS padding_waste
+FROM batched
+GROUP BY lb, bidx
+"""
+
+
 def q_quality_ensemble(spark, sf_dir):
     """Calibrated multi-signal quality gate: the heuristic quality
     score and the repetition-novelty score are each percent-rank
@@ -7602,6 +7647,7 @@ CATALOG: dict[str, QueryDef] = {
     "quality_ensemble": QueryDef(
         q_quality_ensemble, SQL_QUALITY_ENSEMBLE
     ),
+    "plan_batches": QueryDef(q_plan_batches, SQL_PLAN_BATCHES),
     "customer_set_ops": QueryDef(
         q_customer_set_ops, SQL_CUSTOMER_SET_OPS
     ),

@@ -223,3 +223,32 @@ def test_mixture_upsample_epochs(spark):
     b = sorted(map(tuple, mixture_upsample(
         docs.repartition(13), {"a": 3.0, "b": 0.5}).collect()))
     assert a == b
+
+
+def test_plan_batches_hand_computed(spark):
+    """Power-of-two bucket assignment, capacity = budget/ceiling
+    (clamped to 1 when a bucket's ceiling exceeds the budget),
+    exact padding accounting, zero-token docs excluded."""
+    from ena_database_build_spark.operators.packing import plan_batches
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         enumerate([1, 2, 3, 4, 7, 8, 9, 15, 16, 31, 32, 100, 101, 0])],
+        "doc_id long, text string",
+    )
+    out = {r.batch_id: r for r in plan_batches(docs, budget=64).collect()}
+    # bucket 6 (65..128 tokens): ceiling 128 > budget -> singletons
+    b6 = [r for r in out.values() if r.len_bucket == 6]
+    assert len(b6) == 2 and all(r.n_docs == 1 for r in b6)
+    assert all(r.pad_len == 128 for r in b6)
+    # bucket 3 (8..15): docs of 8, 9, 15 tokens -> cap 64/16 = 4, one
+    # batch, waste = 3*16 - 32
+    b3 = [r for r in out.values() if r.len_bucket == 3]
+    assert len(b3) == 1 and b3[0].n_docs == 3
+    assert b3[0].padding_waste == 3 * 16 - 32
+    # every batch's invariant: waste = n_docs * pad_len - n_tokens >= 0
+    for r in out.values():
+        assert r.padding_waste == r.n_docs * r.pad_len - r.n_tokens
+        assert r.padding_waste >= 0
+    # zero-token doc 13 appears nowhere
+    assert sum(r.n_docs for r in out.values()) == 13
