@@ -6255,6 +6255,62 @@ GROUP BY 1, 2
 """
 
 
+def q_supplier_triangles(spark, sf_dir):
+    """Triangle census of the co-supply graph (suppliers sharing an
+    order are adjacent): the canonical two-path + closure-semi-join
+    kernel (operators/pagerank.triangle_count) — per-order supplier
+    fan-out bounds the pair explode, canonical a<b<c orientation
+    counts each triangle once.  Restricted to high-quantity lineitems:
+    the unfiltered fixture graph is ~91% COMPLETE (every supplier
+    pair eventually co-supplies), the worst case for any triangle
+    algorithm and a density real co-occurrence graphs don't have —
+    the filtered graph is sparse and non-vacuous at every SF."""
+    from ena_database_build_spark.operators.pagerank import (
+        triangle_count,
+    )
+
+    li = (
+        t(spark, sf_dir, "lineitem", spread=True)
+        .where(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("left_id")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("right_id")
+    )
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+    )
+    return triangle_count(edges)
+
+
+SQL_SUPPLIER_TRIANGLES = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_quantity >= 45
+),
+e AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+nodes AS (SELECT s1 AS n FROM e UNION SELECT s2 FROM e),
+tri AS (
+  SELECT 1 FROM e ab
+  JOIN e bc ON ab.s2 = bc.s1
+  JOIN e ac ON ac.s1 = ab.s1 AND ac.s2 = bc.s2
+)
+SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*) FROM tri) AS n_triangles
+"""
+
+
 def q_plan_batches(spark, sf_dir):
     """Padding-aware dynamic batch plan (packing.plan_batches):
     power-of-two length buckets, 2048-token batch budget,
@@ -7648,6 +7704,9 @@ CATALOG: dict[str, QueryDef] = {
         q_quality_ensemble, SQL_QUALITY_ENSEMBLE
     ),
     "plan_batches": QueryDef(q_plan_batches, SQL_PLAN_BATCHES),
+    "supplier_triangles": QueryDef(
+        q_supplier_triangles, SQL_SUPPLIER_TRIANGLES
+    ),
     "customer_set_ops": QueryDef(
         q_customer_set_ops, SQL_CUSTOMER_SET_OPS
     ),

@@ -50,3 +50,19 @@ def test_dangling_node_keeps_base_rank(spark):
     # 9 receives all of 8's rank: 0.15 + 0.85 * rank(8)
     assert got[8] == 0.15
     assert got[9] == round(0.15 + 0.85 * 0.15, 6)
+
+
+def test_triangle_count_hand_computed(spark):
+    """K4 has 4 triangles; adding a pendant edge adds none; duplicate
+    and reversed edges collapse to one orientation."""
+    from ena_database_build_spark.operators.pagerank import (
+        triangle_count,
+    )
+
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+    edges += [(3, 9), (9, 3), (0, 1)]  # pendant + reversed dup + dup
+    df = spark.createDataFrame(edges, "left_id long, right_id long")
+    row = triangle_count(df).head()
+    assert row.n_nodes == 5
+    assert row.n_edges == 7  # C(4,2) + the pendant
+    assert row.n_triangles == 4
