@@ -74,6 +74,9 @@ ALLOW_NESTED = {
     "quantile_normalize",
     # same bounded broadcasts, twice (one per normalized signal)
     "quality_ensemble",
+    # three 1-row census aggregates (triangles/nodes/edges) crossed
+    # into the single output row; the graph joins are all keyed
+    "supplier_triangles",
     # the quantile operator's 2-3-row target table joined to the
     # cumulative counts (same bound as quantiles_exact)
     "winsorize_counts",
