@@ -6255,6 +6255,66 @@ GROUP BY 1, 2
 """
 
 
+def q_session_paths(spark, sf_dir):
+    """Top session paths (the Sankey / path-analysis staple): the
+    first three event types of every 30-minute session, in
+    (ts, event_id) order, counted and ranked — top 20 paths with
+    deterministic (count DESC, path ASC) tie-break.  Reuses the
+    row_number-gated turn cap of the transcript assembler (bounded
+    per-session state) with event types as the path alphabet."""
+    from ena_database_build_spark.operators.conversations import (
+        assemble_transcripts,
+    )
+
+    ev = t(spark, sf_dir, "events", spread=True).withColumn(
+        "props", F.lit(None).cast("string")
+    )
+    tr = assemble_transcripts(ev, gap="30 minutes", max_turns=3)
+    # transcript is 'type: | type: | type:' with empty payloads;
+    # strip the payload separators to a pure type path
+    path = F.regexp_replace(F.col("transcript"), ":", "")
+    return (
+        tr.groupBy(path.alias("path"))
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+SQL_SESSION_PATHS = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         epoch_ns(ts) // 1000 AS us
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                      OR us - lag(us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                               ORDER BY us, event_id) AS rn
+  FROM sess
+),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, ' | ' ORDER BY us, event_id) AS path
+  FROM ranked WHERE rn <= 3 GROUP BY user_id, sid
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
 def q_supplier_triangles(spark, sf_dir):
     """Triangle census of the co-supply graph (suppliers sharing an
     order are adjacent): the canonical two-path + closure-semi-join
@@ -7707,6 +7767,7 @@ CATALOG: dict[str, QueryDef] = {
     "supplier_triangles": QueryDef(
         q_supplier_triangles, SQL_SUPPLIER_TRIANGLES
     ),
+    "session_paths": QueryDef(q_session_paths, SQL_SESSION_PATHS),
     "customer_set_ops": QueryDef(
         q_customer_set_ops, SQL_CUSTOMER_SET_OPS
     ),
