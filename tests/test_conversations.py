@@ -114,3 +114,33 @@ def test_transcripts_match_pure_python_randomized(spark):
                  len(sess) > 5, " | ".join(kept))
             )
     assert got == sorted(want)
+
+
+def test_session_paths_shape(spark):
+    """The path query's building block: transcripts with NULL payloads
+    and a 3-turn cap reduce to pure type paths in arrival order."""
+    rows = [
+        (1, 1, T0, "view", None),
+        (2, 1, T0 + dt.timedelta(minutes=1), "click", None),
+        (3, 1, T0 + dt.timedelta(minutes=2), "purchase", None),
+        (4, 1, T0 + dt.timedelta(minutes=3), "error", None),  # capped off
+        (5, 2, T0, "view", None),
+        (6, 2, T0 + dt.timedelta(minutes=1), "click", None),
+        (7, 2, T0 + dt.timedelta(minutes=2), "purchase", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, props string",
+    )
+    import pyspark.sql.functions as F
+
+    tr = assemble_transcripts(df, gap="30 minutes", max_turns=3)
+    paths = {
+        r.path: r.n
+        for r in tr.groupBy(
+            F.regexp_replace("transcript", ":", "").alias("path")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    # both users' sessions reduce to the same capped 3-type path
+    assert paths == {"view | click | purchase": 2}
