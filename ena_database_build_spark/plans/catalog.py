@@ -6255,6 +6255,60 @@ GROUP BY 1, 2
 """
 
 
+def q_mixture_card(spark, sf_dir):
+    """Per-source data card — the mixture-documentation artifact a
+    training run ships with: doc and language counts, exact token
+    totals, the exact interpolated median document length (bounded-
+    state grouped quantile operator), and mean quality.  Pure
+    composition of already-oracle-checked pieces; this row checks the
+    composition."""
+    from ena_database_build_spark.operators.packing import (
+        with_token_counts,
+    )
+    from ena_database_build_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    docs = with_token_counts(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.sum("quality") / F.count("*"), 6).alias("mean_quality"),
+    )
+    med = exact_quantiles(docs, "n_tokens", ["source"], [0.5]).select(
+        "source", F.col("value").alias("median_tokens")
+    )
+    return stats.join(med, "source", "left")
+
+
+SQL_MIXTURE_CARD = (
+    f"""
+WITH sized AS (
+  SELECT doc_id, source, lang,
+         CASE WHEN text IS NULL OR {_NORM_SQL} IS NULL
+                   OR {_NORM_SQL} = ''
+              THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens,
+         q.quality
+  FROM documents JOIN (@QUALITY@) q USING (doc_id)
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(sum(quality) / count(*), 6) AS mean_quality,
+       quantile_cont(n_tokens, 0.5) AS median_tokens
+FROM sized GROUP BY source
+""".replace("@QUALITY@", SQL_QUALITY)
+)
+
+
 def q_session_paths(spark, sf_dir):
     """Top session paths (the Sankey / path-analysis staple): the
     first three event types of every 30-minute session, in
@@ -7768,6 +7822,7 @@ CATALOG: dict[str, QueryDef] = {
         q_supplier_triangles, SQL_SUPPLIER_TRIANGLES
     ),
     "session_paths": QueryDef(q_session_paths, SQL_SESSION_PATHS),
+    "mixture_card": QueryDef(q_mixture_card, SQL_MIXTURE_CARD),
     "customer_set_ops": QueryDef(
         q_customer_set_ops, SQL_CUSTOMER_SET_OPS
     ),

@@ -77,6 +77,9 @@ ALLOW_NESTED = {
     # three 1-row census aggregates (triangles/nodes/edges) crossed
     # into the single output row; the graph joins are all keyed
     "supplier_triangles",
+    # the grouped-quantile operator's broadcast of the 1-row quantile
+    # target list (same bound as quantiles_exact / winsorize_counts)
+    "mixture_card",
     # the quantile operator's 2-3-row target table joined to the
     # cumulative counts (same bound as quantiles_exact)
     "winsorize_counts",
