@@ -7669,22 +7669,20 @@ FROM documents
 #   round 4 (THIS ordering): the 50 queries below marked [r4 window]
 #     — the 11 mid-round-3 additions + 39 of the 49 window-3 queries,
 #     none of which has ever had a driver row.
-#   round 5: the 10 remaining never-checked queries (daily_spine ..
-#     window_distinct_users, first below the fold), then the 3
-#     consolidated §2 queries (p456_detectors / f68_guards /
-#     s67_sinks — each pins the same operator ids as the 2-3
-#     micro-queries it supersedes), then the 9 round-4 capability
-#     additions (span_dedup .. rate_anomalies), then 28 of the
-#     banked §2 reference-surface set (r2 rows, two rounds stale by
-#     then), SKIPPING the 7 superseded singles (p4/p5/p6, f6/f8,
-#     s6/s7) — once the consolidated queries have green rows, the
-#     singles can be deleted and §2 coverage cites the consolidated
-#     rows.
+#   round 5 (50 slots, final round-4 tally): the 10 remaining
+#     never-checked queries (daily_spine .. window_distinct_users,
+#     first below the fold), then ALL 26 round-4 additions in dict
+#     order (the consolidated trio p456/f68/s67 through
+#     mixture_card — none has ever had a driver row), then the first
+#     14 of the banked §2 reference-surface set SKIPPING the 7
+#     superseded singles (p4/p5/p6, f6/f8, s6/s7 — delete them once
+#     the consolidated queries hold green rows; §2 coverage then
+#     cites the consolidated rows).
 #   round 6: the remaining §2 queries + the round-3-window set
 #     (r3 rows), completing the cycle; steady state after the
-#     deletion is a ~3.3-round rotation of ~165 queries at 50
-#     checked entries per round (new capability additions extend the
-#     tail; keep net new per round modest so the cycle stays short).
+#     deletion is a ~3.6-round rotation of ~179 queries at 50
+#     checked entries per round — hold net-new additions near zero
+#     for a round or two so the cycle tightens.
 CATALOG: dict[str, QueryDef] = {
     # ================== r4 window (positions 1-50) ==================
     # -- appended mid-round-3 (after the r3 window snapshot): first
