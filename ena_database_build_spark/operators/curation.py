@@ -694,15 +694,31 @@ def span_dedup(
         ).alias("_g"),
     )
     if min_docs == 2:
-        wg = Window.partitionBy("_g")
-        marked = grams.withColumn(
+        # NULL _g rows (the last k-1 tokens of EVERY document) must not
+        # share a window partition: corpus-wide they would pile
+        # (k-1)*n_docs rows onto a single task — a guaranteed straggler
+        # at scale even though the isNotNull guard masks the result.
+        # Salt them with a per-row unique key so each is a singleton
+        # partition (min == max there, so _dup stays NULL, unchanged).
+        # The "\x00" prefix cannot collide with a 32-hex-char md5 gram.
+        salted = grams.withColumn(
+            "_gp",
+            F.coalesce(
+                F.col("_g"),
+                F.concat_ws(
+                    ":", F.lit("\x00"), F.col(id_col), F.col("_pos")
+                ),
+            ),
+        )
+        wg = Window.partitionBy("_gp")
+        marked = salted.withColumn(
             "_dup",
             F.when(
                 F.col("_g").isNotNull()
                 & (F.min(id_col).over(wg) != F.max(id_col).over(wg)),
                 1,
             ),
-        ).drop("_g")
+        ).drop("_g", "_gp")
     else:
         dup_grams = (
             grams.where(F.col("_g").isNotNull())

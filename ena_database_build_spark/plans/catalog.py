@@ -7664,96 +7664,30 @@ FROM documents
 # window — that would invalidate its prior-round green row.  See
 # tools/check_catalog.py for the full-catalog local check.
 #
-# Rotation state and schedule (round-3 VERDICT "Next round" #1 —
+# Rotation state and schedule (round-4 VERDICT "Next round" #1 —
 # never-checked queries outrank banked-but-stale ones):
-#   round 4 (THIS ordering): the 50 queries below marked [r4 window]
-#     — the 11 mid-round-3 additions + 39 of the 49 window-3 queries,
-#     none of which has ever had a driver row.
-#   round 5 (50 slots, final round-4 tally): the 10 remaining
-#     never-checked queries (daily_spine .. window_distinct_users,
-#     first below the fold), then ALL 26 round-4 additions in dict
-#     order (the consolidated trio p456/f68/s67 through
-#     mixture_card — none has ever had a driver row), then the first
-#     14 of the banked §2 reference-surface set SKIPPING the 7
-#     superseded singles (p4/p5/p6, f6/f8, s6/s7 — delete them once
-#     the consolidated queries hold green rows; §2 coverage then
-#     cites the consolidated rows).
-#   round 6: the remaining §2 queries + the round-3-window set
-#     (r3 rows), completing the cycle; steady state after the
-#     deletion is a ~3.6-round rotation of ~179 queries at 50
-#     checked entries per round — hold net-new additions near zero
-#     for a round or two so the cycle tightens.
+#   round 5 (THIS ordering, shipped exactly as the round-4 schedule
+#     specified): the 10 queries held back from round 4
+#     (daily_spine .. window_distinct_users), then the consolidated
+#     trio (p456/f68/s67) + all other round-4 additions through
+#     customer_set_ops (26 total), then the first 14 of the banked
+#     §2 reference-surface set SKIPPING the 7 superseded singles
+#     (p4/p5/p6, f6/f8, s6/s7).  10 + 26 + 14 = 50; none of the
+#     first 36 had ever had a driver row before this round.
+#   round 6: DELETE the 7 superseded singles (their consolidated
+#     rows hold r5 driver rows; update the §8 coverage map to cite
+#     the consolidated rows), then window = the remaining 29 banked
+#     §2 queries (g2_nested_sessionize .. transit_sweepline) + the
+#     first 21 of the round-3-window set (rollup_revenue ..
+#     tpch_q4_priority).
+#   round 7: the remaining 29 r3-window queries + the first 21 of
+#     the round-4-window set; steady state is a ~3.6-round rotation
+#     of 179 queries at 50 checked entries per round — hold net-new
+#     additions near zero so the cycle stays tight.
 CATALOG: dict[str, QueryDef] = {
-    # ================== r4 window (positions 1-50) ==================
-    # -- appended mid-round-3 (after the r3 window snapshot): first
-    # driver rows for the materialized/profile/SCD/embedding-rollup
-    # surface
-    "heavy_hitters": QueryDef(q_heavy_hitters, SQL_HEAVY_HITTERS),
-    "semantic_dedup": QueryDef(q_semantic_dedup, SQL_SEMANTIC_DEDUP),
-    "scd2_user_state": QueryDef(q_scd2_user_state, SQL_SCD2),
-    "pagerank_suppliers": QueryDef(q_pagerank_suppliers, SQL_PAGERANK),
-    "zorder_values": QueryDef(q_zorder_values, SQL_ZORDER),
-    "embedding_project": QueryDef(q_embedding_project, SQL_JL_PROJECT),
-    "embedding_meanpool": QueryDef(q_embedding_meanpool, SQL_MEANPOOL),
-    "table_profile": QueryDef(q_table_profile, SQL_TABLE_PROFILE),
-    "source_cap": QueryDef(q_source_cap, SQL_SOURCE_CAP),
-    "snapshot_diff": QueryDef(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
-    "cdc_latest_state": QueryDef(q_cdc_latest_state, SQL_CDC_LATEST),
-    # -- window 3 (round-3 continuation): sketch/BPE/incremental/DQ/
-    # funnel/layout/anti-entropy surface + relational breadth
-    "bloom_decontaminate": QueryDef(q_bloom_decontaminate, SQL_BLOOM_DECON),
-    "bpe_pair_counts": QueryDef(q_bpe_pair_counts, SQL_BPE_PAIRS),
-    "bpe_merges": QueryDef(q_bpe_merges, SQL_BPE_MERGES),
-    "incremental_stats": QueryDef(q_incremental_stats, SQL_INCREMENTAL_STATS),
-    "orc_roundtrip": QueryDef(q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
-    "stream_enrichment": QueryDef(q_stream_enrichment, SQL_STREAM_ENRICH),
-    "dq_report": QueryDef(q_dq_report, SQL_DQ_REPORT),
-    "asof_join_bucketed": QueryDef(q_asof_join_bucketed, SQL_ASOF_BUCKETED),
-    "hash_sample_weighted": QueryDef(
-        q_hash_sample_weighted, SQL_HASH_SAMPLE_WEIGHTED
-    ),
-    "near_dedup_incremental": QueryDef(
-        q_near_dedup_incremental, SQL_NEAR_DEDUP_INCREMENTAL
-    ),
-    "tpch_q7_nation_volume": QueryDef(q_tpch_q7_nation_volume, SQL_TPCH_Q7),
-    "tpch_q13_order_distribution": QueryDef(
-        q_tpch_q13_order_distribution, SQL_TPCH_Q13
-    ),
-    "user_retention": QueryDef(q_user_retention, SQL_USER_RETENTION),
-    "compaction_plan": QueryDef(q_compaction_plan, SQL_COMPACTION_PLAN),
-    "funnel_conversion": QueryDef(q_funnel_conversion, SQL_FUNNEL),
-    "replica_diff": QueryDef(q_replica_diff, SQL_REPLICA_DIFF),
-    "line_dedup": QueryDef(q_line_dedup, SQL_LINE_DEDUP),
-    "activity_streaks": QueryDef(q_activity_streaks, SQL_ACTIVITY_STREAKS),
-    "batch_cosine_topk": QueryDef(q_batch_cosine_topk, SQL_BATCH_COSINE),
-    "event_transitions": QueryDef(q_event_transitions, SQL_EVENT_TRANSITIONS),
-    "top_purchases": QueryDef(q_top_purchases, SQL_TOP_PURCHASES),
-    "schema_evolution": QueryDef(q_schema_evolution, SQL_SCHEMA_EVOLUTION),
-    "span_corruption": QueryDef(q_span_corruption, SQL_SPAN_CORRUPTION),
-    "mixture_upsample": QueryDef(q_mixture_upsample, SQL_MIXTURE_UPSAMPLE),
-    "script_composition": QueryDef(
-        q_script_composition, SQL_SCRIPT_COMPOSITION
-    ),
-    "bpe_compression": QueryDef(q_bpe_compression, SQL_BPE_COMPRESSION),
-    "skew_salted_agg": QueryDef(q_skew_salted_agg, SQL_SKEW_SALTED_AGG),
-    "skew_salted_join": QueryDef(q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
-    "weighted_sample_n": QueryDef(q_weighted_sample_n, SQL_WEIGHTED_SAMPLE_N),
-    "rolling_user_value": QueryDef(
-        q_rolling_user_value, SQL_ROLLING_USER_VALUE
-    ),
-    "scd2_enrichment": QueryDef(q_scd2_enrichment, SQL_SCD2_ENRICHMENT),
-    "weighted_sample_by_source": QueryDef(
-        q_weighted_sample_by_source, SQL_WEIGHTED_SAMPLE_BY
-    ),
-    "cube_revenue": QueryDef(q_cube_revenue, SQL_CUBE_REVENUE),
-    "time_to_convert": QueryDef(q_time_to_convert, SQL_TIME_TO_CONVERT),
-    "winsorize_counts": QueryDef(q_winsorize_counts, SQL_WINSORIZE),
-    "contrastive_triples": QueryDef(q_contrastive_triples, SQL_CONTRASTIVE),
-    "supervised_pairs": QueryDef(q_supervised_pairs, SQL_SUPERVISED_PAIRS),
-    "cms_frequencies": QueryDef(q_cms_frequencies, SQL_CMS_FREQUENCIES),
-    "kmv_distinct": QueryDef(q_kmv_distinct, SQL_KMV_DISTINCT),
-    # ============== below the fold (not checked in r4) ==============
-    # -- never-checked remainder: FIRST in the round-5 window
+    # ================== r5 window (positions 1-50) ==================
+    # -- the 10 queries held back from the round-4 window (never
+    # driver-checked before this round)
     "daily_spine": QueryDef(q_daily_spine, SQL_DAILY_SPINE),
     "session_bounce": QueryDef(q_session_bounce, SQL_SESSION_BOUNCE),
     "trending_types": QueryDef(q_trending_types, SQL_TRENDING),
@@ -7772,13 +7706,11 @@ CATALOG: dict[str, QueryDef] = {
     "window_distinct_users": QueryDef(
         q_window_distinct_users, SQL_WINDOW_DISTINCT_USERS
     ),
-    # -- consolidated §2 queries (added round 4, never checked):
-    # enter the round-5 window right after the 10 above
+    # -- consolidated §2 queries + all 26 round-4 additions
+    # (never driver-checked before this round)
     "p456_detectors": QueryDef(q_p456_detectors, SQL_P456),
     "f68_guards": QueryDef(q_f68_guards, SQL_F68),
     "s67_sinks": QueryDef(q_s67_sinks, SQL_S67),
-    # -- round-4 capability additions (never checked): join the
-    # round-5 window after the consolidated trio
     "span_dedup": QueryDef(q_span_dedup, SQL_SPAN_DEDUP),
     "embedding_standardize": QueryDef(
         q_embedding_standardize, SQL_EMBEDDING_STANDARDIZE
@@ -7824,27 +7756,38 @@ CATALOG: dict[str, QueryDef] = {
     "customer_set_ops": QueryDef(
         q_customer_set_ops, SQL_CUSTOMER_SET_OPS
     ),
-    # -- window 2 (banked green in round 2; rotates into the checked
-    # window in round 5, after the 13 above)
+    # -- first 14 of the banked §2 reference-surface set
+    # (green in round 2; superseded singles skipped per the
+    # schedule)
     "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),
     "f1_division_filter": QueryDef(q_f1_division_filter, SQL_F1),
     "f2_prefix_filter": QueryDef(q_f2_prefix_filter, SQL_F2),
     "f3_fungi_gate": QueryDef(q_f3_fungi_gate, SQL_F3),
     "f4_whitelist_deadletter": QueryDef(q_f4_whitelist_deadletter, SQL_F4),
     "f5_malformed_id_drop": QueryDef(q_f5_malformed_id_drop, SQL_F5),
-    "f6_empty_record_guard": QueryDef(q_f6_empty_record_guard, SQL_F6),
     "f7_unparseable_cds_drop": QueryDef(q_f7_unparseable_cds_drop, SQL_F7),
-    "f8_empty_input_guard": QueryDef(q_f8_empty_input_guard, SQL_F8),
     "p1_regex_extract": QueryDef(q_p1_regex_extract, SQL_P1),
     "p2_alternation_extract": QueryDef(q_p2_alternation_extract, SQL_P2),
     "p3_range_extract": QueryDef(q_p3_range_extract, SQL_P3),
-    "p4_feature_start": QueryDef(q_p4_feature_start, SQL_P4),
-    "p5_cds_head": QueryDef(q_p5_cds_head, SQL_P5),
-    "p6_qualifier_continuation": QueryDef(q_p6_qualifier_continuation, SQL_P6),
     "p7_location_normalizer": QueryDef(q_p7_location_normalizer, SQL_P7),
     "p8_strand_detector": QueryDef(q_p8_strand_detector, SQL_P8),
     "p9_path_components": QueryDef(q_p9_path_components, SQL_P9),
     "g1_sessionize": QueryDef(q_g1_sessionize, SQL_G1),
+    # ============== below the fold (not checked in r5) ==============
+    # -- superseded singles: covered by the consolidated
+    # p456_detectors / f68_guards / s67_sinks rows above.  DELETE
+    # these in round 6 once those rows hold green driver rows,
+    # and update the §8 coverage map to cite the consolidated
+    # rows (round-4 VERDICT item 2).
+    "f6_empty_record_guard": QueryDef(q_f6_empty_record_guard, SQL_F6),
+    "f8_empty_input_guard": QueryDef(q_f8_empty_input_guard, SQL_F8),
+    "p4_feature_start": QueryDef(q_p4_feature_start, SQL_P4),
+    "p5_cds_head": QueryDef(q_p5_cds_head, SQL_P5),
+    "p6_qualifier_continuation": QueryDef(q_p6_qualifier_continuation, SQL_P6),
+    "s6_partitioned_shards": QueryDef(q_s6_partitioned_shards, SQL_S6),
+    "s7_concat_single_file": QueryDef(q_s7_concat_single_file, SQL_S7),
+    # -- remaining banked §2 set (green in round 2; first into
+    # the round-6 window)
     "g2_nested_sessionize": QueryDef(q_g2_nested_sessionize, SQL_G2),
     "g3_final_flush": QueryDef(q_g3_final_flush, SQL_G3),
     "g4_ordinals": QueryDef(q_g4_ordinals, SQL_G4),
@@ -7861,8 +7804,6 @@ CATALOG: dict[str, QueryDef] = {
     "o4_topk": QueryDef(q_o4_topk, SQL_O4),
     "o5_stable_range_sort": QueryDef(q_o5_stable_range_sort, SQL_O5),
     "s5_tsv_roundtrip": QueryDef(q_s5_tsv_roundtrip, SQL_S5),
-    "s6_partitioned_shards": QueryDef(q_s6_partitioned_shards, SQL_S6),
-    "s7_concat_single_file": QueryDef(q_s7_concat_single_file, SQL_S7),
     "ena_context_analog": QueryDef(q_ena_context_analog, SQL_ENA_CONTEXT),
     "tpch_q1_pricing": QueryDef(q_tpch_q1_pricing, SQL_TPCH_Q1),
     "tpch_q3_shipping": QueryDef(q_tpch_q3_shipping, SQL_TPCH_Q3),
@@ -7876,8 +7817,8 @@ CATALOG: dict[str, QueryDef] = {
     "asof_join": QueryDef(q_asof_join, SQL_ASOF),
     "range_join_transit": QueryDef(q_range_join_transit, SQL_RANGE_JOIN),
     "transit_sweepline": QueryDef(q_transit_sweepline, SQL_SWEEPLINE),
-    # -- round-3 window (banked green in round 3; rotates back into
-    # the checked window in round 6)
+    # -- round-3 window (banked green in round 3; completes the
+    # round-6 window after the §2 remainder)
     "rollup_revenue": QueryDef(q_rollup_revenue, SQL_ROLLUP),
     "order_analytics": QueryDef(q_order_analytics, SQL_ORDER_ANALYTICS),
     "quantiles_exact": QueryDef(q_quantiles_exact, SQL_QUANTILES),
@@ -7930,4 +7871,68 @@ CATALOG: dict[str, QueryDef] = {
     "props_extract": QueryDef(q_props_extract, SQL_PROPS_EXTRACT),
     "stream_totals": QueryDef(q_stream_totals, SQL_STREAM_TOTALS),
     "stream_dedup": QueryDef(q_stream_dedup, SQL_STREAM_DEDUP),
+    # -- round-4 window (banked green in round 4, CORRECTNESS_r04;
+    # rotates back in round 7)
+    "heavy_hitters": QueryDef(q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "semantic_dedup": QueryDef(q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "scd2_user_state": QueryDef(q_scd2_user_state, SQL_SCD2),
+    "pagerank_suppliers": QueryDef(q_pagerank_suppliers, SQL_PAGERANK),
+    "zorder_values": QueryDef(q_zorder_values, SQL_ZORDER),
+    "embedding_project": QueryDef(q_embedding_project, SQL_JL_PROJECT),
+    "embedding_meanpool": QueryDef(q_embedding_meanpool, SQL_MEANPOOL),
+    "table_profile": QueryDef(q_table_profile, SQL_TABLE_PROFILE),
+    "source_cap": QueryDef(q_source_cap, SQL_SOURCE_CAP),
+    "snapshot_diff": QueryDef(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "cdc_latest_state": QueryDef(q_cdc_latest_state, SQL_CDC_LATEST),
+    "bloom_decontaminate": QueryDef(q_bloom_decontaminate, SQL_BLOOM_DECON),
+    "bpe_pair_counts": QueryDef(q_bpe_pair_counts, SQL_BPE_PAIRS),
+    "bpe_merges": QueryDef(q_bpe_merges, SQL_BPE_MERGES),
+    "incremental_stats": QueryDef(q_incremental_stats, SQL_INCREMENTAL_STATS),
+    "orc_roundtrip": QueryDef(q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
+    "stream_enrichment": QueryDef(q_stream_enrichment, SQL_STREAM_ENRICH),
+    "dq_report": QueryDef(q_dq_report, SQL_DQ_REPORT),
+    "asof_join_bucketed": QueryDef(q_asof_join_bucketed, SQL_ASOF_BUCKETED),
+    "hash_sample_weighted": QueryDef(
+        q_hash_sample_weighted, SQL_HASH_SAMPLE_WEIGHTED
+    ),
+    "near_dedup_incremental": QueryDef(
+        q_near_dedup_incremental, SQL_NEAR_DEDUP_INCREMENTAL
+    ),
+    "tpch_q7_nation_volume": QueryDef(q_tpch_q7_nation_volume, SQL_TPCH_Q7),
+    "tpch_q13_order_distribution": QueryDef(
+        q_tpch_q13_order_distribution, SQL_TPCH_Q13
+    ),
+    "user_retention": QueryDef(q_user_retention, SQL_USER_RETENTION),
+    "compaction_plan": QueryDef(q_compaction_plan, SQL_COMPACTION_PLAN),
+    "funnel_conversion": QueryDef(q_funnel_conversion, SQL_FUNNEL),
+    "replica_diff": QueryDef(q_replica_diff, SQL_REPLICA_DIFF),
+    "line_dedup": QueryDef(q_line_dedup, SQL_LINE_DEDUP),
+    "activity_streaks": QueryDef(q_activity_streaks, SQL_ACTIVITY_STREAKS),
+    "batch_cosine_topk": QueryDef(q_batch_cosine_topk, SQL_BATCH_COSINE),
+    "event_transitions": QueryDef(q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "top_purchases": QueryDef(q_top_purchases, SQL_TOP_PURCHASES),
+    "schema_evolution": QueryDef(q_schema_evolution, SQL_SCHEMA_EVOLUTION),
+    "span_corruption": QueryDef(q_span_corruption, SQL_SPAN_CORRUPTION),
+    "mixture_upsample": QueryDef(q_mixture_upsample, SQL_MIXTURE_UPSAMPLE),
+    "script_composition": QueryDef(
+        q_script_composition, SQL_SCRIPT_COMPOSITION
+    ),
+    "bpe_compression": QueryDef(q_bpe_compression, SQL_BPE_COMPRESSION),
+    "skew_salted_agg": QueryDef(q_skew_salted_agg, SQL_SKEW_SALTED_AGG),
+    "skew_salted_join": QueryDef(q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
+    "weighted_sample_n": QueryDef(q_weighted_sample_n, SQL_WEIGHTED_SAMPLE_N),
+    "rolling_user_value": QueryDef(
+        q_rolling_user_value, SQL_ROLLING_USER_VALUE
+    ),
+    "scd2_enrichment": QueryDef(q_scd2_enrichment, SQL_SCD2_ENRICHMENT),
+    "weighted_sample_by_source": QueryDef(
+        q_weighted_sample_by_source, SQL_WEIGHTED_SAMPLE_BY
+    ),
+    "cube_revenue": QueryDef(q_cube_revenue, SQL_CUBE_REVENUE),
+    "time_to_convert": QueryDef(q_time_to_convert, SQL_TIME_TO_CONVERT),
+    "winsorize_counts": QueryDef(q_winsorize_counts, SQL_WINSORIZE),
+    "contrastive_triples": QueryDef(q_contrastive_triples, SQL_CONTRASTIVE),
+    "supervised_pairs": QueryDef(q_supervised_pairs, SQL_SUPERVISED_PAIRS),
+    "cms_frequencies": QueryDef(q_cms_frequencies, SQL_CMS_FREQUENCIES),
+    "kmv_distinct": QueryDef(q_kmv_distinct, SQL_KMV_DISTINCT),
 }
