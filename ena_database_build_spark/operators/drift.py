@@ -127,4 +127,28 @@ def psi_report(
             )
         )
         psi_rows = psi_rows.unionByName(new_groups)
+    else:
+        # keyless with an EMPTY reference snapshot: the keyless
+        # groupBy still yields one all-NULL edges row, every current
+        # row gets a NULL bin and never reaches the spine, so the
+        # aggregate above would report n_ref=0, n_cur=0, psi=0.0 — a
+        # fail-open "no drift" verdict that also miscounts current
+        # rows.  Mirror the keyed new_groups branch: report the TRUE
+        # current count with psi NULL.  Both patches are 1-row
+        # broadcasts (the repo's bounded-crossJoin pattern).
+        cur_total = c.agg(F.count("*").alias("_c_all"))
+        has_ref = edges.select(F.col("_mn").alias("_has_ref"))
+        psi_rows = (
+            psi_rows.crossJoin(F.broadcast(cur_total))
+            .crossJoin(F.broadcast(has_ref))
+            .select(
+                F.col("n_ref"),
+                F.when(F.col("_has_ref").isNotNull(), F.col("n_cur"))
+                .otherwise(F.col("_c_all"))
+                .alias("n_cur"),
+                F.when(
+                    F.col("_has_ref").isNotNull(), F.col("psi")
+                ).alias("psi"),
+            )
+        )
     return psi_rows

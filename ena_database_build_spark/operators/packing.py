@@ -504,12 +504,17 @@ def plan_batches(
         )
         .select("_lb", "_sub", "_off")
     )
-    ceiling = F.expr("CAST(shiftleft(1L, CAST(_lb + 1 AS INT)) AS BIGINT)")
+    # integer div throughout (the repo-wide discipline, see
+    # conversations.py): float `/` then cast can land the rounded
+    # quotient on the next integer before truncation near 2^53/cap
+    ceiling_sql = "CAST(shiftleft(1L, CAST(_lb + 1 AS INT)) AS BIGINT)"
+    ceiling = F.expr(ceiling_sql)
     cap = F.greatest(
-        (F.lit(budget) / ceiling).cast("long"), F.lit(1)
+        F.expr(f"CAST({int(budget)} AS BIGINT) div {ceiling_sql}"),
+        F.lit(1),
     )
     ranked = local.join(F.broadcast(offsets), ["_lb", "_sub"], "left")
-    batched = ranked.select(
+    batched = ranked.withColumn("_cap", cap).select(
         F.col(id_col),
         "n_tokens",
         F.col("_lb").alias("len_bucket"),
@@ -517,7 +522,7 @@ def plan_batches(
         F.concat_ws(
             ":",
             F.col("_lb"),
-            ((F.col("_off") + F.col("_lr")) / cap).cast("long"),
+            F.expr("(_off + _lr) div _cap"),
         ).alias("batch_id"),
     )
     return batched.groupBy("batch_id", "len_bucket").agg(

@@ -289,11 +289,20 @@ def temperature_rebalance(
     same reproducibility contract as every sampler here: re-runs,
     re-partitions, and engine swaps agree row-for-row.
 
+    NULL groups pass through unchanged (no group identity to
+    rebalance by — :func:`grouped_split`'s NULL policy): they are
+    excluded from the group counts, so a small NULL cohort can never
+    become ``n_min`` and inflate every real group's shed rate.
+
     Scale shape: one map-side-combinable group count (rows = #groups),
     a 1-row min broadcast, a broadcast join of the #groups rate table
     onto the corpus, and a stateless filter — the corpus itself never
     shuffles."""
-    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    counts = (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count("*").alias("_n"))
+    )
     mn = counts.agg(F.min("_n").alias("_nmin"))
     rates = counts.crossJoin(F.broadcast(mn)).select(
         group_col,
@@ -308,8 +317,11 @@ def temperature_rebalance(
     )
     u = F.conv(sample_hash(F.col(id_col), seed), 16, 10).cast("long")
     return (
-        df.join(F.broadcast(rates), group_col)
-        .where(u < F.col("_rate") * F.lit(float(16**8)))
+        df.join(F.broadcast(rates), group_col, "left")
+        .where(
+            F.col(group_col).isNull()
+            | (u < F.col("_rate") * F.lit(float(16**8)))
+        )
         .drop("_n", "_rate")
     )
 

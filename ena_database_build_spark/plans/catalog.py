@@ -6474,8 +6474,11 @@ def q_quality_ensemble(spark, sf_dir):
     """Calibrated multi-signal quality gate: the heuristic quality
     score and the repetition-novelty score are each percent-rank
     normalized (quantiles.quantile_normalize — rank-based, so the two
-    heterogeneous scales become comparable), averaged, and gated at
-    ensemble >= 0.3 (~keep the top 70%).  The production pattern for
+    heterogeneous scales become comparable), SUMMED (range [0, 2]; see
+    the inline note on why not a mean), and gated at ensemble >= 0.9 —
+    chosen because the two signals anti-correlate on this corpus, so
+    sums cluster near 1.0 and 0.9 is the threshold that actually
+    splits keep/drop at every test SF.  The production pattern for
     combining quality classifiers whose raw scores live on different
     scales; both inputs are the already-oracle-checked catalog
     signals, so this row checks the COMPOSITION."""

@@ -54,6 +54,21 @@ def test_psi_new_group_reports_null(spark):
     assert got["a"].psi is not None
 
 
+def test_psi_keyless_empty_reference_not_fail_open(spark):
+    """Keyless with an empty reference snapshot must mirror the keyed
+    new-group branch — true current count, psi NULL — not the
+    fail-open (n_ref=0, n_cur=0, psi=0.0) verdict the all-NULL edges
+    row used to produce."""
+    ref = spark.createDataFrame([], "v double")
+    cur = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    got = psi_report(ref, cur, "v").head()
+    assert got.n_ref == 0 and got.n_cur == 3
+    assert got.psi is None
+    # and the normal keyless path is unchanged
+    ok = psi_report(cur, cur, "v").head()
+    assert ok.psi == 0.0 and ok.n_ref == ok.n_cur == 3
+
+
 def test_psi_matches_pure_python_randomized(spark):
     """Randomized differential: psi_report vs a direct implementation
     of reference-anchored binning + Laplace smoothing on seeded data

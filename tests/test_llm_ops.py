@@ -645,6 +645,29 @@ def test_temperature_rebalance_flattens_groups(spark):
     assert a == b
 
 
+def test_temperature_rebalance_null_groups_pass_through(spark):
+    """NULL groups have no identity to rebalance by: they pass
+    through unchanged AND are excluded from the counts, so a tiny
+    NULL cohort can never become n_min and inflate every real
+    group's shed rate."""
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(1000 + i, "small") for i in range(25)]
+        + [(2000, None), (2001, None)]  # 2-row NULL cohort
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = SMP.temperature_rebalance(df, "lang", alpha=0.5)
+    by = {
+        r.lang: r.n
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # NULLs pass through, small stays n_min and keeps everything
+    assert by.get(None) == 2
+    assert by["small"] == 25
+    # big still sheds at (400/25)^-0.5, NOT (400/2)^-0.5 (~28 kept)
+    assert 60 <= by["big"] <= 140
+
+
 def test_near_dedup_best_keeps_highest_quality(spark):
     """Quality-aware survivor policy: the longest/best-scored member
     of each near-dup cluster wins (ties -> min id); unique docs pass
