@@ -211,6 +211,7 @@ def quantile_normalize(
     bins: int = 256,
     out_col: str = "qnorm",
     ndigits: int = 6,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Exact position-normalization of a score column to [0, 1]:
     ``qnorm = global_rank / (N - 1)`` under the deterministic total
@@ -231,31 +232,65 @@ def quantile_normalize(
 
     NULL values/ids are excluded (no position in the order); a
     single-row input normalizes to 0.0.  Adds ``out_col`` to the
-    surviving rows."""
+    surviving rows.
+
+    Pass ``bounds=(lo, hi)`` when the score's domain is known (a
+    [0, 1] classifier, a bounded heuristic): binning then needs NO
+    min/max aggregation over the input, which removes the second
+    evaluation of the ENTIRE upstream plan that the bounds scan
+    otherwise forces (the expensive part of calibrating a scored
+    relation — the scoring pipeline would run twice per call, and
+    chained calls compound it).  Any monotone non-decreasing binning
+    yields the exact same ranks — values outside the declared bounds
+    just clamp into the edge bins and still order correctly within
+    them — so the output is identical either way."""
     base = df.where(
         F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
     )
-    bounds = base.agg(
-        F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
-    )
     v = F.col(value_col).cast("double")
-    binned = base.crossJoin(F.broadcast(bounds)).withColumn(
-        "_bin",
-        F.when(
-            F.col("_mx") > F.col("_mn"),
-            F.least(
-                F.floor(
-                    (v - F.col("_mn"))
-                    / (F.col("_mx").cast("double") - F.col("_mn"))
-                    * bins
+    if bounds is not None:
+        lo, hi = float(bounds[0]), float(bounds[1])
+        if not hi > lo:
+            raise ValueError("bounds must satisfy hi > lo")
+        binned = base.withColumn(
+            "_bin",
+            F.greatest(
+                F.least(
+                    F.floor((v - F.lit(lo)) / F.lit(hi - lo) * bins),
+                    F.lit(bins - 1),
                 ),
-                F.lit(bins - 1),
-            ),
-        ).otherwise(F.lit(0)),
-    ).drop("_mn", "_mx")
+                F.lit(0),
+            ).cast("long"),
+        )
+    else:
+        edges = base.agg(
+            F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
+        )
+        binned = base.crossJoin(F.broadcast(edges)).withColumn(
+            "_bin",
+            F.when(
+                F.col("_mx") > F.col("_mn"),
+                F.least(
+                    F.floor(
+                        (v - F.col("_mn"))
+                        / (F.col("_mx").cast("double") - F.col("_mn"))
+                        * bins
+                    ),
+                    F.lit(bins - 1),
+                ),
+            ).otherwise(F.lit(0)),
+        ).drop("_mn", "_mx")
+    # explicit repartition + sizes from max(row_number) OVER THE
+    # WINDOWED FRAME (not a fresh count over `binned`): the
+    # quantile_gate pattern — a plain groupBy-count lets Catalyst
+    # prune the window (and different columns) out of the counts
+    # branch, so its exchange subtree stops matching the ranked
+    # branch's and the whole upstream re-executes instead of hitting
+    # ReusedExchange
+    part = binned.repartition(F.col("_bin"))
     w_local = Window.partitionBy("_bin").orderBy(value_col, id_col)
-    ranked = binned.withColumn("_lr", F.row_number().over(w_local))
-    counts = ranked.groupBy("_bin").agg(F.count("*").alias("_c"))
+    ranked = part.withColumn("_lr", F.row_number().over(w_local))
+    counts = ranked.groupBy("_bin").agg(F.max("_lr").alias("_c"))
     w_off = Window.orderBy("_bin").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -6499,8 +6499,32 @@ def q_quality_ensemble(spark, sf_dir):
         F.round(1 - F.col("dup_token_frac"), 6).alias("novelty"),
     )
     j = quality.join(novelty, "doc_id")
-    x = quantile_normalize(j, "quality", out_col="qn_quality")
-    x = quantile_normalize(x, "novelty", out_col="qn_novelty")
+    # Plan discipline (measured: the naive chained form produced 83
+    # parquet scans / 54 shuffles at sf0.01):
+    # 1. both signals are [0, 1] by construction, so declaring the
+    #    bounds removes quantile_normalize's min/max pre-scan of its
+    #    input (which re-evaluated the whole upstream per call);
+    # 2. each calibration runs on a NARROWED (doc_id, score)
+    #    projection of the join — with identical column sets in the
+    #    rank and bucket-size branches, their exchange subtrees match
+    #    and Spark reads one ReusedExchange per calibration instead
+    #    of re-executing the join + repetition explode per branch
+    #    (pinned by tests/test_plan_shapes.py).
+    # Ranks stay over the JOINED doc set either way — exactly the
+    # oracle's CTE j.
+    xq = quantile_normalize(
+        j.select("doc_id", "quality"),
+        "quality",
+        out_col="qn_quality",
+        bounds=(0.0, 1.0),
+    )
+    xn = quantile_normalize(
+        j.select("doc_id", "novelty"),
+        "novelty",
+        out_col="qn_novelty",
+        bounds=(0.0, 1.0),
+    )
+    x = xq.join(xn, "doc_id")
     # SUM, not mean: halving two 1e-6-grid values lands exactly on
     # .5-boundary midpoints where Spark (half-up) and DuckDB
     # (half-even) disagree — the recurring cross-engine rounding trap.
