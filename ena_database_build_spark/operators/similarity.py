@@ -162,12 +162,27 @@ def knn_join_bruteforce(
     k: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int = 10_000,
 ) -> DataFrame:
     """k nearest right-rows for every left-row (cross join + window).
     Quadratic — only for small/filtered inputs; the scale path is
-    bucketing both sides with ``srp_buckets`` and joining on bucket."""
+    bucketing both sides with ``srp_buckets`` and joining on bucket.
+
+    Guarded so the quadratic utility cannot be reached by accident at
+    scale: raises unless BOTH sides count at most ``max_rows`` rows
+    (an eager pre-count — acceptable for the small inputs this is
+    for).  Callers that really want a larger cross product must opt
+    in by raising ``max_rows`` explicitly."""
     from pyspark.sql import Window
 
+    n_left, n_right = left.count(), right.count()
+    if n_left > max_rows or n_right > max_rows:
+        raise ValueError(
+            f"knn_join_bruteforce is quadratic: inputs are "
+            f"{n_left} x {n_right} rows but max_rows={max_rows}; "
+            f"use srp_buckets/batch_cosine_topk at scale, or raise "
+            f"max_rows explicitly to opt in"
+        )
     l = left.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("lv"))
     r = right.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("rv"))
     scored = l.crossJoin(r).select(

@@ -105,6 +105,19 @@ def test_knn_join(spark):
         assert rights[0] == left
 
 
+def test_knn_join_guard_rejects_large_inputs(spark):
+    """The documented-quadratic utility must refuse inputs above
+    max_rows instead of silently planning an at-scale cross join;
+    raising max_rows is the explicit opt-in."""
+    import pytest
+
+    vecs = _vectors(spark)
+    with pytest.raises(ValueError, match="quadratic"):
+        SIM.knn_join_bruteforce(vecs, vecs, k=2, max_rows=2)
+    # explicit opt-in still works
+    assert SIM.knn_join_bruteforce(vecs, vecs, k=1, max_rows=100).count()
+
+
 def test_detect_lang(spark):
     rows = [
         (1, "the cat and the dog sat in a house of bricks"),
