@@ -303,24 +303,38 @@ def bm25_top_terms(
     so engine ``ln`` ulp differences cannot change which rows appear.
 
     Shape: ONE tokenize/explode feeds term frequency; document
-    frequency is a window over the term partitioning of that same
-    relation; per-document length rides the ranking window's doc
-    partitioning.  Corpus size and average document length come from a
-    MAP-SIDE pass over the raw table (``size(tokens(text))`` — no
-    explode) reduced to a 1-row broadcast.  The corpus is scanned
-    twice (once heavy, once map-side-cheap) and the tf relation never
-    recomputes.
+    frequency is a map-side-combinable aggregate of that SAME tf
+    exchange (``count("tf")``, not ``count(*)`` — referencing the tf
+    column keeps the aggregate subtree byte-identical to the main
+    branch's, so it resolves as ReusedExchange instead of re-running
+    the explode; the round-3 window-over-term form is gone because a
+    window must co-locate a term's whole posting list in ONE task —
+    un-splittable skew for stopword-like terms — while the join form
+    is left to AQE, which broadcasts the vocabulary-sized df-map when
+    it is small and skew-splits the shuffle join when it is not).
+    Per-document length rides the ranking window's doc partitioning.
+    Corpus size and average document length come from a MAP-SIDE pass
+    over the raw table (``size(tokens(text))`` — no explode) reduced
+    to a 1-row broadcast.  The corpus is scanned twice (once heavy,
+    once map-side-cheap) and the tf relation never recomputes.
     """
     tok_rows = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
     tf = tok_rows.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    # doc_freq via window over term (see tfidf_top_terms: the aggregate
-    # + self-join form re-runs the explode subtree — AQE exchange reuse
-    # does not fire across join branches; measured 2x slower at sf1)
-    with_df = tf.withColumn(
-        "doc_freq", F.count("*").over(Window.partitionBy("term"))
+    # sum(when(tf >= 1, 1)) IS count(*) here (tf >= 1 by construction)
+    # but, unlike count(*)/count(tf), the predicate's reference to the
+    # tf column survives Catalyst's aggregate pruning, keeping this
+    # branch's plan byte-identical to the main branch's tf exchange —
+    # the ReusedExchange alignment (count(tf) gets rewritten to
+    # count(1) and pruned, re-running the explode; verified in the
+    # executed plan, pinned by test_bm25_exchange_budget)
+    df_map = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("tf") >= 1, F.lit(1)))
+        .cast("long")
+        .alias("doc_freq")
     )
+    with_df = tf.join(df_map, "term")
     # dl shares the ranking window's doc partitioning — one exchange,
     # two window passes
     with_dl = with_df.withColumn(

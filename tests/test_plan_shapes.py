@@ -48,14 +48,30 @@ def test_repetition_stats_is_map_only(spark):
 
 
 def test_bm25_exchange_budget(spark):
-    # contract: tf agg shuffle + term window shuffle + doc window
-    # shuffle over the big relation — and nothing else (the corpus
-    # stats' SinglePartition exchange carries 1 aggregated row into a
-    # broadcast, not corpus rows)
-    plan = _executed_plan(CUR.bm25_top_terms(_docs(spark), k=2))
-    hashed = [ln for ln in _exchanges(plan) if "hashpartitioning" in ln]
-    assert len(hashed) <= 3, plan
-    assert "BroadcastExchange" in plan  # corpus stats joined by broadcast
+    # round-5 contract: the big tf relation shuffles exactly TWICE
+    # (the tf aggregation and the doc ranking window); doc_freq is an
+    # aggregate READING THE SAME tf exchange (ReusedExchange — the
+    # sum(when(tf >= 1, 1)) alignment), shuffling only vocabulary-
+    # sized partial counts, and joins back however AQE decides
+    # (broadcast when the df-map is small, skew-splittable shuffle
+    # join when it is not — a window over term would pin a term's
+    # whole posting list to one un-splittable task).  Corpus stats
+    # stay a 1-row broadcast.
+    out = CUR.bm25_top_terms(_docs(spark), k=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    final = plan.split("== Initial Plan ==")[0]
+    hashed = [
+        ln for ln in _exchanges(final) if "hashpartitioning" in ln
+    ]
+    # tf agg + tiny df-map partial counts + doc window
+    assert len(hashed) <= 3, final
+    assert final.count("ReusedExchange") >= 1, final
+    assert "BroadcastExchange" in final
+    # the explode/tokenize subtree materializes once; the only other
+    # scan is the map-side corpus-stats pass over the raw rows
+    assert final.count("Scan ") == 2, final
 
 
 def test_pack_sequences_no_global_sort_of_rows(spark):
