@@ -194,15 +194,20 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
     tf = tok_rows.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    # document frequency as a window over the term partitioning, NOT an
-    # aggregate + self-join: AQE does not reuse the tf exchange across
-    # join branches, so the join form re-runs the tokenize/explode/agg
-    # subtree (measured 2x slower at sf1 — 3.0 s vs 1.45 s).  The
-    # window's term shuffle carries the already-aggregated tf relation,
-    # strictly smaller than a second corpus pass.
-    with_df = tf.withColumn(
-        "doc_freq", F.count("*").over(Window.partitionBy("term"))
+    # document frequency as an aggregate READING THE SAME tf exchange,
+    # then a hint-free join back (same design + alignment trick as
+    # bm25_top_terms, see its docstring: the round-3 window-over-term
+    # form pinned each term's whole posting list to one un-splittable
+    # task; a plain count(*) aggregate would desync from the main
+    # branch under Catalyst pruning and re-run the explode — the
+    # historical "join form is 2x slower at sf1" measurement was that
+    # unaligned form)
+    df_map = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("tf") >= 1, F.lit(1)))
+        .cast("long")
+        .alias("doc_freq")
     )
+    with_df = tf.join(df_map, "term")
     # corpus size from the RAW table: a 1-row map-side count, no explode
     n_docs = df.select(F.countDistinct(id_col).alias("_n_docs"))
     w = Window.partitionBy(id_col).orderBy(
