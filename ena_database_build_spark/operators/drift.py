@@ -24,7 +24,7 @@ rows, no all-pairs, no driver collect.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -53,7 +53,17 @@ def psi_report(
     c = cur.where(F.col(value_col).isNotNull()).select(
         *keys, F.col(value_col).cast("double").alias("_v")
     )
-    edges = r.groupBy(*keys).agg(
+    # NULL group keys are excluded from edges EXPLICITLY: a NULL key
+    # could never equi-match its own edges row anyway (those rows
+    # surface through the NULL-bin path below), and writing the
+    # filter here keeps the edges subtree identical between its two
+    # consumers — the binning broadcast join (which pushes an
+    # IsNotNull(key) filter into its branch) and the bin spine — so
+    # the aggregation is planned once and reused, not re-scanned.
+    r_keyed = r
+    for kcol in keys:
+        r_keyed = r_keyed.where(F.col(kcol).isNotNull())
+    edges = r_keyed.groupBy(*keys).agg(
         F.min("_v").alias("_mn"), F.max("_v").alias("_mx")
     )
     both = r.withColumn("_side", F.lit("r")).unionByName(
@@ -90,65 +100,60 @@ def psi_report(
         F.sum(F.when(F.col("_side") == "c", F.col("_n"))).alias("_cn"),
     )
     # full bin spine per key (a bin empty on BOTH sides still carries
-    # its smoothed contribution): keys x bins rows, broadcast-sized
+    # its smoothed contribution): keys x bins rows, broadcast-sized.
+    # The when() guard is ALWAYS true (edges rows come from non-null
+    # values) but referencing _mn/_mx keeps the min/max aggregate in
+    # this branch's plan — without it Catalyst prunes the aggregate
+    # functions here, the edges subtree stops matching the binning
+    # join's, and the reference snapshot is scanned a third time (the
+    # bm25/quantile_normalize ReusedExchange alignment pattern).
     spine = edges.select(
-        *keys, F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("_bin")
+        *keys,
+        F.explode(
+            F.when(
+                F.col("_mn").isNotNull() & F.col("_mx").isNotNull(),
+                F.sequence(F.lit(0), F.lit(bins - 1)),
+            )
+        ).alias("_bin"),
     )
-    filled = spine.join(pivoted, [*keys, "_bin"], "left").select(
+    # ONE full-outer join keeps everything in a single lineage:
+    # spine rows fill zeros for bins empty on both sides, and
+    # NULL-bin pivoted rows — current-side rows of groups with no
+    # reference edges (reference rows always bin: each reference
+    # group defines its own edges) — ride along as the "new group"
+    # signal instead of a separate anti-join branch that would scan
+    # the current snapshot a second time (and, before round 5, DID:
+    # the union's second branch re-executed the whole counted
+    # subtree).  `filled` is keys x bins (+1) rows — bounded — so the
+    # group totals are a window over it, not another join branch.
+    filled = spine.join(pivoted, [*keys, "_bin"], "full_outer").select(
         *keys,
         "_bin",
         F.coalesce("_rn", F.lit(0)).alias("_rn"),
         F.coalesce("_cn", F.lit(0)).alias("_cn"),
     )
-    totals = filled.groupBy(*keys).agg(
-        F.sum("_rn").alias("_rt"), F.sum("_cn").alias("_ct")
+    wk = Window.partitionBy(*keys)  # keys x bins rows: bounded frame
+    binned = F.col("_bin").isNotNull()
+    rt = F.sum(F.when(binned, F.col("_rn"))).over(wk)
+    ct = F.sum(F.when(binned, F.col("_cn"))).over(wk)
+    p = (F.col("_rn") + 0.5) / (rt + bins * 0.5)
+    q = (F.col("_cn") + 0.5) / (ct + bins * 0.5)
+    per_bin = filled.withColumn(
+        "_contrib", F.when(binned, (p - q) * F.log(p / q))
+    ).withColumn("_rt", rt)
+    # n_ref counts BINNED reference rows only (a NULL group key on the
+    # reference side lands in the NULL bin — never equi-matching its
+    # own edges row — and is excluded, as the anti-join form did);
+    # n_cur additionally sums the NULL-bin rows so a new group reports
+    # its true current count.  psi is NULL exactly when the group has
+    # no binned reference rows (new group, or a keyless call against
+    # an empty reference snapshot) — no fail-open 0.0.
+    return per_bin.groupBy(*keys).agg(
+        F.coalesce(
+            F.sum(F.when(binned, F.col("_rn"))), F.lit(0)
+        ).cast("long").alias("n_ref"),
+        F.sum("_cn").cast("long").alias("n_cur"),
+        F.when(
+            F.max("_rt") > 0, F.round(F.sum("_contrib"), ndigits)
+        ).alias("psi"),
     )
-    per_bin = filled.join(F.broadcast(totals), keys) if keys else (
-        filled.crossJoin(F.broadcast(totals))
-    )
-    p = (F.col("_rn") + 0.5) / (F.col("_rt") + bins * 0.5)
-    q = (F.col("_cn") + 0.5) / (F.col("_ct") + bins * 0.5)
-    contrib = (p - q) * F.log(p / q)
-    psi_rows = per_bin.groupBy(*keys).agg(
-        F.min("_rt").alias("n_ref"),
-        F.min("_ct").alias("n_cur"),
-        F.round(F.sum(contrib), ndigits).alias("psi"),
-    )
-    # groups with no reference edges never enter the spine: surface
-    # them from the current side with psi NULL
-    if keys:
-        new_groups = (
-            c.join(edges.select(*keys), keys, "left_anti")
-            .groupBy(*keys)
-            .agg(
-                F.lit(0).cast("long").alias("n_ref"),
-                F.count("*").alias("n_cur"),
-                F.lit(None).cast("double").alias("psi"),
-            )
-        )
-        psi_rows = psi_rows.unionByName(new_groups)
-    else:
-        # keyless with an EMPTY reference snapshot: the keyless
-        # groupBy still yields one all-NULL edges row, every current
-        # row gets a NULL bin and never reaches the spine, so the
-        # aggregate above would report n_ref=0, n_cur=0, psi=0.0 — a
-        # fail-open "no drift" verdict that also miscounts current
-        # rows.  Mirror the keyed new_groups branch: report the TRUE
-        # current count with psi NULL.  Both patches are 1-row
-        # broadcasts (the repo's bounded-crossJoin pattern).
-        cur_total = c.agg(F.count("*").alias("_c_all"))
-        has_ref = edges.select(F.col("_mn").alias("_has_ref"))
-        psi_rows = (
-            psi_rows.crossJoin(F.broadcast(cur_total))
-            .crossJoin(F.broadcast(has_ref))
-            .select(
-                F.col("n_ref"),
-                F.when(F.col("_has_ref").isNotNull(), F.col("n_cur"))
-                .otherwise(F.col("_c_all"))
-                .alias("n_cur"),
-                F.when(
-                    F.col("_has_ref").isNotNull(), F.col("psi")
-                ).alias("psi"),
-            )
-        )
-    return psi_rows

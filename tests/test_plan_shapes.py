@@ -179,6 +179,38 @@ def test_quantile_gate_matches_two_pass_form(spark):
         assert gated == naive, (q, thr, gated, naive)
 
 
+def test_psi_report_no_second_snapshot_scan(spark, tmp_path):
+    """The new-group branch must read the NULL-bin rows of the
+    already-counted relation (ReusedExchange over the tiny counted
+    exchange), never anti-join against a SECOND scan of the current
+    snapshot: each snapshot is consumed once by the union plus the
+    reference-only edges pass — 3 source scans total."""
+    from ena_database_build_spark.operators.drift import psi_report
+
+    rp, cp = str(tmp_path / "ref"), str(tmp_path / "cur")
+    spark.createDataFrame(
+        [("a", float(i % 7)) for i in range(60)], "k string, v double"
+    ).write.parquet(rp)
+    spark.createDataFrame(
+        [("a", float(i % 9)) for i in range(40)]
+        + [("newgrp", 1.0), ("newgrp", 5.0)],
+        "k string, v double",
+    ).write.parquet(cp)
+    out = psi_report(
+        spark.read.parquet(rp), spark.read.parquet(cp), "v", keys=["k"]
+    )
+    rows = {r.k: r for r in out.collect()}
+    assert rows["newgrp"].n_cur == 2 and rows["newgrp"].psi is None
+    assert rows["a"].n_ref == 60 and rows["a"].n_cur == 40
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in plan
+    # ref x2 (edges + union) + cur x1 (union) — the anti-join form
+    # scanned cur twice
+    assert final.count("Scan parquet") == 3, final
+    assert final.count("ReusedExchange") >= 1, final
+
+
 def test_quantile_normalize_bounds_single_upstream_evaluation(spark):
     """With declared bounds, quantile_normalize must read ONE
     materialized exchange of its input (rank branch + bucket-size
