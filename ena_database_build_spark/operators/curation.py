@@ -257,11 +257,14 @@ def unigram_logprob(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
     tf = tok_rows.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    # corpus term counts: window over term — one shuffle of the
-    # aggregated relation, no second corpus pass (see tfidf_top_terms)
-    with_cc = tf.withColumn(
-        "corpus_count", F.sum("tf").over(Window.partitionBy("term"))
-    )
+    # corpus term counts: an aggregate reading the SAME tf exchange
+    # (sum(tf) references the tf column intrinsically, so the subtree
+    # stays aligned and resolves as ReusedExchange without the bm25
+    # sum(when(...)) trick) + a hint-free join back — the former
+    # window over the term partitioning pinned each term's whole
+    # posting list to one un-splittable task (see bm25_top_terms)
+    cc_map = tf.groupBy("term").agg(F.sum("tf").alias("corpus_count"))
+    with_cc = tf.join(cc_map, "term")
     total = df.select(
         F.sum(
             F.size(F.filter(tokens(F.col(text_col)), lambda t: t != ""))
@@ -793,13 +796,19 @@ def bigram_logprob(
     probabilities per context sum to 1 over the smoothed vocabulary.
 
     Scale shape: the bigram stream (one explode + one per-doc lead)
-    aggregates to (doc, w1, w2, n) first, then corpus bigram and
-    context counts attach via window sums over that AGGREGATED
-    relation (the tf-idf discipline — no second corpus pass); V is a
-    1-row broadcast.  Counts are exact integers; the smoothed ratio,
-    ``ln``, and the per-doc average are one float expression rounded
-    once.  Docs with fewer than two tokens have no bigram and are
-    absent (no conditional model scores them).
+    aggregates to (doc, w1, w2, n) first; the corpus bigram map is an
+    aggregate READING THE SAME exchange (``sum(n)`` references the n
+    column intrinsically, so the subtree aligns and resolves as
+    ReusedExchange — the bm25/tf-idf discipline), the context map
+    ``C(w1 ·)`` re-aggregates the BIGRAM MAP (vocab²-bounded, far
+    smaller than the doc-level relation), and both join back
+    hint-free so AQE broadcasts them when small and skew-splits when
+    not (the former window sums pinned every bigram of a stopword
+    context to one un-splittable task); V is a 1-row broadcast.
+    Counts are exact integers; the smoothed ratio, ``ln``, and the
+    per-doc average are one float expression rounded once.  Docs with
+    fewer than two tokens have no bigram and are absent (no
+    conditional model scores them).
 
     Returns ``(doc_id, n_bigrams, mean_logprob)``.
     """
@@ -818,9 +827,9 @@ def bigram_logprob(
         .groupBy(id_col, "w1", "w2")
         .agg(F.count("*").alias("n"))
     )
-    with_counts = bi.withColumn(
-        "c12", F.sum("n").over(Window.partitionBy("w1", "w2"))
-    ).withColumn("c1", F.sum("n").over(Window.partitionBy("w1")))
+    c12_map = bi.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    c1_map = c12_map.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    with_counts = bi.join(c12_map, ["w1", "w2"]).join(c1_map, "w1")
     vocab = toks.agg(
         F.count_distinct("_w").cast("double").alias("_v")
     )
