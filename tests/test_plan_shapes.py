@@ -344,3 +344,38 @@ def test_parquet_scan_pushdown_and_pruning(spark, tmp_path):
     cols = {c.split(":")[0] for c in schema.group(1).split(",")}
     assert "text" not in cols, plan  # projection pruned the wide column
     assert {"doc_id", "source"} <= cols, plan
+
+
+def _final_scan_count(df) -> int:
+    """`Scan parquet` occurrences in the FINAL adaptive plan only
+    (executedPlan().toString() appends the initial plan, which would
+    double-count).  Mirrors tools/scan_audit.py."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0].count("Scan parquet")
+
+
+def test_quality_ensemble_scan_budget(spark):
+    """The composed calibration query must evaluate its upstream ONCE
+    per signal: before the round-5 restructure (bounded calibration +
+    aligned projections, catalog.py q_quality_ensemble) the executed
+    plan held 83 parquet scans; it is now 3 (docs once per signal
+    branch + the narrow ensemble join).  This pins the defect class
+    tools/scan_audit.py sweeps for — Catalyst column pruning desyncing
+    exchange subtrees until AQE reuse stops firing."""
+    from ena_database_build_spark.plans.catalog import CATALOG
+
+    df = CATALOG["quality_ensemble"].spark(spark, "/root/testdata/sf0.001")
+    assert _final_scan_count(df) <= 3
+
+
+def test_logprob_scoring_scan_budget(spark):
+    """unigram/bigram corpus scoring reads the token explode ONCE:
+    the term/context statistics are aligned aggregates over the same
+    exchange, not windows that re-shuffle the token relation per
+    statistic (round-5 restructure)."""
+    from ena_database_build_spark.plans.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    assert _final_scan_count(CATALOG["unigram_logprob"].spark(spark, sf)) <= 2
+    assert _final_scan_count(CATALOG["bigram_logprob"].spark(spark, sf)) <= 2
