@@ -678,18 +678,21 @@ def span_dedup(
     DataFrame computation (the true suffix array is inherently
     sequential; k-gram cover converges to it as k shrinks).
 
-    Scale shape: tokens explode once and are shuffled exactly THREE
-    times, each keyed, with no join in the default path — (1) by doc
-    for the lead-composed k-grams, (2) by gram hash, where "appears
-    in >= 2 distinct docs" is the windowed ``min(id) != max(id)``
-    (exact for the default ``min_docs = 2`` — at least two distinct
-    ids iff min and max differ — with no groupBy+join round-trip),
-    and (3) by doc for the RANGE-window span cover over
-    [pos-k+1, pos].  For ``min_docs > 2`` the gram verdict falls back
-    to a distinct-doc count joined back on the gram hash (one extra
-    keyed shuffle).  No all-pairs stage, no per-doc state beyond the
-    window frame.  Output: ``(id, n_kept, n_dropped, text)`` for
-    every non-blank input doc.
+    Scale shape: k-grams are composed MAP-SIDE from each document's
+    token array (``transform`` + ``slice`` before the explode — no
+    shuffle, where a lead-window formulation would shuffle every
+    token by doc first), then tokens are shuffled exactly TWICE, each
+    keyed, with no join in the default path — (1) by gram hash, where
+    "appears in >= 2 distinct docs" is the windowed
+    ``min(id) != max(id)`` (exact for the default ``min_docs = 2`` —
+    at least two distinct ids iff min and max differ — with no
+    groupBy+join round-trip), and (2) by doc for the RANGE-window
+    span cover over [pos-k+1, pos] (the final per-doc rebuild reuses
+    that partitioning).  For ``min_docs > 2`` the gram verdict falls
+    back to a distinct-doc count joined back on the gram hash (one
+    extra keyed shuffle).  No all-pairs stage, no per-doc state
+    beyond the window frame.  Output: ``(id, n_kept, n_dropped,
+    text)`` for every non-blank input doc.
 
     Tokens are RAW whitespace splits (no case folding): removal
     rebuilds the user-visible text, so the match key must be the text
@@ -697,23 +700,31 @@ def span_dedup(
     """
     base = df.where(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    )
-    toks = base.select(
+    ).select(
         F.col(id_col),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
-            "_pos", "_tok"
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_arr"),
+    )
+    # gram at position i = md5 of tokens [i, i+k) — computed from the
+    # array IN PLACE (one row per doc, no shuffle); positions whose
+    # gram would run past the end stay NULL, matching a lead-window
+    # formulation's isNotNull(last lead) guard
+    gram_arr = F.transform(
+        "_arr",
+        lambda x, i: F.when(
+            i + F.lit(k) <= F.size("_arr"),
+            F.md5(F.concat_ws(" ", F.slice("_arr", i + F.lit(1), k))),
         ),
     )
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    leads = [F.lead("_tok", j).over(w) for j in range(1, k)]
-    grams = toks.select(
+    grams = base.select(
         F.col(id_col),
-        F.col("_pos"),
-        F.col("_tok"),
-        F.when(
-            leads[-1].isNotNull(),
-            F.md5(F.concat_ws(" ", F.col("_tok"), *leads)),
-        ).alias("_g"),
+        F.posexplode(
+            F.arrays_zip(F.col("_arr").alias("_tok"), gram_arr.alias("_g"))
+        ).alias("_pos", "_z"),
+    ).select(
+        id_col,
+        "_pos",
+        F.col("_z._tok").alias("_tok"),
+        F.col("_z._g").alias("_g"),
     )
     if min_docs == 2:
         # NULL _g rows (the last k-1 tokens of EVERY document) must not

@@ -379,3 +379,15 @@ def test_logprob_scoring_scan_budget(spark):
     sf = "/root/testdata/sf0.001"
     assert _final_scan_count(CATALOG["unigram_logprob"].spark(spark, sf)) <= 2
     assert _final_scan_count(CATALOG["bigram_logprob"].spark(spark, sf)) <= 2
+
+
+def test_span_dedup_two_keyed_shuffles_no_join(spark):
+    """Default-path contract from the docstring: k-grams compose
+    map-side from the token array (no pre-shuffle lead window), so the
+    executed plan holds exactly TWO hash exchanges — gram verdict and
+    doc-keyed span cover (the final rebuild reuses the doc
+    partitioning) — and no join."""
+    plan = _executed_plan(CUR.span_dedup(_docs(spark), k=3))
+    hashed = [ln for ln in _exchanges(plan) if "hashpartitioning" in ln]
+    assert len(hashed) == 2, plan
+    assert "Join" not in plan, plan
