@@ -125,15 +125,28 @@ def spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """ARRAY<STRING> of word ``k``-shingles (distinct, order-free)."""
-    toks = tokens(text)
-    n = F.size(toks)
+    """ARRAY<STRING> of word ``k``-shingles (distinct, order-free).
+
+    The token array is BOUND to a lambda variable (single-element
+    ``array`` + ``transform``) so it evaluates once per row — writing
+    ``tokens(text)`` inside the inner lambda would re-tokenize per
+    shingle (Catalyst performs no CSE into lambda bodies), quadratic
+    in document length.  ``slice`` tolerates the end of the array, so
+    a doc shorter than ``k`` yields its single partial shingle
+    (``element_at`` past the end would raise under ANSI semantics),
+    matching :func:`shingle_rows`."""
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
-            ),
+        F.flatten(
+            F.transform(
+                F.array(tokens(text)),
+                lambda toks: F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(toks) - (k - 1), F.lit(1)),
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+                ),
+            )
         )
     )
 

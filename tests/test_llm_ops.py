@@ -845,3 +845,30 @@ def test_temperature_rebalance_matches_python_hash(spark):
         if u < rate * 16**8:
             want.append(i)
     assert got == sorted(want)
+
+
+def test_shingles_array_matches_shingle_rows(spark):
+    # the array utility and the relational path must agree as SETS per
+    # doc, including docs shorter than k (single partial shingle) and
+    # blank docs — and slice-based composition must not raise past the
+    # array end (element_at would, under ANSI semantics)
+    rows = [
+        (1, "a b c d e"),
+        (2, "x y"),
+        (3, ""),
+        (4, "   "),
+        (5, "one"),
+        (6, "a a a a"),
+        (7, " pad  multi   space "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    via_array = {
+        r.doc_id: set(r.s)
+        for r in df.select(
+            "doc_id", D.shingles(F.col("text")).alias("s")
+        ).collect()
+    }
+    via_rows = {}
+    for r in D.shingle_rows(df, k=3, distinct=True).collect():
+        via_rows.setdefault(r.doc_id, set()).add(r.shingle)
+    assert via_array == via_rows
