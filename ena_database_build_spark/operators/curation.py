@@ -681,18 +681,18 @@ def span_dedup(
     Scale shape: k-grams are composed MAP-SIDE from each document's
     token array (``transform`` + ``slice`` before the explode — no
     shuffle, where a lead-window formulation would shuffle every
-    token by doc first), then tokens are shuffled exactly TWICE, each
-    keyed, with no join in the default path — (1) by gram hash, where
-    "appears in >= 2 distinct docs" is the windowed
-    ``min(id) != max(id)`` (exact for the default ``min_docs = 2`` —
-    at least two distinct ids iff min and max differ — with no
-    groupBy+join round-trip), and (2) by doc for the RANGE-window
-    span cover over [pos-k+1, pos] (the final per-doc rebuild reuses
-    that partitioning).  For ``min_docs > 2`` the gram verdict falls
-    back to a distinct-doc count joined back on the gram hash (one
-    extra keyed shuffle).  No all-pairs stage, no per-doc state
-    beyond the window frame.  Output: ``(id, n_kept, n_dropped,
-    text)`` for every non-blank input doc.
+    token by doc first).  The gram verdict ("appears in >=
+    ``min_docs`` distinct docs" — ``min(id) != max(id)`` for the
+    default 2, a distinct count above) is a map-side-combinable
+    aggregate whose shuffle carries ~one row per distinct gram, never
+    the token relation, joined back hint-free so AQE broadcasts the
+    dup-gram map when small and skew-splits when not — a boilerplate
+    gram in millions of docs cannot pin one task (see the inline
+    note).  Token rows then shuffle by doc ONCE for the RANGE-window
+    span cover over [pos-k+1, pos]; the final per-doc rebuild reuses
+    that partitioning.  No all-pairs stage, no per-doc state beyond
+    the window frame.  Output: ``(id, n_kept, n_dropped, text)`` for
+    every non-blank input doc.
 
     Tokens are RAW whitespace splits (no case folding): removal
     rebuilds the user-visible text, so the match key must be the text
@@ -726,41 +726,30 @@ def span_dedup(
         F.col("_z._tok").alias("_tok"),
         F.col("_z._g").alias("_g"),
     )
-    if min_docs == 2:
-        # NULL _g rows (the last k-1 tokens of EVERY document) must not
-        # share a window partition: corpus-wide they would pile
-        # (k-1)*n_docs rows onto a single task — a guaranteed straggler
-        # at scale even though the isNotNull guard masks the result.
-        # Salt them with a per-row unique key so each is a singleton
-        # partition (min == max there, so _dup stays NULL, unchanged).
-        # The "\x00" prefix cannot collide with a 32-hex-char md5 gram.
-        salted = grams.withColumn(
-            "_gp",
-            F.coalesce(
-                F.col("_g"),
-                F.concat_ws(
-                    ":", F.lit("\x00"), F.col(id_col), F.col("_pos")
-                ),
-            ),
-        )
-        wg = Window.partitionBy("_gp")
-        marked = salted.withColumn(
-            "_dup",
-            F.when(
-                F.col("_g").isNotNull()
-                & (F.min(id_col).over(wg) != F.max(id_col).over(wg)),
-                1,
-            ),
-        ).drop("_g", "_gp")
-    else:
-        dup_grams = (
-            grams.where(F.col("_g").isNotNull())
-            .groupBy("_g")
-            .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
-            .where(F.col("_nd") >= min_docs)
-            .select("_g", F.lit(1).alias("_dup"))
-        )
-        marked = grams.join(dup_grams, "_g", "left").drop("_g", "_nd")
+    # "appears in >= min_docs distinct docs" as a map-side-combinable
+    # aggregate + hint-free join — NEVER a window over the gram hash: a
+    # window must co-locate a gram's every occurrence in ONE task, and
+    # a boilerplate gram shared by millions of documents (the exact
+    # thing this operator exists to find) would be an un-splittable
+    # straggler.  The hash aggregate collapses a heavy gram to one row
+    # per map task before the (distinct-gram-sized) shuffle, and AQE
+    # broadcasts the dup-gram map when small / skew-splits the join
+    # when not (the bm25_top_terms doc-frequency discipline).  NULL _g
+    # rows (the last k-1 tokens of each doc) never match the left
+    # join, so they need no special casing.
+    dup_test = (
+        (F.min(id_col) != F.max(id_col)).alias("_d")
+        if min_docs == 2  # >= 2 distinct ids iff min and max differ
+        else (F.count_distinct(F.col(id_col)) >= min_docs).alias("_d")
+    )
+    dup_grams = (
+        grams.where(F.col("_g").isNotNull())
+        .groupBy("_g")
+        .agg(dup_test)
+        .where(F.col("_d"))
+        .select("_g", F.lit(1).alias("_dup"))
+    )
+    marked = grams.join(dup_grams, "_g", "left").drop("_g", "_d")
     cover = (
         Window.partitionBy(id_col)
         .orderBy("_pos")

@@ -381,13 +381,30 @@ def test_logprob_scoring_scan_budget(spark):
     assert _final_scan_count(CATALOG["bigram_logprob"].spark(spark, sf)) <= 2
 
 
-def test_span_dedup_two_keyed_shuffles_no_join(spark):
-    """Default-path contract from the docstring: k-grams compose
-    map-side from the token array (no pre-shuffle lead window), so the
-    executed plan holds exactly TWO hash exchanges — gram verdict and
-    doc-keyed span cover (the final rebuild reuses the doc
-    partitioning) — and no join."""
-    plan = _executed_plan(CUR.span_dedup(_docs(spark), k=3))
-    hashed = [ln for ln in _exchanges(plan) if "hashpartitioning" in ln]
-    assert len(hashed) == 2, plan
-    assert "Join" not in plan, plan
+def test_span_dedup_skew_safe_gram_verdict(spark):
+    """Contract from the docstring: k-grams compose map-side (no
+    pre-shuffle lead window), the gram verdict is an AGGREGATE (its
+    exchange carries ~one row per distinct gram after map-side
+    combine) joined back hint-free — never a window over the gram
+    hash, which would co-locate a boilerplate gram's every occurrence
+    in one un-splittable task — and token rows shuffle by doc only
+    for the span cover.  At this scale AQE must broadcast the
+    dup-gram map: no sort-merge join survives, no window is keyed on
+    the gram, and the only exchanges are the gram aggregate, the
+    pre-planned probe stage AQE reads locally, and the doc cover."""
+    out = CUR.span_dedup(_docs(spark), k=3)
+    out.collect()  # AQE must finalize for the broadcast swap-in
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    final = plan.split("== Initial Plan ==")[0]
+    hashed = [ln for ln in _exchanges(final) if "hashpartitioning" in ln]
+    assert len(hashed) <= 3, final
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
+    # the only window partitioning is by doc id (cover + none on _g)
+    import re as _re
+
+    for m in _re.finditer(
+        r"Window .*?windowspecdefinition\(([^,]+),", final
+    ):
+        assert "doc_id" in m.group(1), m.group(0)
