@@ -121,6 +121,10 @@ def test_dedup_incremental_no_nested_loop(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert len(_exchanges(plan)) <= 4, plan
+    # the in-batch winner window must pre-trim map-side (Partial
+    # WindowGroupLimit): a fingerprint shared by millions of
+    # identical rows otherwise ships them all to one task
+    assert "row_number(), 1, Partial" in plan, plan
 
 
 def test_quantile_gate_single_upstream_evaluation(spark):
