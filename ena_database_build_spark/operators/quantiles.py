@@ -31,8 +31,14 @@ def _cumulative_counts(
     counts: DataFrame, value_col: str, by: list[str], bucket_width: float | None
 ) -> DataFrame:
     """per (by, value): running count <= value (``_cum``), the same
-    minus own count (``_cum_prev``), and the group total (``_n``)."""
+    minus own count (``_cum_prev``), and the group total (``_n``).
+    With ``by=[]`` (global), totals is a 1-row broadcast cross join."""
     totals = counts.groupBy(*by).agg(F.sum("_c").alias("_n"))
+
+    def _with_totals(rel: DataFrame) -> DataFrame:
+        if by:
+            return rel.join(F.broadcast(totals), by)
+        return rel.crossJoin(F.broadcast(totals))
     if bucket_width is None:
         w = Window.partitionBy(*by).orderBy(value_col)
         return (
@@ -42,7 +48,7 @@ def _cumulative_counts(
                 F.sum("_c").over(w).alias("_cum"),
                 (F.sum("_c").over(w) - F.col("_c")).alias("_cum_prev"),
             )
-            .join(F.broadcast(totals), by)
+            .transform(_with_totals)
         )
     bkt = F.floor(F.col(value_col) / F.lit(float(bucket_width)))
     local = counts.withColumn("_bkt", bkt)
@@ -66,15 +72,21 @@ def _cumulative_counts(
             (F.sum("_bc").over(w_bkt) - F.col("_bc")).alias("_off"),
         )
     )
+    # LEFT join (offsets covers every (group, bucket) of cum_local by
+    # construction, so it is equivalent to inner): an inner join lets
+    # Catalyst infer isnotnull(_bkt) = isnotnull(FLOOR(value/width))
+    # and push it below the caller's shared exchange — on ONE consumer
+    # branch only, desyncing the subtrees so ReusedExchange stops
+    # firing and the upstream re-executes (observed in quantile_gate).
     return (
-        cum_local.join(F.broadcast(offsets), [*by, "_bkt"])
+        cum_local.join(F.broadcast(offsets), [*by, "_bkt"], "left")
         .select(
             *by,
             "_v",
             (F.col("_lcum") + F.col("_off")).alias("_cum"),
             (F.col("_lcum") + F.col("_off") - F.col("_c")).alias("_cum_prev"),
         )
-        .join(F.broadcast(totals), by)
+        .transform(_with_totals)
     )
 
 
@@ -94,65 +106,61 @@ def quantile_gate(
     scoring) for each consumer.  Here both consumers read the SAME
     physical exchange, so the upstream map work runs exactly once:
 
-    1. rows (already projected narrow by the caller) shuffle once by a
-       range bucket of the value — the only full-row exchange;
-    2. a per-bucket ordered window assigns local row ranks; bucket
-       sizes (tiny: one row per bucket) prefix-sum into offsets, so
-       ``offset + local rank`` is the exact global value-order rank —
-       the same two-phase distributed prefix sum as
-       ``packing.pack_sequences``, never a global-order window;
+    1. rows (already projected narrow by the caller) shuffle once by
+       a hash of ``id_col`` — balanced by construction, so no value
+       distribution can skew the only full-row exchange (the earlier
+       value-bucket partitioning sent every row of a heavily-tied
+       score — a mass of identically-scored empty docs, say — to ONE
+       task for a row-level rank window);
+    2. the threshold branch aggregates that exchange to one count per
+       DISTINCT value (tie mass collapses here), and the exact
+       interpolated quantile comes from the same bucketed cumulative
+       machinery as :func:`exact_quantiles` — windows only ever see
+       distinct-value count rows, never data rows;
     3. the rows serving ranks ``floor(r)``/``ceil(r)`` (``r = 1 +
        (n-1) q``, percentile_cont semantics) interpolate into a 1-row
-       threshold, broadcast back against the SAME windowed frame.
+       threshold, broadcast back against the SAME exchange.
 
-    Every consumer hangs off the one windowed relation, so Spark plans
-    a single shuffle with ReusedExchange reads (pinned by
+    Both consumers (threshold branch, gate filter) read one
+    materialized exchange via ReusedExchange (pinned by
     tests/test_plan_shapes.py) — the scale property that lets a
-    quality gate run over 100 TB of scored text with one scoring pass.
-    NULL values are excluded from ranks and output (percentile_cont
+    quality gate run over 100 TB of scored text with one scoring
+    pass.  The repartition keys on ``id_col``, so the id column
+    survives Catalyst pruning identically below the exchange in both
+    branches (callers passing columns beyond ``(id, value)`` should
+    project narrow first, as the catalog queries do).  NULL values
+    are excluded from the threshold and output (percentile_cont
     ignores NULLs; a NULL score cannot pass a ``>=`` gate anyway).
 
     Returns ``df``'s rows (original columns) that pass the gate.
     """
     v = F.col(value_col)
-    base = df.where(v.isNotNull()).withColumn(
-        "_bkt", F.floor(v / F.lit(float(bucket_width)))
-    )
-    part = base.repartition(F.col("_bkt"))
-    w_local = Window.partitionBy("_bkt").orderBy(value_col, id_col)
-    local = part.withColumn("_lrank", F.row_number().over(w_local))
-    # bucket sizes from the windowed frame (NOT a second aggregation
-    # over `part`: both consumers must share one subtree/exchange)
-    w_bkt = Window.orderBy("_bkt").rowsBetween(
-        Window.unboundedPreceding, -1
-    )  # rows = distinct buckets — tiny by construction
-    w_all = Window.orderBy("_bkt").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    sizes = local.groupBy("_bkt").agg(F.max("_lrank").alias("_bsz"))
-    offsets = sizes.select(
-        "_bkt",
-        F.coalesce(F.sum("_bsz").over(w_bkt), F.lit(0)).alias("_off"),
-        F.sum("_bsz").over(w_all).alias("_n"),
-    )
-    ranked = local.join(F.broadcast(offsets), "_bkt", "left").withColumn(
-        "_rank", F.col("_off") + F.col("_lrank")
-    )
+    base = df.where(v.isNotNull())
+    part = base.repartition(F.col(id_col))
+    counts = part.groupBy(value_col).agg(F.count("*").alias("_c"))
+    cum = _cumulative_counts(counts, value_col, [], bucket_width)
     r = F.lit(1.0) + (F.col("_n") - 1) * F.lit(float(q))
-    bracket = ranked.where(
-        (F.col("_rank") == F.floor(r)) | (F.col("_rank") == F.ceil(r))
-    )
-    thr = bracket.groupBy().agg(
-        F.max(F.when(F.col("_rank") == F.floor(r), v)).alias("_vlo"),
-        F.max(F.when(F.col("_rank") == F.ceil(r), v)).alias("_vhi"),
-        F.max(r - F.floor(r)).alias("_frac"),
-    ).select(
-        (
-            F.col("_vlo") + F.col("_frac") * (F.col("_vhi") - F.col("_vlo"))
-        ).alias("_thr")
+    lo_k = F.floor(r)
+    hi_k = F.ceil(r)
+    serves_lo = (F.col("_cum_prev") < lo_k) & (lo_k <= F.col("_cum"))
+    serves_hi = (F.col("_cum_prev") < hi_k) & (hi_k <= F.col("_cum"))
+    thr = (
+        cum.where(serves_lo | serves_hi)
+        .groupBy()
+        .agg(
+            F.max(F.when(serves_lo, F.col("_v"))).alias("_vlo"),
+            F.max(F.when(serves_hi, F.col("_v"))).alias("_vhi"),
+            F.max(r - F.floor(r)).alias("_frac"),
+        )
+        .select(
+            (
+                F.col("_vlo")
+                + F.col("_frac") * (F.col("_vhi") - F.col("_vlo"))
+            ).alias("_thr")
+        )
     )
     return (
-        ranked.crossJoin(F.broadcast(thr))
+        part.crossJoin(F.broadcast(thr))
         .where(v >= F.col("_thr"))
         .select(*df.columns)
     )

@@ -149,9 +149,21 @@ def test_quantile_gate_single_upstream_evaluation(spark):
     gated.collect()
     plan = gated._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan, plan
-    # three consumers (gate filter, rank window, bucket sizes) of the
-    # scored relation -> one materialized exchange + two reuses
-    assert plan.count("ReusedExchange") == 2, plan
+    final = plan.split("== Initial Plan ==")[0]
+    # the contract itself: the scored relation materializes ONCE (the
+    # id-hash exchange) and every other consumer is a reuse.  A second
+    # scan here is the inner-join isnotnull(_bkt) inference pushing a
+    # predicate below the shared exchange on one branch only (see
+    # _cumulative_counts' LEFT-join note).
+    assert final.count("Scan ExistingRDD") == 1, final
+    assert final.count("ReusedExchange") >= 2, final
+    # and no window may touch row-level data: the only full-row
+    # exchange is the balanced id-hash repartition; windows run over
+    # distinct-value count rows (tie mass collapses in the aggregate)
+    assert "REPARTITION_BY_COL" in final, final
+    for ln in final.splitlines():
+        if "windowspecdefinition(doc_id" in ln:
+            raise AssertionError("row-level window found: " + ln)
 
 
 def test_quantile_gate_matches_two_pass_form(spark):
