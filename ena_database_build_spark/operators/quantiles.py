@@ -221,46 +221,55 @@ def quantile_normalize(
     ndigits: int = 6,
     bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
-    """Exact position-normalization of a score column to [0, 1]:
-    ``qnorm = global_rank / (N - 1)`` under the deterministic total
-    order ``(value, id)`` — the calibration step that makes scores
-    from different models/heuristics comparable before mixing them
-    into one quality gate (rank-based, so any monotone transform of
-    the input yields identical output).
+    """Exact percent-rank normalization of a score column to [0, 1]:
+    ``qnorm = |{rows with value < v}| / (N - 1)`` — SQL
+    ``(rank() OVER (ORDER BY value) - 1) / (N - 1)``, so TIED values
+    share one qnorm — the calibration step that makes scores from
+    different models/heuristics comparable before mixing them into
+    one quality gate (rank-based, so any monotone transform of the
+    input yields identical output, and equal evidence gets equal
+    calibrated score).
 
-    The global rank is NEVER a global-order window (single-partition
-    at scale): values range-bucket into ``bins`` fixed-width bins from
-    the global min/max (1-row broadcast), phase 1 ranks within each
-    bin (a window over the bin partitioning), phase 2 prefix-sums the
-    ``bins`` bin counts (a windowed pass over ``bins`` rows) and the
-    offsets broadcast back — the pack_sequences two-phase pattern
-    pointed at a value axis instead of a hash axis.  Heavily skewed
-    value distributions concentrate rows in few bins; raise ``bins``
-    (the phase-2 pass stays tiny) for such columns.
+    Scale shape — no window ever sees a data row:
+
+    1. rows shuffle ONCE by a hash of ``id_col`` (balanced by
+       construction; this exchange is the materialization point every
+       other consumer reuses, so the upstream scoring runs once);
+    2. the rank map aggregates that exchange to one count per
+       DISTINCT value (map-side combinable — tie mass collapses to a
+       single row per task before moving), then values range-bucket
+       into ``bins`` bins, each bin prefix-sums its count rows
+       locally, and the ``bins`` bin totals prefix-sum on the tiny
+       side — the exact_quantiles cumulative machinery (a formerly
+       row-level per-bin rank window pinned every tied row of a
+       degenerate score onto one un-splittable task);
+    3. the (value -> qnorm) map joins back hint-free on the value, so
+       AQE broadcasts it when the distinct-value set is small and
+       skew-splits the shuffle join when it is not.
 
     NULL values/ids are excluded (no position in the order); a
     single-row input normalizes to 0.0.  Adds ``out_col`` to the
     surviving rows.
 
     Pass ``bounds=(lo, hi)`` when the score's domain is known (a
-    [0, 1] classifier, a bounded heuristic): binning then needs NO
-    min/max aggregation over the input, which removes the second
-    evaluation of the ENTIRE upstream plan that the bounds scan
-    otherwise forces (the expensive part of calibrating a scored
-    relation — the scoring pipeline would run twice per call, and
-    chained calls compound it).  Any monotone non-decreasing binning
+    [0, 1] classifier, a bounded heuristic): binning then needs no
+    min/max pass over the count rows (with no bounds the edges
+    aggregate reads the SAME shared exchange — either way the
+    upstream evaluates once).  Any monotone non-decreasing binning
     yields the exact same ranks — values outside the declared bounds
     just clamp into the edge bins and still order correctly within
     them — so the output is identical either way."""
     base = df.where(
         F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
     )
+    part = base.repartition(F.col(id_col))
+    counts = part.groupBy(value_col).agg(F.count("*").alias("_c"))
     v = F.col(value_col).cast("double")
     if bounds is not None:
         lo, hi = float(bounds[0]), float(bounds[1])
         if not hi > lo:
             raise ValueError("bounds must satisfy hi > lo")
-        binned = base.withColumn(
+        binned = counts.withColumn(
             "_bin",
             F.greatest(
                 F.least(
@@ -271,10 +280,10 @@ def quantile_normalize(
             ).cast("long"),
         )
     else:
-        edges = base.agg(
+        edges = counts.agg(
             F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
         )
-        binned = base.crossJoin(F.broadcast(edges)).withColumn(
+        binned = counts.crossJoin(F.broadcast(edges)).withColumn(
             "_bin",
             F.when(
                 F.col("_mx") > F.col("_mn"),
@@ -286,40 +295,44 @@ def quantile_normalize(
                     ),
                     F.lit(bins - 1),
                 ),
-            ).otherwise(F.lit(0)),
+            ).otherwise(F.lit(0)).cast("long"),
         ).drop("_mn", "_mx")
-    # explicit repartition + sizes from max(row_number) OVER THE
-    # WINDOWED FRAME (not a fresh count over `binned`): the
-    # quantile_gate pattern — a plain groupBy-count lets Catalyst
-    # prune the window (and different columns) out of the counts
-    # branch, so its exchange subtree stops matching the ranked
-    # branch's and the whole upstream re-executes instead of hitting
-    # ReusedExchange
-    part = binned.repartition(F.col("_bin"))
-    w_local = Window.partitionBy("_bin").orderBy(value_col, id_col)
-    ranked = part.withColumn("_lr", F.row_number().over(w_local))
-    counts = ranked.groupBy("_bin").agg(F.max("_lr").alias("_c"))
+    w_local = Window.partitionBy("_bin").orderBy(value_col)
+    cum_local = binned.select(
+        value_col,
+        "_c",
+        "_bin",
+        F.sum("_c").over(w_local).alias("_lcum"),
+    )
+    # bin totals from the windowed frame (max running sum), NOT a
+    # fresh aggregation over `binned` — the branches must share one
+    # subtree so the count relation materializes once
+    bin_totals = cum_local.groupBy("_bin").agg(
+        F.max("_lcum").alias("_bc")
+    )
     w_off = Window.orderBy("_bin").rowsBetween(
         Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
+    )  # rows = distinct bins — tiny by construction
+    offsets = bin_totals.select(
         "_bin",
-        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).alias("_off"),
     )
-    total = counts.agg(F.sum("_c").cast("double").alias("_n"))
-    return (
-        ranked.join(F.broadcast(offsets), "_bin")
+    total = bin_totals.agg(F.sum("_bc").cast("double").alias("_n"))
+    # LEFT join for the same reason as _cumulative_counts: an inner
+    # join would infer isnotnull(_bin) and desync the shared subtree
+    qmap = (
+        cum_local.join(F.broadcast(offsets), "_bin", "left")
         .crossJoin(F.broadcast(total))
-        .withColumn(
-            out_col,
+        .select(
+            value_col,
             F.when(
                 F.col("_n") > 1,
                 F.round(
-                    (F.col("_off") + F.col("_lr") - 1)
+                    (F.col("_off") + F.col("_lcum") - F.col("_c"))
                     / (F.col("_n") - 1),
                     ndigits,
                 ),
-            ).otherwise(F.lit(0.0)),
+            ).otherwise(F.lit(0.0)).alias(out_col),
         )
-        .drop("_bin", "_lr", "_off", "_n")
     )
+    return part.join(qmap, value_col)

@@ -6554,14 +6554,14 @@ n AS (SELECT count(*) AS c FROM j),
 r1 AS (
   SELECT doc_id, quality, novelty,
          CASE WHEN c > 1 THEN round(
-           CAST(row_number() OVER (ORDER BY quality, doc_id) - 1
+           CAST(rank() OVER (ORDER BY quality) - 1
                 AS DOUBLE) / (c - 1), 6) ELSE 0.0 END AS qn_quality
   FROM j, n
 ),
 r2 AS (
   SELECT doc_id, qn_quality,
          CASE WHEN c > 1 THEN round(
-           CAST(row_number() OVER (ORDER BY novelty, doc_id) - 1
+           CAST(rank() OVER (ORDER BY novelty) - 1
                 AS DOUBLE) / (c - 1), 6) ELSE 0.0 END AS qn_novelty
   FROM r1, n
 )
@@ -6696,10 +6696,11 @@ WHERE {_SIMHASH_HAM} <= 3
 
 def q_quantile_normalize(spark, sf_dir):
     """Exact percent-rank calibration of document length
-    (quantiles.quantile_normalize — the two-phase bucketed rank, no
-    global-order window): qnorm = rank/(N-1) under the deterministic
-    (n_chars, doc_id) order.  The oracle IS the single-window
-    definition, so the distributed rank must match it row-for-row."""
+    (quantiles.quantile_normalize — distinct-value counts + bucketed
+    cumulative, no window over data rows): qnorm = (rank-1)/(N-1)
+    with TIED lengths sharing one qnorm (SQL rank() semantics).  The
+    oracle IS the single-window definition, so the distributed rank
+    must match it row-for-row."""
     from ena_database_build_spark.operators.quantiles import (
         quantile_normalize,
     )
@@ -6715,7 +6716,7 @@ WITH base AS (
 )
 SELECT doc_id, n_chars,
        CASE WHEN count(*) OVER () > 1
-            THEN round(CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+            THEN round(CAST(rank() OVER (ORDER BY n_chars)
                             - 1 AS DOUBLE)
                        / (count(*) OVER () - 1), 6)
             ELSE 0.0 END AS qnorm

@@ -231,14 +231,16 @@ def test_psi_report_no_second_snapshot_scan(spark, tmp_path):
     assert final.count("ReusedExchange") >= 1, final
 
 
-def test_quantile_normalize_bounds_single_upstream_evaluation(spark):
-    """With declared bounds, quantile_normalize must read ONE
-    materialized exchange of its input (rank branch + bucket-size
-    branch + total as ReusedExchange) and never re-scan the upstream:
-    the contract that lets chained score calibrations (quality_
-    ensemble) run over a 100 TB scored relation with one scoring
-    pass.  Before the round-5 restructure the ensemble's executed
-    plan held 83 parquet scans; it is now 3."""
+def test_quantile_normalize_single_upstream_evaluation(spark):
+    """quantile_normalize must materialize its input ONCE (the
+    id-hash exchange; rank map, offsets and total are all reuses)
+    and never re-scan the upstream: the contract that lets chained
+    score calibrations (quality_ensemble) run over a 100 TB scored
+    relation with one scoring pass.  Before the round-5 restructures
+    the ensemble's executed plan held 83 parquet scans; it is now 3.
+    No window may touch row-level data: ranks come from
+    distinct-value count rows (ties collapse in the aggregate), so a
+    degenerate score distribution cannot pin one task."""
     from ena_database_build_spark.operators.quantiles import (
         quantile_normalize,
     )
@@ -246,16 +248,17 @@ def test_quantile_normalize_bounds_single_upstream_evaluation(spark):
     scored = _docs(spark, 40).select(
         "doc_id", (F.length("text") % 13 / 13.0).alias("quality")
     )
-    out = quantile_normalize(
-        scored, "quality", bounds=(0.0, 1.0), bins=16
-    )
-    out.collect()
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    final = plan.split("== Initial Plan ==")[0]
-    assert "isFinalPlan=true" in plan, plan
-    # three consumers (output join, bucket sizes, total) of the
-    # binned relation -> one materialized exchange + two reuses
-    assert final.count("ReusedExchange") == 2, final
+    for kw in [dict(bounds=(0.0, 1.0)), dict()]:  # bounds and edges paths
+        out = quantile_normalize(scored, "quality", bins=16, **kw)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in plan, plan
+        assert final.count("Scan ExistingRDD") == 1, final
+        assert final.count("ReusedExchange") >= 2, final
+        for ln in final.splitlines():
+            if "windowspecdefinition(doc_id" in ln:
+                raise AssertionError("row-level window found: " + ln)
 
 
 def test_quantile_normalize_bounds_matches_generic_path(spark):

@@ -52,9 +52,10 @@ def test_exact_quantiles_ignores_nulls(spark):
 
 
 def test_quantile_normalize_matches_global_window(spark):
-    """The two-phase bucketed rank equals the single-window
-    percent-rank definition on random data with ties, independent of
-    partitioning; single-row input normalizes to 0."""
+    """The value-level bucketed rank equals the single-window
+    percent-rank definition (rank(), so ties share one qnorm) on
+    random data with ties, independent of partitioning; single-row
+    input normalizes to 0."""
     import random
 
     from pyspark.sql import Window as W
@@ -75,9 +76,7 @@ def test_quantile_normalize_matches_global_window(spark):
     want_df = df.select(
         "doc_id",
         F.round(
-            (
-                F.row_number().over(W.orderBy("score", "doc_id")) - 1
-            ).cast("double")
+            (F.rank().over(W.orderBy("score")) - 1).cast("double")
             / (300 - 1),
             6,
         ).alias("qnorm"),
