@@ -131,3 +131,81 @@ def test_hash_sample_full_fraction_keeps_everything(spark):
     assert hash_sample(df, 1.0).count() == 200
     splits = train_test_split(df, test_fraction=1.0).groupBy("split").count()
     assert {r["split"]: r["count"] for r in splits.collect()} == {"test": 200}
+
+
+def test_tie_mass_quantile_ops_stay_correct(spark):
+    """Degenerate score distributions (half the corpus identically
+    scored — the tie-mass case that used to co-locate every tied row
+    in one value-keyed window partition) must still produce exact
+    results from the value-level plans."""
+    from pyspark.sql import Window as W
+
+    from ena_database_build_spark.operators.quantiles import (
+        quantile_gate,
+        quantile_normalize,
+    )
+
+    n = 400
+    # 50% of rows score exactly 0.0, the rest spread over (0, 1]
+    rows = [
+        (i, 0.0 if i % 2 == 0 else round((i % 97) / 97.0, 6))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, quality double")
+
+    got = {
+        r.doc_id: r.qnorm
+        for r in quantile_normalize(df, "quality", bins=16).collect()
+    }
+    want = {
+        r.doc_id: r.qnorm
+        for r in df.select(
+            "doc_id",
+            F.round(
+                (F.rank().over(W.orderBy("quality")) - 1).cast("double")
+                / (n - 1),
+                6,
+            ).alias("qnorm"),
+        ).collect()
+    }
+    assert got == want
+    # every tied row shares one qnorm, and it is the group minimum
+    assert {got[i] for i in range(0, n, 2)} == {0.0}
+
+    vals = sorted(r[1] for r in rows)
+    q = 0.6
+    r_pos = 1.0 + (n - 1) * q
+    import math
+
+    lo, hi = vals[math.floor(r_pos) - 1], vals[math.ceil(r_pos) - 1]
+    thr = lo + (r_pos - math.floor(r_pos)) * (hi - lo)
+    kept = sorted(
+        r.doc_id
+        for r in quantile_gate(
+            df, "quality", q=q, id_col="doc_id", bucket_width=0.1
+        ).collect()
+    )
+    assert kept == sorted(i for i, v in rows if v >= thr)
+
+
+def test_tie_mass_span_dedup_boilerplate_gram(spark):
+    """A k-gram present in EVERY document (corpus boilerplate — the
+    case the aggregate+join gram verdict exists for) is removed from
+    all docs while unique spans survive."""
+    from ena_database_build_spark.operators.curation import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"unique{i} words here COMMON BOILERPLATE SPAN tail{i}")
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup(docs, k=3).collect()}
+    assert len(out) == 60
+    for i, r in out.items():
+        # the 3-gram cover of the shared span removes it everywhere;
+        # the unique head/tail tokens survive
+        assert "COMMON" not in r.text and "BOILERPLATE" not in r.text
+        assert f"unique{i}" in r.text and f"tail{i}" in r.text
+        assert r.n_dropped >= 3
