@@ -15,15 +15,29 @@ final-plan section only (`executedPlan().toString()` appends the
 initial plan, which double-counts).  A query is flagged when its scan
 count exceeds both the table-count floor and its per-query allowance.
 
-Usage: python tools/scan_audit.py [sf_dir] [name ...]
+Beyond the absolute allowance, the audit compares each query against
+``tools/scan_manifest.json`` — the scan count recorded from a
+verified-good full run — and flags ANY increase: the quantile_gate
+incident showed a silent 1->2 scan re-execution (an inferred
+isnotnull predicate desyncing a shared exchange) sails under any
+loose budget, while an exact per-query baseline catches it.  Run with
+``--write-manifest`` after an intentional plan change (and a green
+check_catalog) to re-baseline; decreases are reported as
+improvements, not failures.
+
+Usage: python tools/scan_audit.py [--write-manifest] [sf_dir] [name ...]
 Exit code 1 if anything is flagged.
 """
 
 from __future__ import annotations
 
+import json
 import sys
+from pathlib import Path
 
 sys.path.insert(0, ".")
+
+MANIFEST = Path(__file__).resolve().parent / "scan_manifest.json"
 
 from ena_database_build_spark.plans.catalog import CATALOG  # noqa: E402
 from ena_database_build_spark.session import get_spark  # noqa: E402
@@ -55,8 +69,13 @@ def scan_count(df) -> int:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    names = sys.argv[2:] or list(CATALOG)
+    args = [a for a in sys.argv[1:] if a != "--write-manifest"]
+    write_manifest = "--write-manifest" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    names = args[1:] or list(CATALOG)
+    manifest: dict[str, int] = (
+        json.loads(MANIFEST.read_text()) if MANIFEST.exists() else {}
+    )
     spark = get_spark("scan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     flagged = []
@@ -71,10 +90,29 @@ def main() -> None:
         results.append((n, name))
         if n > cap:
             flagged.append((name, n, f"cap {cap} {why}".strip()))
+        elif not write_manifest and name in manifest and n > manifest[name]:
+            flagged.append(
+                (name, n, f"regressed from manifest {manifest[name]}")
+            )
     results.sort(reverse=True)
     print("top scan counts:")
     for n, name in results[:15]:
         print(f"  {n:4d}  {name}")
+    improved = [
+        (name, n)
+        for n, name in results
+        if name in manifest and n < manifest[name]
+    ]
+    if improved:
+        print("improved vs manifest (re-baseline with --write-manifest):")
+        for name, n in improved:
+            print(f"  {name}: {manifest[name]} -> {n}")
+    if write_manifest:
+        merged = {**manifest, **{name: n for n, name in results}}
+        MANIFEST.write_text(
+            json.dumps(dict(sorted(merged.items())), indent=1) + "\n"
+        )
+        print(f"manifest written: {len(merged)} entries")
     if flagged:
         print("\nFLAGGED (scans above allowance — likely re-execution):")
         for name, n, why in flagged:
