@@ -57,11 +57,13 @@ def pack_sequences(
 
     The global running sum is the classic two-phase distributed prefix
     sum — NEVER a global-order window, which Spark executes on a
-    single partition.  The hash's first two hex digits define 256
-    contiguous, uniformly-loaded hash ranges: phase 1 computes local
-    cumulative sums per bucket (one window over the bucket
-    partitioning); phase 2 prefix-sums the 256 bucket totals (a
-    windowed pass over 256 rows) and broadcasts the offsets back.
+    single partition.  The hash's first four hex digits define 65,536
+    contiguous, uniformly-loaded hash ranges (a 100 B-doc corpus
+    still cumsums ~1.5 M rows per task; the result is IDENTICAL for
+    any prefix depth): phase 1 computes local cumulative sums per
+    bucket (one window over the bucket partitioning); phase 2
+    prefix-sums the populated-bucket totals (a windowed pass over at
+    most 65,536 count rows) and broadcasts the offsets back.
     Concatenating buckets in order IS the global hash order, so
     ``offset + local_cumsum`` equals the exact global cumulative sum.
 
@@ -79,7 +81,7 @@ def pack_sequences(
         # explicitly (ids are the packing identity — a NULL id has no
         # deterministic place in the order)
         .where(F.col("_h").isNotNull())
-        .withColumn("_bucket", F.substring("_h", 1, 2))
+        .withColumn("_bucket", F.substring("_h", 1, 4))
     )
     w_local = (
         Window.partitionBy("_bucket")
@@ -92,7 +94,7 @@ def pack_sequences(
     )
     w_off = Window.orderBy("_bucket").rowsBetween(
         Window.unboundedPreceding, -1
-    )  # 256 rows — single-partition here is by construction tiny
+    )  # <= 65,536 count rows — single-partition here stays tiny
     # bucket totals come from the WINDOWED frame (last row's exclusive
     # cumsum + own count), not from a second aggregation over `sized`:
     # aggregating `sized` directly builds a second physical subtree
@@ -485,7 +487,9 @@ def plan_batches(
             ).cast("long").alias("_lb"),
         )
         .where(F.col("_h").isNotNull())
-        .withColumn("_sub", F.substring("_h", 1, 2))
+        # 3 hex digits: 4,096 sub-ranges per length bucket (offsets
+        # stay a per-lb-bounded broadcast; ranks are depth-invariant)
+        .withColumn("_sub", F.substring("_h", 1, 3))
     )
     w_local = Window.partitionBy("_lb", "_sub").orderBy("_h", id_col)
     local = sized.withColumn(

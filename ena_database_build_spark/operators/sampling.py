@@ -141,11 +141,14 @@ def global_shuffle(
 
     The global rank deliberately NEVER uses a global-order window
     (single-partition at scale).  Same two-phase distributed prefix
-    sum as :func:`packing.pack_sequences`: the hash's first two hex
-    digits form 256 contiguous uniform ranges; a per-bucket
-    ``row_number`` plus an exclusive prefix sum over the 256 bucket
-    counts (tiny, broadcast back) IS the exact global rank, because
-    bucket order concatenated equals global hash order.
+    sum as :func:`packing.pack_sequences`: the hash's first four hex
+    digits form 65,536 contiguous uniform ranges (deep enough that a
+    100 B-row corpus still sorts ~1.5 M rows per task, while the
+    offset side stays a few-MB broadcast; any prefix depth yields the
+    IDENTICAL ranks, because bucket order concatenated equals global
+    hash order); a per-bucket ``row_number`` plus an exclusive prefix
+    sum over the populated-bucket counts (tiny, broadcast back) IS
+    the exact global rank.
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
@@ -156,13 +159,13 @@ def global_shuffle(
     base = (
         df.select(F.col(id_col), sample_hash(F.col(id_col), seed).alias("_h"))
         .where(F.col("_h").isNotNull())
-        .withColumn("_bucket", F.substring("_h", 1, 2))
+        .withColumn("_bucket", F.substring("_h", 1, 4))
     )
     w_local = Window.partitionBy("_bucket").orderBy("_h", id_col)
     local = base.withColumn("_rn", F.row_number().over(w_local))
     w_off = Window.orderBy("_bucket").rowsBetween(
         Window.unboundedPreceding, -1
-    )  # 256 rows — single-partition here is tiny by construction
+    )  # <= 65,536 count rows — single-partition here stays tiny
     offsets = (
         base.groupBy("_bucket")
         .agg(F.count("*").alias("_cnt"))
