@@ -3954,10 +3954,11 @@ def q_quality_gate(spark, sf_dir):
     """Percentile-based quality filtering: drop the bottom decile by
     the composite quality score.  The exact p10 threshold and the
     filter both read ONE physical exchange of the narrow
-    (doc_id, quality) projection (``quantile_gate``'s two-phase
-    bucketed rank, ReusedExchange-pinned), so the text-scoring map
-    pass runs exactly once — previously the lazy lineage scored every
-    document twice (threshold pass + filter pass)."""
+    (doc_id, quality) projection (``quantile_gate``'s value-level
+    threshold over the balanced id-hash exchange,
+    ReusedExchange-pinned), so the text-scoring map pass runs exactly
+    once — previously the lazy lineage scored every document twice
+    (threshold pass + filter pass)."""
     docs = t(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", F.round(T.quality_score(F.col("text")), 6).alias("quality")
