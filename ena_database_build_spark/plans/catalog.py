@@ -7703,18 +7703,29 @@ FROM documents
 #     §2 reference-surface set SKIPPING the 7 superseded singles
 #     (p4/p5/p6, f6/f8, s6/s7).  10 + 26 + 14 = 50; none of the
 #     first 36 had ever had a driver row before this round.
-#   round 6: DELETE the 7 superseded singles (their consolidated
-#     rows hold r5 driver rows; update the §8 coverage map to cite
-#     the consolidated rows), then window = the remaining 29 banked
-#     §2 queries (g2_nested_sessionize .. transit_sweepline) + the
-#     first 21 of the round-3-window set (rollup_revenue ..
-#     tpch_q4_priority).
-#   round 7: the remaining 29 r3-window queries + the first 21 of
+#   round 6 ADAPTATION: the round-5 driver produced NO artifacts
+#     (no CORRECTNESS_r05.json / BENCH_r05.json exist), so the r5
+#     window was never graded and its 36 never-checked queries are
+#     STILL never-checked.  The original round-6 plan (delete the 7
+#     superseded singles, rotate to the remaining banked set) is
+#     DEFERRED one round: round 6 re-presents the r5 window
+#     unchanged (semantics untouched — the banked-window discipline
+#     holds) so CORRECTNESS_r06 finally grades it.  All 50 were
+#     re-verified green against the oracle locally at sf0.01 at the
+#     start of round 6.
+#   round 7 (the former round-6 plan): DELETE the 7 superseded
+#     singles (once p456_detectors/f68_guards/s67_sinks hold green
+#     r6 driver rows; update the §8 coverage map), then window = the
+#     remaining 29 banked §2 queries (g2_nested_sessionize ..
+#     transit_sweepline) + the first 21 of the round-3-window set
+#     (rollup_revenue .. tpch_q4_priority).
+#   round 8+: the remaining 29 r3-window queries + the first 21 of
 #     the round-4-window set; steady state is a ~3.6-round rotation
 #     of 179 queries at 50 checked entries per round — hold net-new
 #     additions near zero so the cycle stays tight.
 CATALOG: dict[str, QueryDef] = {
-    # ================== r5 window (positions 1-50) ==================
+    # ============ r5 window, re-presented as the r6 window ============
+    # ================== (positions 1-50, unchanged) ==================
     # -- the 10 queries held back from the round-4 window (never
     # driver-checked before this round)
     "daily_spine": QueryDef(q_daily_spine, SQL_DAILY_SPINE),

@@ -1,12 +1,19 @@
-"""One-shot (RUN AT ROUND-6 START, not before): rewrite the CATALOG
-registry in the round-6 rotation order and delete the 7 superseded
+"""One-shot (DEFERRED TO ROUND-7 START): rewrite the CATALOG
+registry in the next rotation order and delete the 7 superseded
 singles.
 
-PRECONDITION — verify before running: CORRECTNESS_r05.json exists and
+ROUND-6 STATUS: the precondition below FAILED at round-6 start — the
+round-5 driver produced no artifacts (no CORRECTNESS_r05.json), so
+the r5 window was never graded.  Round 6 re-presents the r5 window
+unchanged (see the registry header in plans/catalog.py) and this
+rotation runs at round-7 start instead, with r06 in place of r05 in
+the precondition.
+
+PRECONDITION — verify before running: CORRECTNESS_r06.json exists and
 holds green rows for p456_detectors / f68_guards / s67_sinks (the
 consolidated rows that supersede the singles) and for the rest of the
-round-5 window.  Running this while round 5 is still the driver's
-check window would destroy that window.
+re-presented round-5 window.  Running this while that window is still
+the driver's check window would destroy it.
 
 Schedule source: the registry header in plans/catalog.py (round-4
 VERDICT items 1/2/5).  Round-6 window (positions 1-50) = the 29
