@@ -34,6 +34,16 @@ from pyspark.sql import functions as F
 
 
 def _bucket(col: Column, width: int) -> Column:
+    # Float division + truncating cast, NOT the repo's usual integer
+    # `div` (which needs a NAMED column for F.expr — one call site
+    # buckets a greatest(...) expression).  That is sound HERE, unlike
+    # plan_batches' capacity math: a bucket id is only a partition
+    # key, so the mapping just has to be deterministic, monotone
+    # non-decreasing (IEEE division by a positive constant and
+    # truncation both are), and the same expression at every call
+    # site — a double-rounded quotient near 2^53 shifts a bucket
+    # BOUNDARY consistently for points and intervals alike, never a
+    # point out of its interval's bucket range.
     return (col.cast("long") / F.lit(width)).cast("long")
 
 

