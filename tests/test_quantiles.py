@@ -85,3 +85,26 @@ def test_quantile_normalize_matches_global_window(spark):
     assert got == want
     single = spark.createDataFrame([(1, 9.0)], "doc_id long, score double")
     assert quantile_normalize(single, "score").head().qnorm == 0.0
+
+
+def test_exact_quantiles_negative_values_bucketed(spark):
+    """Negative values produce NEGATIVE bucket indices in the
+    distributed prefix sum (floor(-3.7/2) = -2); the bucket-ordinal
+    window and offset join must still concatenate buckets in value
+    order.  Differential vs Spark's builtin percentile over a mix
+    spanning zero, with ties on both sides, at several widths
+    including one smaller than the value gaps."""
+    data = [("a", float(v)) for v in
+            [-50, -10, -10, -3, -1, 0, 0, 2, 7, 7, 25]] + [
+           ("b", float(v)) for v in range(-20, 21)]
+    df = spark.createDataFrame(data, "g string, v double")
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    want = _ref(spark, df, qs)
+    for width in (0.5, 3.0, 1000.0):
+        got = {
+            (r["g"], r["q"]): r["value"]
+            for r in QNT.exact_quantiles(df, "v", ["g"], qs, width).collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, (width, k)
