@@ -602,7 +602,12 @@ def line_dedup(
     dropped outright (they carry no content and would dominate every
     frequency bucket).
 
-    Returns ``(id, n_kept, n_dropped, text)`` with the rebuilt text.
+    Returns ``(id, n_kept, n_dropped, text)`` with the rebuilt text,
+    one row per input doc that has at least one non-blank line; a doc
+    whose every line is blank (or whose text is empty/NULL) has no
+    line row to rebuild from and is ABSENT from the output — left-join
+    the result if callers must see every doc.  A doc whose every line
+    is boilerplate IS present (``n_kept = 0``, empty text).
 
     ``sep`` is a LITERAL separator: ``F.split`` takes a Java regex, so
     it is wrapped in ``\\Q...\\E`` quoting before splitting — a

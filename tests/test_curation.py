@@ -397,3 +397,55 @@ def test_bigram_logprob_order_sensitivity(spark):
     # = mean(ln(3.5/5), ln(2.5/4)).
     want = round((math.log(3.5 / 5.0) + math.log(2.5 / 4.0)) / 2, 6)
     assert abs(out[1].mean_logprob - want) < 1e-6
+
+
+def test_line_dedup_matches_pure_python_randomized(spark):
+    """Randomized differential: line_dedup vs a direct pure-Python
+    model of 'drop lines whose trimmed fingerprint occurs in more
+    than max_doc_freq DISTINCT docs' on a seeded corpus with planted
+    boilerplate headers/footers, per-doc repeats (repeats within ONE
+    doc must not count as extra docs), blank/whitespace lines, and
+    leading/trailing spaces that the trim-normalized fingerprint must
+    fold together."""
+    import random
+
+    from ena_database_build_spark.operators.curation import line_dedup
+
+    rng = random.Random(31)
+    pool = [f"line {i} body" for i in range(12)]
+    header, footer = "SHARED HEADER", "(c) footer"
+    rows = []
+    for d in range(30):
+        ls = []
+        if d % 2 == 0:
+            ls.append(rng.choice(["SHARED HEADER", " SHARED HEADER  "]))
+        ls += [rng.choice(pool) for _ in range(rng.randint(0, 6))]
+        if d % 3 == 0:
+            ls.append(ls[-1] if ls else "dup me")  # in-doc repeat
+        if d % 5 == 0:
+            ls += ["", "   "]  # blank / whitespace-only
+        if d % 4 == 0:
+            ls.append(footer)
+        rows.append((d, "\n".join(ls)))
+    mdf = 3
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in line_dedup(docs, max_doc_freq=mdf).collect()}
+
+    # pure-python model; a doc with NO non-blank line has no row to
+    # rebuild from and is absent from the output (matching the oracle)
+    doc_lines = {
+        d: ls
+        for d, t in rows
+        if (ls := [l for l in t.split("\n") if l.strip() != ""])
+    }
+    fp_docs = {}
+    for d, ls in doc_lines.items():
+        for l in ls:
+            fp_docs.setdefault(l.strip(), set()).add(d)
+    for d, ls in doc_lines.items():
+        kept = [l for l in ls if len(fp_docs[l.strip()]) <= mdf]
+        dropped = len(ls) - len(kept)
+        assert got[d].n_kept == len(kept), d
+        assert got[d].n_dropped == dropped, d
+        assert got[d].text == "\n".join(kept), d
+    assert set(got) == set(doc_lines)
