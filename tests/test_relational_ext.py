@@ -199,3 +199,63 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=2)
+
+
+def test_range_join_matches_bruteforce_randomized(spark):
+    """Randomized differential vs an all-pairs python model, with
+    NEGATIVE coordinates (negative bucket indices must still cover
+    every interval bucket), spans wider than many buckets, and
+    degenerate single-point intervals."""
+    import random
+
+    rng = random.Random(19)
+    pts = [(i, rng.randint(-200, 200)) for i in range(60)]
+    ivs = []
+    for i in range(25):
+        s = rng.randint(-200, 180)
+        e = s if i % 5 == 0 else s + rng.randint(0, 120)
+        ivs.append((1000 + i, s, e))
+    points = spark.createDataFrame(pts, "pid long, pos long")
+    intervals = spark.createDataFrame(ivs, "iid long, sd long, ed long")
+    for width in (3, 7, 64):
+        out = RJ.range_join(
+            points, intervals, "pos", "sd", "ed", bucket_width=width
+        )
+        got = sorted((r["pid"], r["iid"]) for r in out.collect())
+        want = sorted(
+            (pid, iid)
+            for pid, pos in pts
+            for iid, s, e in ivs
+            if s <= pos <= e
+        )
+        assert got == want, width
+
+
+def test_interval_overlap_matches_bruteforce_randomized(spark):
+    """Randomized differential vs an all-pairs python model for the
+    emit-exactly-once overlap join, negative coordinates included."""
+    import random
+
+    rng = random.Random(23)
+    lv, rv = [], []
+    for i in range(30):
+        s = rng.randint(-150, 150)
+        lv.append((i, s, s + rng.randint(0, 90)))
+    for i in range(30):
+        s = rng.randint(-150, 150)
+        rv.append((500 + i, s, s + rng.randint(0, 90)))
+    left = spark.createDataFrame(lv, "lid long, ls long, le long")
+    right = spark.createDataFrame(rv, "rid long, rs long, re long")
+    for width in (5, 32):
+        out = RJ.interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", width
+        )
+        pairs = [(r["lid"], r["rid"]) for r in out.collect()]
+        assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
+        want = sorted(
+            (lid, rid)
+            for lid, ls, le in lv
+            for rid, rs, re in rv
+            if ls <= re and rs <= le
+        )
+        assert sorted(pairs) == want, width
