@@ -9,6 +9,13 @@ unchanged (see the registry header in plans/catalog.py) and this
 rotation runs at round-7 start instead, with r06 in place of r05 in
 the precondition.
 
+DRY-RUN VALIDATED (round 6): applied to a throwaway copy of the repo
+— produced the expected 179-entry registry with the documented
+round-7 window in positions 1-50, the module imported cleanly, and a
+10-query spot check of the new window passed check_catalog at
+sf0.001.  The mechanical step is safe; only the hand-finish list
+below remains manual.
+
 PRECONDITION — verify before running: CORRECTNESS_r06.json exists and
 holds green rows for p456_detectors / f68_guards / s67_sinks (the
 consolidated rows that supersede the singles) and for the rest of the
