@@ -1,0 +1,134 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169), re-expressed relationally.
+
+DSIR scores every raw document by how much more likely its hashed
+n-gram features are under a TARGET distribution (e.g. high-quality or
+in-domain text) than under the raw-corpus distribution; resampling by
+that importance weight yields a target-like training set.  Both
+feature models are smoothed bag-of-hashed-ngrams fit from the data
+itself, so the whole method is three aggregations over one token
+explode — no learned model, no Python in the hot path.
+
+Scale shape (the part that must survive 100 TB):
+
+* features (unigrams + bigrams) are composed MAP-SIDE from each
+  document's token array (``transform`` over the bound array — the
+  span_dedup discipline), so the only token-level shuffle is the
+  ``(doc, bucket)`` count, which map-side combines down to at most
+  ``16^hex_chars`` rows per document;
+* the raw and target bucket models are ONE further aggregation of
+  that same relation (the target flag rides along as a boolean), so
+  the corpus is scanned once, not twice;
+* the fitted model is at most ``16^hex_chars`` rows — broadcast by
+  construction — and the corpus totals are a 1-row broadcast, so
+  scoring adds no shuffle beyond the per-doc sum.
+
+The md5 bucket hash makes every weight engine-exact (the DuckDB
+oracle reproduces it bit-for-bit), the repo-wide convention for
+making approximate-by-nature methods oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ena_database_build_spark.operators.dedup import tokens
+
+
+def _gram_array(text: Column) -> Column:
+    """ARRAY<STRING> of salted unigram + bigram features, composed in
+    place from the token array (bound once via the single-element
+    ``array`` + ``transform`` trick so nothing re-tokenizes per
+    element).  Empty tokens from blank text are filtered before
+    pairing; docs with < 2 tokens contribute unigrams only."""
+    return F.flatten(
+        F.transform(
+            F.array(F.filter(tokens(text), lambda t: t != "")),
+            lambda tw: F.concat(
+                F.transform(tw, lambda t: F.concat(F.lit("u|"), t)),
+                F.when(
+                    F.size(tw) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tw) - 1),
+                        lambda i: F.concat(
+                            F.lit("b|"),
+                            F.element_at(tw, i),
+                            F.lit(" "),
+                            F.element_at(tw, i + 1),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            ),
+        )
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_col: str,
+    hex_chars: int = 2,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR importance weight
+    ``log p_target(features) - log p_raw(features)`` under
+    add-``smoothing`` hashed-ngram models fit from ``df`` itself.
+
+    ``target_col`` names a BOOLEAN column marking the target subset
+    (callers encode their in-domain predicate there); the raw model is
+    the whole input.  Buckets are the first ``hex_chars`` md5 hex
+    chars of each salted feature, i.e. ``16**hex_chars`` buckets.
+
+    Returns ``(id, n_grams, dsir_weight)`` for every document with at
+    least one token; weights are summed log-ratios (the paper's form
+    — longer docs move further from 0), rounded to 6 places.
+    Documents with NULL/blank text have no features and are absent,
+    the same no-content policy as the n-gram scorers.
+    """
+    if hex_chars < 1 or hex_chars > 8:
+        raise ValueError(f"hex_chars must be in [1, 8], got {hex_chars}")
+    m = float(16**hex_chars)
+    lam = float(smoothing)
+    base = df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(target_col).alias("_tgt"),
+        F.explode(_gram_array(F.col(text_col))).alias("_gram"),
+    )
+    # (doc, bucket) occurrence counts: the ONLY token-level shuffle,
+    # map-side combined to <= m rows per doc.  The target flag is
+    # constant per doc so it rides in the key for free.
+    db = (
+        base.select(
+            id_col,
+            "_tgt",
+            F.substring(F.md5("_gram"), 1, hex_chars).alias("_b"),
+        )
+        .groupBy(id_col, "_tgt", "_b")
+        .agg(F.count("*").alias("_c"))
+    )
+    model = db.groupBy("_b").agg(
+        F.sum("_c").alias("_n_raw"),
+        F.sum(F.when(F.col("_tgt"), F.col("_c")).otherwise(0)).alias("_n_tgt"),
+    )
+    totals = model.agg(
+        F.sum("_n_raw").alias("_t_raw"), F.sum("_n_tgt").alias("_t_tgt")
+    )
+    # smoothed log-ratio per bucket; <= m rows joined to 1 row — both
+    # sides broadcast, scoring stays a map-side lookup
+    lr = model.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.log((F.col("_n_tgt") + lam) / (F.col("_t_tgt") + lam * m))
+            - F.log((F.col("_n_raw") + lam) / (F.col("_t_raw") + lam * m))
+        ).alias("_lr"),
+    )
+    return (
+        db.join(F.broadcast(lr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_grams"),
+            F.round(F.sum(F.col("_c") * F.col("_lr")), 6).alias("dsir_weight"),
+        )
+    )

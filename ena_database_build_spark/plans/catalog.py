@@ -7680,6 +7680,60 @@ FROM documents
 """
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py, arXiv:2302.03169):
+    every document scored by log p_target - log p_raw under
+    add-1-smoothed hashed-unigram+bigram models fit from the corpus
+    itself, target = English docs.  The md5 bucket hash (256 buckets)
+    makes the weights engine-exact; resampling by these weights is
+    the paper's target-domain selection.  English docs must land
+    above non-English ones on average — the signal the method
+    exists to produce."""
+    from ena_database_build_spark.operators.dsir import dsir_weights
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    return dsir_weights(docs, "is_en", hex_chars=2, smoothing=1.0)
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH raw AS (
+  SELECT doc_id, coalesce(lang = 'en', FALSE) AS tgt,
+         list_filter({_TOKS_SQL}, t -> t <> '') AS tw
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, tgt,
+         unnest(list_concat(
+           list_transform(tw, t -> 'u|' || t),
+           CASE WHEN len(tw) >= 2 THEN
+             list_transform(range(1, len(tw)),
+                            i -> 'b|' || tw[i] || ' ' || tw[i + 1])
+           ELSE [] END)) AS g
+  FROM raw
+),
+db AS (
+  SELECT doc_id, tgt, substr(md5(g), 1, 2) AS b, count(*) AS c
+  FROM grams GROUP BY 1, 2, 3
+),
+model AS (
+  SELECT b, sum(c) AS n_raw,
+         sum(CASE WHEN tgt THEN c ELSE 0 END) AS n_tgt
+  FROM db GROUP BY b
+),
+tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM model),
+lr AS (
+  SELECT b, ln((n_tgt + 1.0) / (t_tgt + 256.0))
+           - ln((n_raw + 1.0) / (t_raw + 256.0)) AS logratio
+  FROM model, tot
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       round(sum(c * logratio), 6) AS dsir_weight
+FROM db JOIN lr USING (b) GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7975,4 +8029,7 @@ CATALOG: dict[str, QueryDef] = {
     "supervised_pairs": QueryDef(q_supervised_pairs, SQL_SUPERVISED_PAIRS),
     "cms_frequencies": QueryDef(q_cms_frequencies, SQL_CMS_FREQUENCIES),
     "kmv_distinct": QueryDef(q_kmv_distinct, SQL_KMV_DISTINCT),
+    # -- round-6 addition (below the fold; enters the rotation at the
+    # end of the cycle)
+    "dsir_weights": QueryDef(q_dsir_weights, SQL_DSIR_WEIGHTS),
 }

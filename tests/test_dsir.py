@@ -1,0 +1,73 @@
+"""DSIR importance-weight operator (operators/dsir.py).
+
+Checks the two properties the method exists for: (1) documents drawn
+from the target subset score higher on average than off-target ones,
+and (2) the weight is the exact sum of per-bucket smoothed log-ratios
+(verified by hand on a tiny corpus where the bucket models are
+computable directly).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ena_database_build_spark.operators.dsir import dsir_weights
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, tgt=g) for i, (t, g) in enumerate(rows)]
+    )
+
+
+def test_target_docs_score_higher(spark):
+    # target docs share a vocabulary; raw-only docs use a disjoint one
+    rows = [(f"alpha beta gamma delta run {i}", True) for i in range(8)]
+    rows += [(f"zug blorp quix nerf item {i}", False) for i in range(8)]
+    out = dsir_weights(_docs(spark, rows), "tgt").join(
+        _docs(spark, rows).select("doc_id", "tgt"), "doc_id"
+    )
+    means = {
+        r["tgt"]: r["m"]
+        for r in out.groupBy("tgt").agg(F.avg("dsir_weight").alias("m")).collect()
+    }
+    assert means[True] > means[False]
+    assert means[True] > 0 > means[False]
+
+
+def test_weights_match_hand_model(spark):
+    # hex_chars=1 -> 16 buckets; with two 1-token docs the models are
+    # small enough to recompute exactly here
+    import hashlib
+
+    rows = [("aa", True), ("bb", False)]
+    out = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in dsir_weights(
+            _docs(spark, rows), "tgt", hex_chars=1
+        ).collect()
+    }
+    b = {t: hashlib.md5(f"u|{t}".encode()).hexdigest()[0] for t in ("aa", "bb")}
+    # per-bucket counts: raw has one gram in each bucket, target only 'aa'
+    n_raw = {b["aa"]: 1, b["bb"]: 1}
+    n_tgt = {b["aa"]: 1, b["bb"]: 0}
+    for i, tok in enumerate(("aa", "bb")):
+        k = b[tok]
+        exp = math.log((n_tgt[k] + 1) / (1 + 16)) - math.log(
+            (n_raw[k] + 1) / (2 + 16)
+        )
+        assert out[i] == pytest.approx(exp, abs=1e-6)
+
+
+def test_blank_and_null_docs_absent(spark):
+    rows = [("hello world", True), ("", False), (None, False)]
+    got = dsir_weights(_docs(spark, rows), "tgt").collect()
+    assert {r["doc_id"] for r in got} == {0}
+    assert got[0]["n_grams"] == 3  # 2 unigrams + 1 bigram
+
+
+def test_hex_chars_validation(spark):
+    with pytest.raises(ValueError):
+        dsir_weights(_docs(spark, [("x", True)]), "tgt", hex_chars=0)

@@ -1,0 +1,79 @@
+"""Full-catalog timing profile: Spark vs the DuckDB oracle per query.
+
+Runs EVERY catalog query once on Spark (local[32]) and its oracle once
+on DuckDB over the same parquet tables, and emits a JSON report sorted
+by spark/oracle ratio.  Complements:
+
+  * bench.py        — the 18-query headline gate (multi-rep, spreads)
+  * bench_scale.py  — the 85-query sf1 throughput differential
+
+This harness is about COVERAGE of the timing surface: it surfaces any
+catalog query whose plan has silently regressed (ratio outlier) even
+if it is not in the headline or scale suites.  Single rep per engine,
+so individual readings are noisy (~±0.1 s stage latency at sf0.1);
+treat ratios under ~3x at sub-second absolute times as noise and only
+chase queries that are BOTH slow in absolute terms and high-ratio.
+
+Usage: python tools/profile_catalog.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+
+from ena_database_build_spark.plans.catalog import CATALOG, TABLES  # noqa: E402
+from ena_database_build_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/profile_catalog.json"
+    spark = get_spark("profile-catalog")
+    con = duckdb.connect()
+    for tab in TABLES:
+        con.sql(f"CREATE VIEW {tab} AS SELECT * FROM '{sf_dir}/{tab}.parquet'")
+    rows = []
+    for name, qd in CATALOG.items():
+        t0 = time.perf_counter()
+        try:
+            n = len(qd.spark(spark, sf_dir).collect())
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERR   {name}: {exc}", flush=True)
+            continue
+        t_spark = time.perf_counter() - t0
+        t_oracle = None
+        if qd.oracle is not None:
+            t0 = time.perf_counter()
+            con.sql(qd.oracle).fetchall()
+            t_oracle = time.perf_counter() - t0
+        rows.append(
+            {
+                "name": name,
+                "rows": n,
+                "spark_s": round(t_spark, 3),
+                "oracle_s": round(t_oracle, 3) if t_oracle is not None else None,
+                "ratio": round(t_spark / t_oracle, 2) if t_oracle else None,
+            }
+        )
+        print(
+            f"{name:32s} {t_spark:7.3f}s  "
+            f"{('%7.3fs' % t_oracle) if t_oracle is not None else '   --  '}",
+            flush=True,
+        )
+    rows.sort(key=lambda r: -(r["ratio"] or 0))
+    Path(out).write_text(json.dumps({"sf_dir": sf_dir, "queries": rows}, indent=1))
+    print(f"\nwrote {out} ({len(rows)} queries)")
+    worst = [r for r in rows if r["ratio"] and r["spark_s"] > 0.5][:15]
+    for r in worst:
+        print(f"{r['name']:32s} ratio {r['ratio']:6.2f}  spark {r['spark_s']:.3f}s")
+
+
+if __name__ == "__main__":
+    main()
