@@ -25,7 +25,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ena_database_build_spark.operators import kmeans as KM
-from ena_database_build_spark.operators import similarity as SIM
+
+
+def _within_cluster_pairs(assigned: DataFrame, threshold: float, id_col: str) -> DataFrame:
+    """All within-cluster pairs at ROUNDED (6-decimal) cosine >=
+    ``threshold``, canonical ``left_id < right_id`` — computed as one
+    blocked GEMM per cluster via ``applyInPandas``.
+
+    This replaces the cluster-keyed self-join + per-pair higher-order-
+    function cosine: HOF lambdas are interpreted per element, ~13us per
+    64-dim pair, while the per-cluster matrix multiply is vectorized C
+    (measured ~7x on 250k candidate pairs at sf0.1).  Each cluster is
+    one task — the SemDeDup contract that ``k`` bounds cluster size
+    already requires a cluster to be joinable per-task; the left-block
+    loop additionally caps the score-matrix memory at
+    ``block x |cluster|`` so a dense cluster cannot allocate |c|^2
+    doubles at once.  Rounding uses half-up (matching Spark's
+    ``F.round`` and the DuckDB oracle), not numpy's half-even."""
+    id_type = assigned.schema[id_col].dataType.simpleString()
+    schema = (
+        f"left_id {id_type}, right_id {id_type}, "
+        "cluster int, cos_sim double"
+    )
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"left_id": [], "right_id": [], "cluster": [], "cos_sim": []}
+            )
+        V = np.stack(pdf["v"].to_numpy())
+        N = V / np.linalg.norm(V, axis=1, keepdims=True)
+        ids = pdf[id_col].to_numpy()
+        outs = []
+        for lo in range(0, len(N), 4096):
+            S = N[lo : lo + 4096] @ N.T
+            # half-up rounding to 6 decimals (F.round semantics)
+            S = np.floor(S * 1e6 + 0.5) / 1e6
+            ii, jj = np.nonzero(
+                (S >= threshold) & (ids[lo : lo + 4096, None] < ids[None, :])
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "left_id": ids[lo:][ii],
+                        "right_id": ids[jj],
+                        "cluster": pdf["cluster"].iloc[0],
+                        "cos_sim": S[ii, jj],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return assigned.groupBy("cluster").applyInPandas(score, schema)
 
 
 def semantic_dedup_pairs(
@@ -41,25 +95,7 @@ def semantic_dedup_pairs(
     _, assigned = KM.kmeans_train(
         df, k=k, max_iter=max_iter, vec_col=vec_col, id_col=id_col
     )
-    left = assigned.select(
-        F.col(id_col).alias("left_id"), F.col("v").alias("_lv"), "cluster"
-    )
-    right = assigned.select(
-        F.col(id_col).alias("right_id"), F.col("v").alias("_rv"), "cluster"
-    )
-    return (
-        left.join(right, "cluster")
-        .where(F.col("left_id") < F.col("right_id"))
-        .select(
-            "left_id",
-            "right_id",
-            "cluster",
-            F.round(SIM.cosine(F.col("_lv"), F.col("_rv")), 6).alias(
-                "cos_sim"
-            ),
-        )
-        .where(F.col("cos_sim") >= threshold)
-    )
+    return _within_cluster_pairs(assigned, threshold, id_col)
 
 
 def semantic_dedup(
@@ -72,25 +108,14 @@ def semantic_dedup(
 ) -> DataFrame:
     """Survivors ``(id, cluster)``: every vector minus those with a
     lower-id semantic duplicate in their cluster.  One cluster-keyed
-    self-join + a left-anti join — two shuffles total, both on bounded
-    keys."""
+    shuffle into the per-cluster GEMM + a left-anti join — two
+    shuffles total, both on bounded keys."""
     _, assigned = KM.kmeans_train(
         df, k=k, max_iter=max_iter, vec_col=vec_col, id_col=id_col
     )
-    left = assigned.select(
-        F.col(id_col).alias("_l_id"), F.col("v").alias("_lv"), "cluster"
-    )
-    right = assigned.select(
-        F.col(id_col).alias("_r_id"), F.col("v").alias("_rv"), "cluster"
-    )
     dropped = (
-        left.join(right, "cluster")
-        .where(F.col("_l_id") < F.col("_r_id"))
-        .where(
-            F.round(SIM.cosine(F.col("_lv"), F.col("_rv")), 6)
-            >= F.lit(threshold)
-        )
-        .select(F.col("_r_id").alias(id_col))
+        _within_cluster_pairs(assigned, threshold, id_col)
+        .select(F.col("right_id").alias(id_col))
         .distinct()
     )
     return assigned.join(dropped, id_col, "left_anti").select(

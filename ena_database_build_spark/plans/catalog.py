@@ -2093,32 +2093,12 @@ def q_dedup_embedding(spark, sf_dir):
     aug = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     ).unionByName(planted)
-    b = SIM.srp_buckets(aug, dim=64, bits=4)
-    l = b.select(
-        F.col("vec_id").alias("left_id"),
-        F.col("embedding").alias("lv"),
-        F.col("bucket").alias("lb"),
-    )
-    r = b.select(
-        F.col("vec_id").alias("right_id"),
-        F.col("embedding").alias("rv"),
-        F.col("bucket").alias("rb"),
-    )
-    # join on bucket OR hamming<=1 buckets: expand each left bucket to
-    # its 5 probes (itself + 4 single-bit flips) and equi-join
-    lx = l.select(
-        "left_id",
-        "lv",
-        F.explode(SIM.probe_buckets_col(F.col("lb"), 4)).alias("probe"),
-    )
-    cand = lx.join(r, lx.probe == r.rb).where(F.col("left_id") < F.col("right_id"))
-    scored = cand.select(
-        "left_id",
-        "right_id",
-        SIM.cosine(
-            F.col("lv").cast("array<double>"), F.col("rv").cast("array<double>")
-        ).alias("cos"),
-    ).where(F.col("cos") >= 0.9)
+    # candidate generation + scoring in one cogrouped per-bucket GEMM
+    # (similarity.srp_cosine_pairs): buckets within Hamming<=1 probe
+    # each other, scores are one matrix multiply per bucket — same
+    # semantics as the former explode-probe equi-join + per-pair HOF
+    # cosine, measured 8-10x faster at sf0.1 (r6 profile)
+    scored = SIM.srp_cosine_pairs(aug, dim=64, bits=4, threshold=0.9)
     return scored.select(
         "left_id", "right_id", F.round("cos", 6).alias("cos_sim")
     ).distinct()
@@ -7777,6 +7757,13 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #     the round-4-window set; steady state is a ~3.6-round rotation
 #     of 179 queries at 50 checked entries per round — hold net-new
 #     additions near zero so the cycle stays tight.
+#
+# Out-of-window IMPLEMENTATION swaps (semantics identical, re-greened
+# locally via tools/check_catalog.py; the row re-earns a driver row at
+# its next rotation slot):
+#   r6: dedup_embedding — scoring re-platformed from explode-probe
+#       equi-join + per-pair HOF cosine to the cogrouped per-bucket
+#       GEMM (similarity.srp_cosine_pairs); 8-10x at sf0.1, same rows.
 CATALOG: dict[str, QueryDef] = {
     # ============ r5 window, re-presented as the r6 window ============
     # ================== (positions 1-50, unchanged) ==================

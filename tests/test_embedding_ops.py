@@ -1,5 +1,6 @@
 """JL projection and mean-pool rollup (operators/similarity.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from ena_database_build_spark.operators import similarity as SIM
@@ -83,3 +84,69 @@ def test_standardize_dims_hand_computed(spark):
     assert got[(2, 0)] == 0.0
     assert got[(3, 0)] == round(1.0 / std, 6)
     assert got[(1, 1)] == 0.0 and got[(3, 1)] == 0.0
+
+
+def test_srp_cosine_pairs_planted_recall(spark):
+    """A positive scalar multiple has cosine exactly 1.0 and an
+    identical SRP sign bucket, so the bucket join MUST surface it."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    rows += [(i + 1000, [2.0 * x for x in rows[i][1]]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["left_id"], r["right_id"]): r["cos"]
+        for r in SIM.srp_cosine_pairs(df, dim=8, bits=3, threshold=0.999).collect()
+    }
+    for i in range(5):
+        assert got[(i, i + 1000)] == pytest.approx(1.0)
+    # canonical orientation: left < right always
+    assert all(l < r for l, r in got)
+
+
+def test_srp_cosine_pairs_matches_bruteforce_within_hamming1(spark):
+    """Differential vs the exact quadratic check, restricted to pairs
+    whose buckets are within Hamming distance 1 (the operator's
+    documented candidate set)."""
+    import itertools
+    import math
+    import random
+
+    rng = random.Random(21)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(60)}
+    df = spark.createDataFrame(
+        list(vecs.items()), "vec_id long, embedding array<double>"
+    )
+    bits, thr = 3, 0.5
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in SIM.srp_buckets(df, dim=8, bits=bits).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    expected = set()
+    for i, j in itertools.combinations(sorted(vecs), 2):
+        ham = sum(a != b for a, b in zip(buckets[i], buckets[j]))
+        if ham <= 1 and cos(vecs[i], vecs[j]) >= thr:
+            expected.add((i, j))
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in SIM.srp_cosine_pairs(df, dim=8, bits=bits, threshold=thr).collect()
+    }
+    assert got == expected
+
+
+def test_srp_cosine_pairs_no_duplicate_pairs(spark):
+    """A pair can match in at most one probe bucket, so the raw output
+    (no trailing distinct) must already be duplicate-free."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.srp_cosine_pairs(df, dim=8, bits=3, threshold=0.0)
+    assert out.count() == out.select("left_id", "right_id").distinct().count()
