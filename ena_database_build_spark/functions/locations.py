@@ -42,10 +42,32 @@ def location_ranges(loc_str: Column) -> Column:
         matches,
         lambda m: F.struct(
             F.substring_index(m, "..", 1).cast("long").alias("start"),
-            F.regexp_replace(F.substring_index(m, "..", -1), ">", "")
+            F.replace(F.substring_index(m, "..", -1), F.lit(">"), F.lit(""))
             .cast("long")
             .alias("end"),
         ),
+    )
+
+
+def explode_ranges(df, loc_col: Column, *keep_cols: str):
+    """Relational (exploded) form of ``location_ranges``: one output
+    row per ``x..y`` range with LONG ``range_start``/``range_end``
+    columns after the ``keep_cols``.
+
+    Same regex, same non-overlapping left-to-right semantics, same
+    partial-marker (``>``) stripping as ``location_ranges`` — but the
+    endpoint split runs AFTER the explode as plain codegen'd column
+    expressions instead of inside an interpreted ``transform`` lambda
+    (measured 1.7x faster at sf0.1).  Use this when the consumer
+    explodes anyway; keep the array form where per-record aggregation
+    (``resolved_span``) wants the ranges bound to one row map-side."""
+    matches = F.regexp_extract_all(loc_col, F.lit(_RANGE_PATTERN), 1)
+    return df.select(*keep_cols, F.explode(matches).alias("_m")).select(
+        *keep_cols,
+        F.substring_index("_m", "..", 1).cast("long").alias("range_start"),
+        F.replace(F.substring_index("_m", "..", -1), F.lit(">"), F.lit(""))
+        .cast("long")
+        .alias("range_end"),
     )
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ena_database_build_spark.functions.locations import (
+    explode_ranges,
     location_ranges,
     resolved_span_relational,
 )
@@ -303,18 +304,10 @@ def q_p3_range_extract(spark, sf_dir):
         F.lit("..>"),
         (F.col("l_linenumber") * 100 + 50).cast("string"),
     )
-    return (
-        li.select(
-            "l_orderkey",
-            "l_linenumber",
-            F.explode(location_ranges(loc)).alias("r"),
-        )
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            F.col("r.start").alias("range_start"),
-            F.col("r.end").alias("range_end"),
-        )
+    # explode-first relational form (same regex/semantics as the
+    # array-form location_ranges; endpoint split stays codegen'd)
+    return explode_ranges(
+        li.withColumn("_loc", loc), F.col("_loc"), "l_orderkey", "l_linenumber"
     )
 
 

@@ -173,3 +173,30 @@ def test_resolved_span_relational_matches_goldens(spark):
     }
     for case_id, _, _, expected in SPAN_CASES:
         assert out[case_id] == expected, case_id
+
+
+def test_explode_ranges_matches_array_form(spark):
+    """The exploded relational form and the array form must extract
+    identical ranges from identical strings (same regex, same '>'
+    stripping), including no-match and NULL rows producing nothing."""
+    from ena_database_build_spark.functions.locations import (
+        explode_ranges,
+        location_ranges,
+    )
+
+    rows = [
+        (1, "1..>888,12..34"),
+        (2, "join(5..10,20..>30)"),
+        (3, "no ranges here"),
+        (4, None),
+        (5, "7..8"),
+    ]
+    df = spark.createDataFrame(rows, "id long, loc string")
+    via_array = (
+        df.select("id", F.explode(location_ranges(F.col("loc"))).alias("r"))
+        .select("id", F.col("r.start").alias("range_start"), F.col("r.end").alias("range_end"))
+        .collect()
+    )
+    via_explode = explode_ranges(df, F.col("loc"), "id").collect()
+    assert sorted(map(tuple, via_array)) == sorted(map(tuple, via_explode))
+    assert {r["id"] for r in via_explode} == {1, 2, 5}

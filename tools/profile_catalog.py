@@ -1,18 +1,32 @@
 """Full-catalog timing profile: Spark vs the DuckDB oracle per query.
 
-Runs EVERY catalog query once on Spark (local[32]) and its oracle once
-on DuckDB over the same parquet tables, and emits a JSON report sorted
-by spark/oracle ratio.  Complements:
+Runs EVERY catalog query on Spark (local[32]) and its oracle on DuckDB
+over the same parquet tables, and emits a JSON report sorted by
+spark/oracle ratio.  Complements:
 
   * bench.py        — the 18-query headline gate (multi-rep, spreads)
   * bench_scale.py  — the 85-query sf1 throughput differential
 
 This harness is about COVERAGE of the timing surface: it surfaces any
 catalog query whose plan has silently regressed (ratio outlier) even
-if it is not in the headline or scale suites.  Single rep per engine,
-so individual readings are noisy (~±0.1 s stage latency at sf0.1);
-treat ratios under ~3x at sub-second absolute times as noise and only
-chase queries that are BOTH slow in absolute terms and high-ratio.
+if it is not in the headline or scale suites.
+
+Measurement discipline (learned the hard way in round 6):
+
+* Spark side is ``df.write.format("noop")`` — computes every output
+  column, ships nothing to Python.  ``collect()`` was charging Spark
+  for JVM->Python row pickling (7s of a 7s reading on a 1.2M-row
+  result); repeated ``collect()`` on the SAME DataFrame object is even
+  worse as a "warm" probe, because AQE caches materialized shuffle
+  stages on the instance and re-collects in ~0.1s regardless of true
+  cost.  ``count()`` under-measures instead (column pruning deletes
+  the expensive projections).
+* DuckDB side is ``.arrow()`` — the matching no-Python-rows
+  materialization.
+* Two reps per query, BOTH reported: rep1 - rep2 isolates the one-time
+  codegen/compile latency (10s for the widest HOF expressions) from
+  per-run compute; only rep2 is a scale signal, and only when it is
+  both slow in absolute terms and high-ratio.
 
 Usage: python tools/profile_catalog.py [sf_dir] [out_json]
 """
@@ -41,29 +55,33 @@ def main() -> None:
         con.sql(f"CREATE VIEW {tab} AS SELECT * FROM '{sf_dir}/{tab}.parquet'")
     rows = []
     for name, qd in CATALOG.items():
-        t0 = time.perf_counter()
         try:
-            n = len(qd.spark(spark, sf_dir).collect())
+            reps = []
+            for _ in range(2):
+                df = qd.spark(spark, sf_dir)  # fresh plan: no AQE stage reuse
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                reps.append(time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001
             print(f"ERR   {name}: {exc}", flush=True)
             continue
-        t_spark = time.perf_counter() - t0
+        t_spark = reps[1]
         t_oracle = None
         if qd.oracle is not None:
             t0 = time.perf_counter()
-            con.sql(qd.oracle).fetchall()
+            con.sql(qd.oracle).arrow()
             t_oracle = time.perf_counter() - t0
         rows.append(
             {
                 "name": name,
-                "rows": n,
+                "spark_cold_s": round(reps[0], 3),
                 "spark_s": round(t_spark, 3),
                 "oracle_s": round(t_oracle, 3) if t_oracle is not None else None,
                 "ratio": round(t_spark / t_oracle, 2) if t_oracle else None,
             }
         )
         print(
-            f"{name:32s} {t_spark:7.3f}s  "
+            f"{name:32s} {reps[0]:7.3f}s cold {t_spark:7.3f}s warm  "
             f"{('%7.3fs' % t_oracle) if t_oracle is not None else '   --  '}",
             flush=True,
         )
