@@ -71,3 +71,63 @@ def test_blank_and_null_docs_absent(spark):
 def test_hex_chars_validation(spark):
     with pytest.raises(ValueError):
         dsir_weights(_docs(spark, [("x", True)]), "tgt", hex_chars=0)
+
+
+def test_dsir_matches_python_model_randomized(spark):
+    """Randomized differential: the engine's weights must equal a
+    plain-Python reimplementation of the smoothed hashed-ngram model
+    on an arbitrary corpus (seeded, like the dedup differentials)."""
+    import hashlib
+    import random
+    from collections import Counter
+
+    rng = random.Random(99)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", ""]
+    rows = []
+    for i in range(40):
+        n = rng.randint(0, 6)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        rows.append((i, text, rng.random() < 0.4))
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    hexc, lam, m = 2, 1.0, 256.0
+
+    def bucket(g):
+        return hashlib.md5(g.encode()).hexdigest()[:hexc]
+
+    def grams(text):
+        toks = [t for t in (text or "").split() if t]
+        gs = [f"u|{t}" for t in toks]
+        gs += [f"b|{a} {b}" for a, b in zip(toks, toks[1:])]
+        return gs
+
+    n_raw, n_tgt = Counter(), Counter()
+    per_doc = {}
+    for i, text, tgt in rows:
+        bs = Counter(bucket(g) for g in grams(text))
+        if bs:
+            per_doc[i] = bs
+        for b, c in bs.items():
+            n_raw[b] += c
+            if tgt:
+                n_tgt[b] += c
+    t_raw, t_tgt = sum(n_raw.values()), sum(n_tgt.values())
+    expected = {}
+    for i, bs in per_doc.items():
+        w = sum(
+            c
+            * (
+                math.log((n_tgt[b] + lam) / (t_tgt + lam * m))
+                - math.log((n_raw[b] + lam) / (t_raw + lam * m))
+            )
+            for b, c in bs.items()
+        )
+        expected[i] = (sum(bs.values()), round(w, 6))
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_weight"])
+        for r in dsir_weights(df, "tgt", hex_chars=hexc, smoothing=lam).collect()
+    }
+    assert set(got) == set(expected)
+    for i in expected:
+        assert got[i][0] == expected[i][0]
+        assert got[i][1] == pytest.approx(expected[i][1], abs=2e-6)
