@@ -89,11 +89,18 @@ def dsir_weights(
     """
     if hex_chars < 1 or hex_chars > 8:
         raise ValueError(f"hex_chars must be in [1, 8], got {hex_chars}")
+    if not smoothing > 0:
+        raise ValueError(
+            f"smoothing must be > 0 (a zero-count bucket would hit "
+            f"log(0)), got {smoothing}"
+        )
     m = float(16**hex_chars)
     lam = float(smoothing)
+    # NULL target flags count as off-target (the raw model only), the
+    # same coercion the catalog row applies to NULL lang
     base = df.where(F.col(id_col).isNotNull()).select(
         F.col(id_col),
-        F.col(target_col).alias("_tgt"),
+        F.coalesce(F.col(target_col), F.lit(False)).alias("_tgt"),
         F.explode(_gram_array(F.col(text_col))).alias("_gram"),
     )
     # (doc, bucket) occurrence counts: the ONLY token-level shuffle,

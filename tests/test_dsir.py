@@ -131,3 +131,24 @@ def test_dsir_matches_python_model_randomized(spark):
     for i in expected:
         assert got[i][0] == expected[i][0]
         assert got[i][1] == pytest.approx(expected[i][1], abs=2e-6)
+
+
+def test_null_target_flag_is_off_target(spark):
+    """NULL in the target column must mean 'raw model only', exactly
+    like False — not silently drop the doc's grams from both models."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=0, text="aa bb", tgt=True),
+        Row(doc_id=1, text="aa bb", tgt=None),
+        Row(doc_id=2, text="aa bb", tgt=False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {r["doc_id"]: r["dsir_weight"] for r in dsir_weights(df, "tgt").collect()}
+    assert got[1] == got[2]  # NULL behaves as False
+    assert got[0] == got[1]  # identical text -> identical weight
+
+
+def test_smoothing_validation(spark):
+    with pytest.raises(ValueError):
+        dsir_weights(_docs(spark, [("x", True)]), "tgt", smoothing=0.0)
