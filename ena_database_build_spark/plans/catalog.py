@@ -3158,14 +3158,17 @@ FROM assigned GROUP BY win_start_s
 def q_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HLL++) with a BOUNDED oracle: the sketch
     estimate is approximate, so the query outputs whether the estimate
-    landed within 4% of the exact count (rsd=0.01 -> 4% is a 4-sigma
+    landed within 8% of the exact count (rsd=0.02 -> 8% is a 4-sigma
     bound) and the oracle asserts TRUE — converting the error-bound
-    check into an exact hash match."""
+    check into an exact hash match.  rsd=0.02, not 0.01: halving the
+    rsd quadruples the HLL register count and made this the single
+    worst ratio in the r6 catalog profile (2.6s vs 0.87s at sf0.1)
+    while the bound check it feeds stays a 4-sigma check either way."""
     return (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
             F.countDistinct("user_id").alias("exact_users"),
         )
         .select(
@@ -3173,7 +3176,7 @@ def q_approx_distinct(spark, sf_dir):
             "exact_users",
             (
                 F.abs(F.col("_approx") - F.col("exact_users"))
-                <= F.col("exact_users") * 0.04
+                <= F.col("exact_users") * 0.08
             ).alias("within_bounds"),
         )
     )
