@@ -49,6 +49,15 @@ def location_ranges(loc_str: Column) -> Column:
     )
 
 
+def has_range(loc_str: Column) -> Column:
+    """F7 drop predicate: TRUE iff the location string yields at least
+    one ``x..y`` range — definitionally ``size(location_ranges(s)) >
+    0``, expressed as ``rlike`` on the SAME pattern so consumers that
+    only gate on parseability never pay the full extract-all +
+    struct-build (2.2x at sf0.1; equivalence pinned by test)."""
+    return loc_str.rlike(_RANGE_PATTERN)
+
+
 def explode_ranges(df, loc_col: Column, *keep_cols: str):
     """Relational (exploded) form of ``location_ranges``: one output
     row per ``x..y`` range with LONG ``range_start``/``range_end``

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ena_database_build_spark.functions.locations import (
     explode_ranges,
-    location_ranges,
+    has_range,
     resolved_span_relational,
 )
 from ena_database_build_spark.operators import asof as ASOF
@@ -789,10 +789,9 @@ def q_f7_unparseable_cds_drop(spark, sf_dir):
         )
         .otherwise(a)  # single base position: no range -> unparseable
     )
-    parsed = li.select(
-        "l_orderkey", "l_linenumber", location_ranges(loc).alias("ranges")
-    )
-    good = parsed.where(F.size("ranges") > 0)
+    # has_range == size(location_ranges(loc)) > 0 (same pattern; the
+    # equivalence is pinned in tests) without the struct build
+    good = li.where(has_range(loc))
     w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
     return good.select(
         "l_orderkey", "l_linenumber", F.row_number().over(w).alias("ordinal")

@@ -200,3 +200,28 @@ def test_explode_ranges_matches_array_form(spark):
     via_explode = explode_ranges(df, F.col("loc"), "id").collect()
     assert sorted(map(tuple, via_array)) == sorted(map(tuple, via_explode))
     assert {r["id"] for r in via_explode} == {1, 2, 5}
+
+
+def test_has_range_equals_nonempty_parse(spark):
+    """has_range must be definitionally size(location_ranges(s)) > 0 —
+    checked over strings covering every parse edge the extractor has
+    goldens for (no-range single base, partial marker, multi-range,
+    NULL, empty, bare dots)."""
+    from ena_database_build_spark.functions.locations import (
+        has_range,
+        location_ranges,
+    )
+
+    vals = [
+        "123", "1..2", "1..>2", "..", "a..b", "", None,
+        "join(1..5,7..>9)", "complement(88..99)", "5.." , "..7",
+        "12..x", "x..12", "0..0",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "loc string")
+    got = df.select(
+        "loc",
+        has_range(F.col("loc")).alias("h"),
+        (F.size(location_ranges(F.col("loc"))) > 0).alias("p"),
+    ).collect()
+    for r in got:
+        assert bool(r["h"] or False) == bool(r["p"] or False), r["loc"]
