@@ -214,17 +214,26 @@ def srp_cosine_pairs(
 
         if l.empty or r.empty:
             return pd.DataFrame({"left_id": [], "right_id": [], "cos": []})
-        L = np.stack(l["lv"].to_numpy())
-        R = np.stack(r["rv"].to_numpy())
-        Ln = L / np.linalg.norm(L, axis=1, keepdims=True)
-        Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
-        S = Ln @ Rn.T
+        Ln = np.stack(l["lv"].to_numpy())
+        Ln /= np.linalg.norm(Ln, axis=1, keepdims=True)
+        Rn = np.stack(r["rv"].to_numpy())
+        Rn /= np.linalg.norm(Rn, axis=1, keepdims=True)
         li = l["left_id"].to_numpy()
         ri = r["right_id"].to_numpy()
-        ii, jj = np.nonzero((S >= threshold) & (li[:, None] < ri[None, :]))
-        return pd.DataFrame(
-            {"left_id": li[ii], "right_id": ri[jj], "cos": S[ii, jj]}
-        )
+        outs = []
+        # left-block loop caps score-matrix memory at block x |bucket|
+        # so one skewed bucket cannot allocate |L| x |R| doubles
+        for lo in range(0, len(Ln), 4096):
+            S = Ln[lo : lo + 4096] @ Rn.T
+            ii, jj = np.nonzero(
+                (S >= threshold) & (li[lo : lo + 4096, None] < ri[None, :])
+            )
+            outs.append(
+                pd.DataFrame(
+                    {"left_id": li[lo:][ii], "right_id": ri[jj], "cos": S[ii, jj]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return (
         left.groupBy("probe")
