@@ -150,3 +150,22 @@ def test_srp_cosine_pairs_no_duplicate_pairs(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = SIM.srp_cosine_pairs(df, dim=8, bits=3, threshold=0.0)
     assert out.count() == out.select("left_id", "right_id").distinct().count()
+
+
+def test_srp_cosine_pairs_string_ids(spark):
+    """String ids must survive the pandas kernel (canonical order is
+    lexicographic) and the output schema must follow the input type."""
+    import random
+
+    rng = random.Random(5)
+    base = [rng.uniform(-1, 1) for _ in range(8)]
+    rows = [
+        ("doc-a", base),
+        ("doc-b", [1.5 * x for x in base]),
+        ("doc-c", [rng.uniform(-1, 1) for _ in range(8)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = SIM.srp_cosine_pairs(df, dim=8, bits=2, threshold=0.999)
+    assert dict(out.dtypes)["left_id"] == "string"
+    got = {(r["left_id"], r["right_id"]) for r in out.collect()}
+    assert ("doc-a", "doc-b") in got

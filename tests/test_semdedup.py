@@ -78,3 +78,30 @@ def test_dedup_is_deterministic_across_partitioning(spark):
         for r in SD.semantic_dedup(df.repartition(5), k=2).collect()
     )
     assert a == b
+
+
+def test_within_cluster_pairs_across_block_boundary(spark):
+    """The blocked GEMM must find a duplicate pair whose members land
+    in different 4096-row left blocks of one cluster (the block-index
+    arithmetic ids[lo:][ii] is what this pins)."""
+    import random
+
+    from ena_database_build_spark.operators.semdedup import (
+        _within_cluster_pairs,
+    )
+
+    rng = random.Random(11)
+    n = 5000
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], 0) for i in range(n)
+    ]
+    # plant: id 10 (block 0) duplicated at id 4500 (block 1)
+    rows[4500] = (4500, [2.0 * x for x in rows[10][1]], 0)
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>, cluster int")
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in _within_cluster_pairs(df, 0.9999, "vec_id").collect()
+    }
+    assert (10, 4500) in got
+    # random 16-dim vectors essentially never reach cos >= 0.9999
+    assert all(l < r for l, r in got)
