@@ -17,8 +17,13 @@ Scale shape (the part that must survive 100 TB):
   ``(doc, bucket)`` count, which map-side combines down to at most
   ``16^hex_chars`` rows per document;
 * the raw and target bucket models are ONE further aggregation of
-  that same relation (the target flag rides along as a boolean), so
-  the corpus is scanned once, not twice;
+  that same relation (the target flag rides along as a boolean); the
+  ``(doc, bucket)`` counts are materialized once with a lazy
+  ``localCheckpoint`` — the same band_index discipline as
+  ``cc.near_dedup_incremental`` — because the model branch and the
+  scoring branch cannot share the exchange through the broadcast
+  boundary (measured: without it the token-level lineage re-executes
+  from a second corpus scan), so the corpus is scanned exactly once;
 * the fitted model is at most ``16^hex_chars`` rows — broadcast by
   construction — and the corpus totals are a 1-row broadcast, so
   scoring adds no shuffle beyond the per-doc sum.
@@ -30,7 +35,7 @@ making approximate-by-nature methods oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ena_database_build_spark.operators.dedup import tokens
@@ -114,21 +119,35 @@ def dsir_weights(
         )
         .groupBy(id_col, "_tgt", "_b")
         .agg(F.count("*").alias("_c"))
+        # materialize once (lazily): model fit and scoring both consume
+        # this relation, and the broadcast boundary between them
+        # defeats exchange reuse — without this the explode + md5 +
+        # count lineage runs twice from two corpus scans
+        .localCheckpoint(eager=False)
     )
     model = db.groupBy("_b").agg(
         F.sum("_c").alias("_n_raw"),
         F.sum(F.when(F.col("_tgt"), F.col("_c")).otherwise(0)).alias("_n_tgt"),
     )
-    totals = model.agg(
-        F.sum("_n_raw").alias("_t_raw"), F.sum("_n_tgt").alias("_t_tgt")
-    )
-    # smoothed log-ratio per bucket; <= m rows joined to 1 row — both
-    # sides broadcast, scoring stays a map-side lookup
-    lr = model.crossJoin(F.broadcast(totals)).select(
+    # corpus totals as a global window OVER THE MODEL (<= m rows — the
+    # repo's bounded-summary-relation pattern), NOT a separate
+    # aggregate branch: a totals subtree re-derived the whole
+    # token-level lineage from a second scan (a 1-row-broadcast
+    # crossJoin nested in the scoring broadcast defeats exchange
+    # reuse), while the window keeps the model single-lineage so the
+    # corpus is scanned exactly once (pinned by test)
+    w = Window.partitionBy()
+    lr = model.select(
         "_b",
         (
-            F.log((F.col("_n_tgt") + lam) / (F.col("_t_tgt") + lam * m))
-            - F.log((F.col("_n_raw") + lam) / (F.col("_t_raw") + lam * m))
+            F.log(
+                (F.col("_n_tgt") + lam)
+                / (F.sum("_n_tgt").over(w) + lam * m)
+            )
+            - F.log(
+                (F.col("_n_raw") + lam)
+                / (F.sum("_n_raw").over(w) + lam * m)
+            )
         ).alias("_lr"),
     )
     return (
