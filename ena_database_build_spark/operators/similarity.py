@@ -182,7 +182,11 @@ def srp_cosine_pairs(
       normalized rows — vectorized C, not an interpreted per-element
       fold (measured 8-10x faster than the ``aggregate``/``zip_with``
       column form on 630k candidates at sf0.1);
-    * a bucket is one task, so skewed buckets are AQE-splittable and
+    * a bucket is one whole task (cogrouped groups cannot be split by
+      AQE), so parallelism AND the densest bucket are both governed by
+      ``bits`` — size ``2**bits`` to the corpus so buckets stay
+      bounded, exactly the SemDeDup ``k ~ sqrt(n)`` discipline; the
+      block loop below caps the score-matrix memory either way, and
       nothing driver-side ever sees a vector.
 
     A (left, right) pair can match in at most one probe bucket (the
