@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ena_database_build_spark.functions import embl as E
-from ena_database_build_spark.functions.locations import location_ranges, resolved_span
+from ena_database_build_spark.functions.locations import (
+    has_range,
+    location_ranges,
+    resolved_span,
+)
 from ena_database_build_spark.operators import segmentation as S
 
 ENA_TAB_COLUMNS = [
@@ -272,8 +276,10 @@ def build_all(
     blocks = S.extract_cds_blocks(segmented)
     rejected_blocks = (
         blocks.withColumn("loc_str", E.cds_location_string(F.col("loc_parts")))
-        .withColumn("loc_ranges", location_ranges(F.col("loc_str")))
-        .where(F.size("loc_ranges") == 0)
+        # dead-letter gate only asks "no x..y range at all" — the
+        # pattern-match predicate, not the full parse (locations.has_range
+        # is pinned equivalent to size(location_ranges(s)) == 0 negated)
+        .where(~has_range(F.col("loc_str")))
         .select(
             "file",
             "record_idx",
