@@ -709,15 +709,19 @@ def span_dedup(
         F.col(id_col),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("_arr"),
     )
-    # gram at position i = md5 of tokens [i, i+k) — computed from the
-    # array IN PLACE (one row per doc, no shuffle); positions whose
+    # gram at position i = the joined tokens [i, i+k) — computed from
+    # the array IN PLACE (one row per doc, no shuffle); positions whose
     # gram would run past the end stay NULL, matching a lead-window
-    # formulation's isNotNull(last lead) guard
+    # formulation's isNotNull(last lead) guard.  The gram is a RAW
+    # string, not an md5: the key never leaves this operator (only the
+    # dup verdict does), hashing inside the per-element transform is
+    # interpreted work (~20% of the whole query at sf0.1, r6 measure),
+    # and the shuffle hashes whatever key it gets anyway
     gram_arr = F.transform(
         "_arr",
         lambda x, i: F.when(
             i + F.lit(k) <= F.size("_arr"),
-            F.md5(F.concat_ws(" ", F.slice("_arr", i + F.lit(1), k))),
+            F.concat_ws(" ", F.slice("_arr", i + F.lit(1), k)),
         ),
     )
     grams = base.select(
