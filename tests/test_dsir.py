@@ -152,3 +152,21 @@ def test_null_target_flag_is_off_target(spark):
 def test_smoothing_validation(spark):
     with pytest.raises(ValueError):
         dsir_weights(_docs(spark, [("x", True)]), "tgt", smoothing=0.0)
+
+
+def test_dsir_single_corpus_scan(spark):
+    """The module docstring claims the corpus is scanned exactly once
+    (the checkpointed (doc, bucket) counts feed both the model fit and
+    the scoring).  Pin it: the executed plan must hold at most one
+    parquet/LocalTableScan-free source traversal — concretely, no more
+    than one 'Scan' of the input after the checkpoint materializes."""
+    rows = [(i, f"tok{i % 5} tok{(i + 1) % 5} tok{i % 3}", i % 2 == 0)
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = dsir_weights(df, "tgt")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # the checkpointed relation appears as a scan of existing RDD
+    # blocks; the raw input must not be traversed twice
+    assert final.count("LocalTableScan") + final.count("Scan parquet") <= 1
