@@ -42,6 +42,10 @@ def _within_cluster_pairs(assigned: DataFrame, threshold: float, id_col: str) ->
     ``block x |cluster|`` so a dense cluster cannot allocate |c|^2
     doubles at once.  Rounding uses half-up (matching Spark's
     ``F.round`` and the DuckDB oracle), not numpy's half-even."""
+    # NULL/empty vectors cannot pair (the column form's NULL cosine
+    # failed the gate implicitly; np.stack would crash on them) — they
+    # are excluded here, so in semantic_dedup they always survive
+    assigned = assigned.where(F.col("v").isNotNull() & (F.size("v") > 0))
     id_type = assigned.schema[id_col].dataType.simpleString()
     schema = (
         f"left_id {id_type}, right_id {id_type}, "
@@ -56,8 +60,9 @@ def _within_cluster_pairs(assigned: DataFrame, threshold: float, id_col: str) ->
             return pd.DataFrame(
                 {"left_id": [], "right_id": [], "cluster": [], "cos_sim": []}
             )
-        V = np.stack(pdf["v"].to_numpy())
-        N = V / np.linalg.norm(V, axis=1, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):  # zero-norm -> nan
+            V = np.stack(pdf["v"].to_numpy())
+            N = V / np.linalg.norm(V, axis=1, keepdims=True)
         ids = pdf[id_col].to_numpy()
         outs = []
         for lo in range(0, len(N), 4096):

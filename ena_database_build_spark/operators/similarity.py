@@ -193,11 +193,18 @@ def srp_cosine_pairs(
     right row's bucket fixes which left probe equals it), so the
     output carries no cross-bucket duplicates by construction.
 
+    NULL/empty vectors are filtered before bucketing (a no-content
+    vector cannot be near anything — the policy every pairing path
+    shares, and what the per-pair column form did implicitly via NULL
+    cosine); all-zero vectors score nan and fall out of the threshold
+    gate, matching the column form's NULL-comparison drop.
+
     Float caveat: BLAS sums products in SIMD-blocked order, not the
     left-to-right fold of the HOF ``cosine``; results can differ in
     the last ulp.  Callers that hash-compare scores should round
     (the catalog rounds to 6 decimals) or compare with a tolerance.
     """
+    df = df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
     b = srp_buckets(df, dim, bits, vec_col, id_col)
     left = b.select(
         F.col(id_col).alias("left_id"),
@@ -218,10 +225,12 @@ def srp_cosine_pairs(
 
         if l.empty or r.empty:
             return pd.DataFrame({"left_id": [], "right_id": [], "cos": []})
-        Ln = np.stack(l["lv"].to_numpy())
-        Ln /= np.linalg.norm(Ln, axis=1, keepdims=True)
-        Rn = np.stack(r["rv"].to_numpy())
-        Rn /= np.linalg.norm(Rn, axis=1, keepdims=True)
+        err = np.errstate(invalid="ignore", divide="ignore")  # zero-norm -> nan
+        with err:
+            Ln = np.stack(l["lv"].to_numpy())
+            Ln /= np.linalg.norm(Ln, axis=1, keepdims=True)
+            Rn = np.stack(r["rv"].to_numpy())
+            Rn /= np.linalg.norm(Rn, axis=1, keepdims=True)
         li = l["left_id"].to_numpy()
         ri = r["right_id"].to_numpy()
         outs = []

@@ -169,3 +169,23 @@ def test_srp_cosine_pairs_string_ids(spark):
     assert dict(out.dtypes)["left_id"] == "string"
     got = {(r["left_id"], r["right_id"]) for r in out.collect()}
     assert ("doc-a", "doc-b") in got
+
+
+def test_srp_cosine_pairs_null_empty_zero_vectors(spark):
+    """NULL and empty vectors are excluded before bucketing (the
+    column form's implicit NULL-cosine drop, made explicit); all-zero
+    vectors score nan and fall out of the gate — none may crash the
+    kernel or appear in any pair."""
+    rows = [
+        (0, [1.0, 2.0, 1.0, 0.5]),
+        (1, [2.0, 4.0, 2.0, 1.0]),   # scalar multiple of 0
+        (2, None),
+        (3, []),
+        (4, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in SIM.srp_cosine_pairs(df, dim=4, bits=2, threshold=0.9).collect()
+    }
+    assert got == {(0, 1)}

@@ -105,3 +105,20 @@ def test_within_cluster_pairs_across_block_boundary(spark):
     assert (10, 4500) in got
     # random 16-dim vectors essentially never reach cos >= 0.9999
     assert all(l < r for l, r in got)
+
+
+def test_semantic_dedup_null_empty_zero_vectors_survive(spark):
+    """Rows whose embedding is NULL/empty/all-zero cannot pair, so
+    they must always SURVIVE dedup (the pre-GEMM column form's NULL
+    cosine failed the gate; the kernel must not crash on them)."""
+    rows = [
+        (0, [1.0, 2.0, 1.0, 0.5]),
+        (1, [1.0, 2.0, 1.0, 0.5]),   # exact copy of 0 -> same cluster, dropped
+        (2, None),
+        (3, []),
+        (4, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"] for r in SD.semantic_dedup(df, k=2, max_iter=1, threshold=0.95).collect()}
+    assert 1 not in got
+    assert {0, 2, 3, 4} <= got
