@@ -45,7 +45,11 @@ def _within_cluster_pairs(assigned: DataFrame, threshold: float, id_col: str) ->
     # NULL/empty vectors cannot pair (the column form's NULL cosine
     # failed the gate implicitly; np.stack would crash on them) — they
     # are excluded here, so in semantic_dedup they always survive
-    assigned = assigned.where(F.col("v").isNotNull() & (F.size("v") > 0))
+    assigned = assigned.where(
+        F.col(id_col).isNotNull()
+        & F.col("v").isNotNull()
+        & (F.size("v") > 0)
+    )
     id_type = assigned.schema[id_col].dataType.simpleString()
     schema = (
         f"left_id {id_type}, right_id {id_type}, "

@@ -204,7 +204,11 @@ def srp_cosine_pairs(
     the last ulp.  Callers that hash-compare scores should round
     (the catalog rounds to 6 decimals) or compare with a tolerance.
     """
-    df = df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+    df = df.where(
+        F.col(id_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+        & (F.size(vec_col) > 0)
+    )  # NULL ids would raise in the kernel's id comparison
     b = srp_buckets(df, dim, bits, vec_col, id_col)
     left = b.select(
         F.col(id_col).alias("left_id"),
