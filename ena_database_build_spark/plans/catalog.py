@@ -7763,9 +7763,10 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #       (HLL rsd 0.01 -> 0.02 + matching 4-sigma bound), and in-window
 #       p3_range_extract (explode-first split) / f7 (has_range gate) —
 #       the latter two earn fresh r6 driver rows on the new code.  The
-#       FULL 187-query catalog re-verified against the oracle at
-#       sf0.01 at the end of round 6 (187/187), plus scan_audit
-#       187/187 within budget on the final tree.
+#       FULL 187-query catalog re-verified against the oracle at the
+#       end of round 6 at BOTH sf0.01 and sf0.1 (187/187 each — the
+#       sf0.1 sweep is the first full value-compare at that scale),
+#       plus scan_audit 187/187 within budget on the final tree.
 CATALOG: dict[str, QueryDef] = {
     # ============ r5 window, re-presented as the r6 window ============
     # ================== (positions 1-50, unchanged) ==================
