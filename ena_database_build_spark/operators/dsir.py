@@ -25,8 +25,12 @@ Scale shape (the part that must survive 100 TB):
   boundary (measured: without it the token-level lineage re-executes
   from a second corpus scan), so the corpus is scanned exactly once;
 * the fitted model is at most ``16^hex_chars`` rows — broadcast by
-  construction — and the corpus totals are a 1-row broadcast, so
-  scoring adds no shuffle beyond the per-doc sum.
+  construction, which is exactly why ``hex_chars`` is capped at 5
+  (~1M rows) — and the corpus totals fold into a window over that
+  bounded model, so scoring adds no shuffle beyond the per-doc sum.
+  The checkpointed counts persist for the life of the returned
+  DataFrame; Spark's ContextCleaner reclaims the blocks once the
+  result is released (same lifetime as any cached intermediate).
 
 The md5 bucket hash makes every weight engine-exact (the DuckDB
 oracle reproduces it bit-for-bit), the repo-wide convention for
@@ -92,8 +96,11 @@ def dsir_weights(
     Documents with NULL/blank text have no features and are absent,
     the same no-content policy as the n-gram scorers.
     """
-    if hex_chars < 1 or hex_chars > 8:
-        raise ValueError(f"hex_chars must be in [1, 8], got {hex_chars}")
+    # cap at 5 (16^5 = ~1M model rows): the scale argument REQUIRES the
+    # fitted model to be broadcastable, and F.broadcast of a 16^8-row
+    # relation would be a driver OOM, not a model
+    if hex_chars < 1 or hex_chars > 5:
+        raise ValueError(f"hex_chars must be in [1, 5], got {hex_chars}")
     if not smoothing > 0:
         raise ValueError(
             f"smoothing must be > 0 (a zero-count bucket would hit "

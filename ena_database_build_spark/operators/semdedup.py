@@ -60,32 +60,51 @@ def _within_cluster_pairs(assigned: DataFrame, threshold: float, id_col: str) ->
         import numpy as np
         import pandas as pd
 
+        empty = pd.DataFrame(
+            {"left_id": [], "right_id": [], "cluster": [], "cos_sim": []}
+        )
         if len(pdf) < 2:
-            return pd.DataFrame(
-                {"left_id": [], "right_id": [], "cluster": [], "cos_sim": []}
-            )
-        with np.errstate(invalid="ignore", divide="ignore"):  # zero-norm -> nan
-            V = np.stack(pdf["v"].to_numpy())
-            N = V / np.linalg.norm(V, axis=1, keepdims=True)
-        ids = pdf[id_col].to_numpy()
+            return empty
         outs = []
-        for lo in range(0, len(N), 4096):
-            S = N[lo : lo + 4096] @ N.T
-            # half-up rounding to 6 decimals (F.round semantics)
-            S = np.floor(S * 1e6 + 0.5) / 1e6
-            ii, jj = np.nonzero(
-                (S >= threshold) & (ids[lo : lo + 4096, None] < ids[None, :])
-            )
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "left_id": ids[lo:][ii],
-                        "right_id": ids[jj],
-                        "cluster": pdf["cluster"].iloc[0],
-                        "cos_sim": S[ii, jj],
-                    }
+        # length-homogeneous subgroups: vectors of different lengths
+        # cannot pair (the column form's zip_with padded with NULL and
+        # the NULL score failed the gate; np.stack would crash on a
+        # ragged batch), while equal-length vectors pair normally
+        for _, sub in pdf.groupby(pdf["v"].str.len(), sort=False):
+            if len(sub) < 2:
+                continue
+            # sort by id so ascending index implies non-descending id:
+            # each block then multiplies only against columns from its
+            # own start — the upper triangle — halving the GEMM FLOPs
+            sub = sub.sort_values(id_col, kind="stable")
+            with np.errstate(invalid="ignore", divide="ignore"):
+                V = np.stack(sub["v"].to_numpy())
+                N = V / np.linalg.norm(V, axis=1, keepdims=True)
+            ids = sub[id_col].to_numpy()
+            for lo in range(0, len(N), 4096):
+                hi = min(lo + 4096, len(N))
+                S = N[lo:hi] @ N[lo:].T
+                # half-up rounding to 6 decimals (F.round semantics in
+                # the positive gate regime; a NEGATIVE threshold would
+                # round boundary scores half-toward-+inf instead of
+                # half-away-from-zero — no catalog path gates there)
+                S = np.floor(S * 1e6 + 0.5) / 1e6
+                ii, jj = np.nonzero(
+                    (S >= threshold)
+                    & (ids[lo:hi, None] < ids[None, lo:])
                 )
-            )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "left_id": ids[lo:][ii],
+                            "right_id": ids[lo:][jj],
+                            "cluster": sub["cluster"].iloc[0],
+                            "cos_sim": S[ii, jj],
+                        }
+                    )
+                )
+        if not outs:
+            return empty
         return pd.concat(outs, ignore_index=True)
 
     return assigned.groupBy("cluster").applyInPandas(score, schema)

@@ -193,11 +193,12 @@ def srp_cosine_pairs(
     right row's bucket fixes which left probe equals it), so the
     output carries no cross-bucket duplicates by construction.
 
-    NULL/empty vectors are filtered before bucketing (a no-content
-    vector cannot be near anything — the policy every pairing path
-    shares, and what the per-pair column form did implicitly via NULL
-    cosine); all-zero vectors score nan and fall out of the threshold
-    gate, matching the column form's NULL-comparison drop.
+    Vector contract: rows whose vector is NULL or whose length is not
+    exactly ``dim`` are excluded before bucketing (the per-pair column
+    form dropped cross-length pairs implicitly via NULL cosine; a
+    ragged batch would crash ``np.stack`` outright, so the contract is
+    made explicit).  All-zero vectors score nan and fall out of the
+    threshold gate, matching the column form's NULL-comparison drop.
 
     Float caveat: BLAS sums products in SIMD-blocked order, not the
     left-to-right fold of the HOF ``cosine``; results can differ in
@@ -205,10 +206,9 @@ def srp_cosine_pairs(
     (the catalog rounds to 6 decimals) or compare with a tolerance.
     """
     df = df.where(
-        F.col(id_col).isNotNull()
-        & F.col(vec_col).isNotNull()
-        & (F.size(vec_col) > 0)
-    )  # NULL ids would raise in the kernel's id comparison
+        F.col(id_col).isNotNull()  # NULL ids would raise in the kernel
+        & (F.size(vec_col) == dim)  # NULL/ragged vectors cannot pair
+    )
     b = srp_buckets(df, dim, bits, vec_col, id_col)
     left = b.select(
         F.col(id_col).alias("left_id"),

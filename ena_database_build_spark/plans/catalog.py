@@ -2091,9 +2091,12 @@ def q_dedup_embedding(spark, sf_dir):
     # semantics as the former explode-probe equi-join + per-pair HOF
     # cosine, measured 8-10x faster at sf0.1 (r6 profile)
     scored = SIM.srp_cosine_pairs(aug, dim=64, bits=4, threshold=0.9)
+    # no trailing distinct: a pair matches in at most one probe bucket,
+    # so the kernel's output is duplicate-free by construction (pinned
+    # by test_srp_cosine_pairs_no_duplicate_pairs)
     return scored.select(
         "left_id", "right_id", F.round("cos", 6).alias("cos_sim")
-    ).distinct()
+    )
 
 
 SQL_DEDUP_EMBEDDING = """

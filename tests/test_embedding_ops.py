@@ -189,3 +189,21 @@ def test_srp_cosine_pairs_null_empty_zero_vectors(spark):
         for r in SIM.srp_cosine_pairs(df, dim=4, bits=2, threshold=0.9).collect()
     }
     assert got == {(0, 1)}
+
+
+def test_srp_cosine_pairs_excludes_wrong_dim_vectors(spark):
+    """The vector contract: rows whose length differs from dim are
+    excluded before bucketing (they would crash the ragged np.stack
+    and could never score a defined cosine against a dim-length
+    vector)."""
+    rows = [
+        (0, [1.0, 2.0, 1.0, 0.5]),
+        (1, [2.0, 4.0, 2.0, 1.0]),
+        (2, [1.0, 2.0, 1.0]),          # wrong dim -> excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in SIM.srp_cosine_pairs(df, dim=4, bits=2, threshold=0.9).collect()
+    }
+    assert got == {(0, 1)}

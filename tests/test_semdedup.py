@@ -122,3 +122,26 @@ def test_semantic_dedup_null_empty_zero_vectors_survive(spark):
     got = {r["vec_id"] for r in SD.semantic_dedup(df, k=2, max_iter=1, threshold=0.95).collect()}
     assert 1 not in got
     assert {0, 2, 3, 4} <= got
+
+
+def test_within_cluster_pairs_ragged_lengths_no_crash(spark):
+    """A wrong-length vector must not crash the kernel (np.stack on a
+    ragged batch raises): cross-length pairs are impossible (the
+    column form's zip_with padded NULL and the score failed the gate),
+    while equal-length vectors still pair normally."""
+    from ena_database_build_spark.operators.semdedup import (
+        _within_cluster_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 2.0, 1.0, 0.5], 0),
+        (1, [1.0, 2.0, 1.0, 0.5], 0),   # same length -> pairs with 0
+        (2, [1.0, 2.0, 1.0], 0),        # 3-dim: cannot pair with 4-dim
+        (3, [1.0, 2.0, 1.0], 0),        # but pairs with its own length
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>, cluster int")
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in _within_cluster_pairs(df, 0.999, "vec_id").collect()
+    }
+    assert got == {(0, 1), (2, 3)}

@@ -34,9 +34,6 @@ ALLOW_NESTED = {
     "semantic_dedup",
     # 1-row corpus-stats / quantile-threshold broadcasts
     "corpus_curation",
-    # 1-row corpus-totals broadcast over the <=256-row bucket model
-    # (operators/dsir.py — both sides bounded by construction)
-    "dsir_weights",
     "quality_gate",
     "unigram_logprob",
     "bm25_top_terms",

@@ -23,10 +23,12 @@ Measurement discipline (learned the hard way in round 6):
   the expensive projections).
 * DuckDB side is ``.arrow()`` — the matching no-Python-rows
   materialization.
-* Two reps per query, BOTH reported: rep1 - rep2 isolates the one-time
-  codegen/compile latency (10s for the widest HOF expressions) from
-  per-run compute; only rep2 is a scale signal, and only when it is
-  both slow in absolute terms and high-ratio.
+* Two reps per query ON BOTH ENGINES, warm rep feeding the ratio:
+  rep1 - rep2 isolates one-time codegen/compile latency (10s for the
+  widest HOF Spark expressions; milliseconds for DuckDB, but charging
+  one engine its compile and not the other would bias every ratio).
+  Only the warm rep is a scale signal, and only when it is both slow
+  in absolute terms and high-ratio.
 
 Usage: python tools/profile_catalog.py [sf_dir] [out_json]
 """
@@ -68,9 +70,10 @@ def main() -> None:
         t_spark = reps[1]
         t_oracle = None
         if qd.oracle is not None:
-            t0 = time.perf_counter()
-            con.sql(qd.oracle).arrow()
-            t_oracle = time.perf_counter() - t0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.sql(qd.oracle).arrow()
+                t_oracle = time.perf_counter() - t0
         rows.append(
             {
                 "name": name,
