@@ -2076,7 +2076,13 @@ def q_dedup_embedding(spark, sf_dir):
     1.5 — a positive scalar multiple, so cosine is exactly 1.0 and the
     SRP bucket (a sign pattern) is bit-identical, guaranteeing the
     bucket join MUST surface the pair.  The check now fails if the
-    probe expansion, the bucket join, or the cosine filter breaks."""
+    probe expansion, the bucket join, or the cosine filter breaks.
+
+    Float posture: both engines gate on their own unrounded cosine
+    (BLAS-blocked vs sequential summation differ in the last ulp), so
+    the check is exact ONLY because the constructed data has no pair
+    within float noise of the 0.9 threshold — planted pairs score
+    exactly 1.0, everything else sits far below the gate."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.where(F.col("vec_id") < 8).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
