@@ -746,31 +746,6 @@ FROM documents
 """
 
 
-def q_f6_empty_record_guard(spark, sf_dir):
-    """F6: a record whose CDS collection is empty emits nothing
-    (parse_embl.py:352-359 analog): left-join orders to their 'R'
-    lineitems, then guard size>0 — orders with no match vanish."""
-    orders = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
-    collected = orders.join(
-        li, orders.o_orderkey == li.l_orderkey, "left"
-    ).groupBy("o_orderkey").agg(
-        F.collect_list("l_linenumber").alias("_ranges")
-    )
-    return (
-        collected.where(F.size("_ranges") > 0)
-        .select("o_orderkey", F.size("_ranges").alias("n_ranges"))
-    )
-
-
-SQL_F6 = """
-SELECT o_orderkey, CAST(count(*) AS INTEGER) AS n_ranges
-FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-WHERE l_returnflag = 'R'
-GROUP BY o_orderkey
-"""
-
-
 def q_f7_unparseable_cds_drop(spark, sf_dir):
     """F7 + G4 quirk: blocks whose location string yields no x..y range
     are dropped BEFORE ordinal assignment (parse_embl.py:150-154; the
@@ -806,24 +781,6 @@ FROM lineitem WHERE l_linenumber % 3 <> 2
 """
 
 
-def q_f8_empty_input_guard(spark, sf_dir):
-    """F8: aggregation over a provably empty input returns an empty
-    (not failing) result with the declared schema."""
-    return (
-        t(spark, sf_dir, "lineitem")
-        .where(F.col("l_quantity") < 0)
-        .groupBy("l_returnflag")
-        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
-    )
-
-
-SQL_F8 = """
-SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
-FROM lineitem WHERE l_quantity < 0
-GROUP BY l_returnflag
-"""
-
-
 def _ft_line(doc_id):
     """Constructed feature-table lines covering every detector branch."""
     return (
@@ -833,56 +790,6 @@ def _ft_line(doc_id):
         .when(doc_id % 5 == 3, F.lit("SQ   Sequence 100 BP;"))
         .otherwise(F.lit("FT   misc-feature    2..3"))
     )
-
-
-def q_p4_feature_start(spark, sf_dir):
-    """P4: feature-block-start detector (parse_embl.py:47) — 'FT' + 3
-    spaces + a feature class character; qualifier continuations (4+
-    spaces) and non-FT lines do not match."""
-    from ena_database_build_spark.functions import embl as E
-
-    docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", E.is_feature_start(_ft_line(F.col("doc_id"))).alias("is_start")
-    )
-
-
-SQL_P4 = """
-SELECT doc_id, (doc_id % 5 IN (0, 2, 4)) AS is_start FROM documents
-"""
-
-
-def q_p5_cds_head(spark, sf_dir):
-    """P5: CDS head detector (parse_embl.py:557) — only the 'FT   CDS '
-    feature start opens a CDS block."""
-    from ena_database_build_spark.functions import embl as E
-
-    docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", E.is_cds_head(_ft_line(F.col("doc_id"))).alias("is_cds")
-    )
-
-
-SQL_P5 = """
-SELECT doc_id, (doc_id % 5 = 0) AS is_cds FROM documents
-"""
-
-
-def q_p6_qualifier_continuation(spark, sf_dir):
-    """P6: qualifier-continuation detector (parse_embl.py:564) — 'FT'
-    followed by 4+ spaces."""
-    from ena_database_build_spark.functions import embl as E
-
-    docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        E.is_qualifier_continuation(_ft_line(F.col("doc_id"))).alias("is_cont"),
-    )
-
-
-SQL_P6 = """
-SELECT doc_id, (doc_id % 5 = 1) AS is_cont FROM documents
-"""
 
 
 def q_p7_location_normalizer(spark, sf_dir):
@@ -1246,82 +1153,6 @@ def q_s5_tsv_roundtrip(spark, sf_dir):
 
 
 SQL_S5 = _SINK_SQL_BASE
-
-
-def q_s6_partitioned_shards(spark, sf_dir):
-    """S6: shard-per-source-dir sink (dask_tasks.py:168-211) — write
-    partitioned by the P9-derived shard name, read back with partition
-    discovery, count rows per shard."""
-    from ena_database_build_spark.sources.sinks import write_ena_tab
-
-    path = _sink_path(sf_dir, "s6")
-    docs = t(spark, sf_dir, "documents")
-    df = docs.select(
-        F.concat(
-            F.when(F.col("doc_id") % 3 == 0, F.lit("wgs/public/abc/")).otherwise(
-                F.lit("sequence/con/")
-            ),
-            F.lit("d"), F.col("doc_id"), F.lit(".dat.gz"),
-        ).alias("file"),
-        F.concat(F.lit("ENA"), F.col("doc_id")).alias("ena_id"),
-        F.concat(F.lit("U"), F.col("doc_id") % 50).alias("uniprot_id"),
-        (F.col("doc_id") % 7 + 1).cast("int").alias("locus_num"),
-        (F.col("doc_id") % 2).cast("int").alias("chr_struct"),
-        ((F.col("doc_id") / 2).cast("int") % 2).alias("direction"),
-        (F.col("doc_id") * 3 + 1).cast("long").alias("start"),
-        (F.col("doc_id") * 3 + 500).cast("long").alias("end"),
-    )
-    write_ena_tab(df, path, partition_by_source_dir=True)
-    back = (
-        spark.read.schema(_ENA_TAB_READ_SCHEMA)
-        .option("sep", "\t")
-        .option("header", "false")
-        .csv(path)
-    )
-    return back.groupBy(F.col("source_dir").cast("string").alias("source_dir")).agg(
-        F.count("*").alias("n_rows"),
-        F.countDistinct("ena_id").alias("n_ids"),
-    )
-
-
-SQL_S6 = """
-SELECT CASE WHEN doc_id % 3 = 0 THEN 'wgs-public-abc' ELSE 'sequence-con' END
-         AS source_dir,
-       count(*) AS n_rows,
-       count(DISTINCT 'ENA' || doc_id) AS n_ids
-FROM documents GROUP BY 1
-"""
-
-
-def q_s7_concat_single_file(spark, sf_dir):
-    """S7: concat-all single-file sink (dask_tskmgr.py:232-241) — the
-    read-back must come from exactly ONE part file with every row
-    present."""
-    from ena_database_build_spark.sources.sinks import write_ena_tab
-
-    path = _sink_path(sf_dir, "s7")
-    write_ena_tab(_sink_df(spark, sf_dir), path, single_file=True)
-    back = (
-        spark.read.schema(_ENA_TAB_READ_SCHEMA)
-        .option("sep", "\t")
-        .option("header", "false")
-        .csv(path)
-    )
-    return back.select(
-        "ena_id", F.input_file_name().alias("_part")
-    ).agg(
-        F.countDistinct("_part").alias("n_files"),
-        F.count("*").alias("n_rows"),
-        F.countDistinct("ena_id").alias("n_ids"),
-    )
-
-
-SQL_S7 = """
-SELECT CAST(1 AS BIGINT) AS n_files,
-       count(*) AS n_rows,
-       count(DISTINCT doc_id) AS n_ids
-FROM documents
-"""
 
 
 def q_ena_context_analog(spark, sf_dir):
@@ -7751,16 +7582,24 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #     holds) so CORRECTNESS_r06 finally grades it.  All 50 were
 #     re-verified green against the oracle locally at sf0.01 at the
 #     start of round 6.
-#   round 7 (the former round-6 plan): DELETE the 7 superseded
-#     singles (once p456_detectors/f68_guards/s67_sinks hold green
-#     r6 driver rows; update the §8 coverage map), then window = the
-#     remaining 29 banked §2 queries (g2_nested_sessionize ..
-#     transit_sweepline) + the first 21 of the round-3-window set
-#     (rollup_revenue .. tpch_q4_priority).
-#   round 8+: the remaining 29 r3-window queries + the first 21 of
-#     the round-4-window set; steady state is a ~3.6-round rotation
-#     of 179 queries at 50 checked entries per round — hold net-new
-#     additions near zero so the cycle stays tight.
+#   round 7 (THIS ordering; the former round-6 plan, executed by
+#     tools/rotate_catalog_r7.py now that CORRECTNESS_r06 is 50/50
+#     green): the 7 superseded singles (p4/p5/p6, f6/f8, s6/s7) are
+#     DELETED (their consolidated rows p456_detectors/f68_guards/
+#     s67_sinks hold green r6 driver rows; §8 coverage map updated);
+#     window = dsir_weights (the only never-driver-checked query,
+#     promoted per r6 VERDICT #1 — never-checked outranks banked)
+#     + the remaining 29 banked §2 queries (g2_nested_sessionize ..
+#     transit_sweepline, green r2) + the first 20 of the
+#     round-3-window set (rollup_revenue .. json_roundtrip, green
+#     r3).  1 + 29 + 20 = 50; registry now 180 entries.
+#   round 8: the remaining 30 r3-window queries (tpch_q4_priority ..
+#     stream_dedup) + the first 20 of the round-4-window set
+#     (heavy_hitters .. hash_sample_weighted).
+#   round 9+: remaining 30 r4-window + first 20 of the r6-window
+#     set; steady state is a ~3.6-round rotation of 180 queries at
+#     50 checked entries per round — hold net-new additions near
+#     zero so the cycle stays tight.
 #
 # Out-of-window IMPLEMENTATION swaps (semantics identical, re-greened
 # locally via tools/check_catalog.py; the row re-earns a driver row at
@@ -7777,110 +7616,12 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #       sf0.1 sweep is the first full value-compare at that scale),
 #       plus scan_audit 187/187 within budget on the final tree.
 CATALOG: dict[str, QueryDef] = {
-    # ============ r5 window, re-presented as the r6 window ============
-    # ================== (positions 1-50, unchanged) ==================
-    # -- the 10 queries held back from the round-4 window (never
-    # driver-checked before this round)
-    "daily_spine": QueryDef(q_daily_spine, SQL_DAILY_SPINE),
-    "session_bounce": QueryDef(q_session_bounce, SQL_SESSION_BOUNCE),
-    "trending_types": QueryDef(q_trending_types, SQL_TRENDING),
-    "length_histogram": QueryDef(q_length_histogram, SQL_LENGTH_HISTOGRAM),
-    "revenue_share": QueryDef(q_revenue_share, SQL_REVENUE_SHARE),
-    "session_duration_quartiles": QueryDef(
-        q_session_duration_quartiles, SQL_SESSION_DURATION_QUARTILES
-    ),
-    "purchase_gaps": QueryDef(q_purchase_gaps, SQL_PURCHASE_GAPS),
-    "lang_source_matrix": QueryDef(
-        q_lang_source_matrix, SQL_LANG_SOURCE_MATRIX
-    ),
-    "grouping_sets_revenue": QueryDef(
-        q_grouping_sets_revenue, SQL_GROUPING_SETS
-    ),
-    "window_distinct_users": QueryDef(
-        q_window_distinct_users, SQL_WINDOW_DISTINCT_USERS
-    ),
-    # -- consolidated §2 queries + all 26 round-4 additions
-    # (never driver-checked before this round)
-    "p456_detectors": QueryDef(q_p456_detectors, SQL_P456),
-    "f68_guards": QueryDef(q_f68_guards, SQL_F68),
-    "s67_sinks": QueryDef(q_s67_sinks, SQL_S67),
-    "span_dedup": QueryDef(q_span_dedup, SQL_SPAN_DEDUP),
-    "embedding_standardize": QueryDef(
-        q_embedding_standardize, SQL_EMBEDDING_STANDARDIZE
-    ),
-    "sft_transcripts": QueryDef(q_sft_transcripts, SQL_SFT_TRANSCRIPTS),
-    "psi_drift": QueryDef(q_psi_drift, SQL_PSI_DRIFT),
-    "temperature_sampling": QueryDef(
-        q_temperature_sampling, SQL_TEMPERATURE_SAMPLING
-    ),
-    "near_dedup_keep_longest": QueryDef(
-        q_near_dedup_keep_longest, SQL_NEAR_DEDUP_KEEP_LONGEST
-    ),
-    "phash_buckets": QueryDef(q_phash_buckets, SQL_PHASH_BUCKETS),
-    "merge_upserts": QueryDef(q_merge_upserts, SQL_MERGE_UPSERTS),
-    "rate_anomalies": QueryDef(q_rate_anomalies, SQL_RATE_ANOMALIES),
-    "stream_rate_flags": QueryDef(
-        q_stream_rate_flags, SQL_STREAM_RATE_FLAGS
-    ),
-    "grouped_split": QueryDef(q_grouped_split, SQL_GROUPED_SPLIT),
-    "tokenizer_fertility": QueryDef(
-        q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY
-    ),
-    "bigram_logprob": QueryDef(q_bigram_logprob, SQL_BIGRAM_LOGPROB),
-    "quantile_normalize": QueryDef(
-        q_quantile_normalize, SQL_QUANTILE_NORMALIZE
-    ),
-    "simhash_candidates": QueryDef(
-        q_simhash_candidates, SQL_SIMHASH_CANDIDATES
-    ),
-    "edit1_pairs": QueryDef(q_edit1_pairs, SQL_EDIT1_PAIRS),
-    "funnel_conversion_bounded": QueryDef(
-        q_funnel_conversion_bounded, SQL_FUNNEL
-    ),
-    "quality_ensemble": QueryDef(
-        q_quality_ensemble, SQL_QUALITY_ENSEMBLE
-    ),
-    "plan_batches": QueryDef(q_plan_batches, SQL_PLAN_BATCHES),
-    "supplier_triangles": QueryDef(
-        q_supplier_triangles, SQL_SUPPLIER_TRIANGLES
-    ),
-    "session_paths": QueryDef(q_session_paths, SQL_SESSION_PATHS),
-    "mixture_card": QueryDef(q_mixture_card, SQL_MIXTURE_CARD),
-    "customer_set_ops": QueryDef(
-        q_customer_set_ops, SQL_CUSTOMER_SET_OPS
-    ),
-    # -- first 14 of the banked §2 reference-surface set
-    # (green in round 2; superseded singles skipped per the
-    # schedule)
-    "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),
-    "f1_division_filter": QueryDef(q_f1_division_filter, SQL_F1),
-    "f2_prefix_filter": QueryDef(q_f2_prefix_filter, SQL_F2),
-    "f3_fungi_gate": QueryDef(q_f3_fungi_gate, SQL_F3),
-    "f4_whitelist_deadletter": QueryDef(q_f4_whitelist_deadletter, SQL_F4),
-    "f5_malformed_id_drop": QueryDef(q_f5_malformed_id_drop, SQL_F5),
-    "f7_unparseable_cds_drop": QueryDef(q_f7_unparseable_cds_drop, SQL_F7),
-    "p1_regex_extract": QueryDef(q_p1_regex_extract, SQL_P1),
-    "p2_alternation_extract": QueryDef(q_p2_alternation_extract, SQL_P2),
-    "p3_range_extract": QueryDef(q_p3_range_extract, SQL_P3),
-    "p7_location_normalizer": QueryDef(q_p7_location_normalizer, SQL_P7),
-    "p8_strand_detector": QueryDef(q_p8_strand_detector, SQL_P8),
-    "p9_path_components": QueryDef(q_p9_path_components, SQL_P9),
-    "g1_sessionize": QueryDef(q_g1_sessionize, SQL_G1),
-    # ============== below the fold (not checked in r5) ==============
-    # -- superseded singles: covered by the consolidated
-    # p456_detectors / f68_guards / s67_sinks rows above.  DELETE
-    # these in round 6 once those rows hold green driver rows,
-    # and update the §8 coverage map to cite the consolidated
-    # rows (round-4 VERDICT item 2).
-    "f6_empty_record_guard": QueryDef(q_f6_empty_record_guard, SQL_F6),
-    "f8_empty_input_guard": QueryDef(q_f8_empty_input_guard, SQL_F8),
-    "p4_feature_start": QueryDef(q_p4_feature_start, SQL_P4),
-    "p5_cds_head": QueryDef(q_p5_cds_head, SQL_P5),
-    "p6_qualifier_continuation": QueryDef(q_p6_qualifier_continuation, SQL_P6),
-    "s6_partitioned_shards": QueryDef(q_s6_partitioned_shards, SQL_S6),
-    "s7_concat_single_file": QueryDef(q_s7_concat_single_file, SQL_S7),
-    # -- remaining banked §2 set (green in round 2; first into
-    # the round-6 window)
+    # ================== r7 window (positions 1-50) ==================
+    # -- the one never-driver-checked query (added r6 below the
+    # fold; never-checked outranks banked — r6 VERDICT #1)
+    "dsir_weights": QueryDef(q_dsir_weights, SQL_DSIR_WEIGHTS),
+    # -- the 29 remaining banked §2 reference-surface rows
+    # (green in round 2; last checked there)
     "g2_nested_sessionize": QueryDef(q_g2_nested_sessionize, SQL_G2),
     "g3_final_flush": QueryDef(q_g3_final_flush, SQL_G3),
     "g4_ordinals": QueryDef(q_g4_ordinals, SQL_G4),
@@ -7910,8 +7651,7 @@ CATALOG: dict[str, QueryDef] = {
     "asof_join": QueryDef(q_asof_join, SQL_ASOF),
     "range_join_transit": QueryDef(q_range_join_transit, SQL_RANGE_JOIN),
     "transit_sweepline": QueryDef(q_transit_sweepline, SQL_SWEEPLINE),
-    # -- round-3 window (banked green in round 3; completes the
-    # round-6 window after the §2 remainder)
+    # -- first 20 of the round-3 window (green in round 3)
     "rollup_revenue": QueryDef(q_rollup_revenue, SQL_ROLLUP),
     "order_analytics": QueryDef(q_order_analytics, SQL_ORDER_ANALYTICS),
     "quantiles_exact": QueryDef(q_quantiles_exact, SQL_QUANTILES),
@@ -7932,6 +7672,9 @@ CATALOG: dict[str, QueryDef] = {
     "doc_chunks": QueryDef(q_doc_chunks, SQL_DOC_CHUNKS),
     "corpus_shuffle": QueryDef(q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
     "json_roundtrip": QueryDef(q_json_roundtrip, SQL_JSON_ROUNDTRIP),
+    # ============== below the fold (not checked in r7) ==============
+    # -- remaining round-3 window (rotate back in round 8 with
+    # the first 20 of the round-4 window)
     "tpch_q4_priority": QueryDef(q_tpch_q4_priority, SQL_TPCH_Q4),
     "tpch_q18_large_orders": QueryDef(q_tpch_q18_large_orders, SQL_TPCH_Q18),
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
@@ -7964,8 +7707,7 @@ CATALOG: dict[str, QueryDef] = {
     "props_extract": QueryDef(q_props_extract, SQL_PROPS_EXTRACT),
     "stream_totals": QueryDef(q_stream_totals, SQL_STREAM_TOTALS),
     "stream_dedup": QueryDef(q_stream_dedup, SQL_STREAM_DEDUP),
-    # -- round-4 window (banked green in round 4, CORRECTNESS_r04;
-    # rotates back in round 7)
+    # -- round-4 window (banked green in round 4, CORRECTNESS_r04)
     "heavy_hitters": QueryDef(q_heavy_hitters, SQL_HEAVY_HITTERS),
     "semantic_dedup": QueryDef(q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "scd2_user_state": QueryDef(q_scd2_user_state, SQL_SCD2),
@@ -8028,7 +7770,85 @@ CATALOG: dict[str, QueryDef] = {
     "supervised_pairs": QueryDef(q_supervised_pairs, SQL_SUPERVISED_PAIRS),
     "cms_frequencies": QueryDef(q_cms_frequencies, SQL_CMS_FREQUENCIES),
     "kmv_distinct": QueryDef(q_kmv_distinct, SQL_KMV_DISTINCT),
-    # -- round-6 addition (below the fold; enters the rotation at the
-    # end of the cycle)
-    "dsir_weights": QueryDef(q_dsir_weights, SQL_DSIR_WEIGHTS),
+    # -- round-6 window (banked green in round 6, CORRECTNESS_r06)
+    "daily_spine": QueryDef(q_daily_spine, SQL_DAILY_SPINE),
+    "session_bounce": QueryDef(q_session_bounce, SQL_SESSION_BOUNCE),
+    "trending_types": QueryDef(q_trending_types, SQL_TRENDING),
+    "length_histogram": QueryDef(q_length_histogram, SQL_LENGTH_HISTOGRAM),
+    "revenue_share": QueryDef(q_revenue_share, SQL_REVENUE_SHARE),
+    "session_duration_quartiles": QueryDef(
+        q_session_duration_quartiles, SQL_SESSION_DURATION_QUARTILES
+    ),
+    "purchase_gaps": QueryDef(q_purchase_gaps, SQL_PURCHASE_GAPS),
+    "lang_source_matrix": QueryDef(
+        q_lang_source_matrix, SQL_LANG_SOURCE_MATRIX
+    ),
+    "grouping_sets_revenue": QueryDef(
+        q_grouping_sets_revenue, SQL_GROUPING_SETS
+    ),
+    "window_distinct_users": QueryDef(
+        q_window_distinct_users, SQL_WINDOW_DISTINCT_USERS
+    ),
+    "p456_detectors": QueryDef(q_p456_detectors, SQL_P456),
+    "f68_guards": QueryDef(q_f68_guards, SQL_F68),
+    "s67_sinks": QueryDef(q_s67_sinks, SQL_S67),
+    "span_dedup": QueryDef(q_span_dedup, SQL_SPAN_DEDUP),
+    "embedding_standardize": QueryDef(
+        q_embedding_standardize, SQL_EMBEDDING_STANDARDIZE
+    ),
+    "sft_transcripts": QueryDef(q_sft_transcripts, SQL_SFT_TRANSCRIPTS),
+    "psi_drift": QueryDef(q_psi_drift, SQL_PSI_DRIFT),
+    "temperature_sampling": QueryDef(
+        q_temperature_sampling, SQL_TEMPERATURE_SAMPLING
+    ),
+    "near_dedup_keep_longest": QueryDef(
+        q_near_dedup_keep_longest, SQL_NEAR_DEDUP_KEEP_LONGEST
+    ),
+    "phash_buckets": QueryDef(q_phash_buckets, SQL_PHASH_BUCKETS),
+    "merge_upserts": QueryDef(q_merge_upserts, SQL_MERGE_UPSERTS),
+    "rate_anomalies": QueryDef(q_rate_anomalies, SQL_RATE_ANOMALIES),
+    "stream_rate_flags": QueryDef(
+        q_stream_rate_flags, SQL_STREAM_RATE_FLAGS
+    ),
+    "grouped_split": QueryDef(q_grouped_split, SQL_GROUPED_SPLIT),
+    "tokenizer_fertility": QueryDef(
+        q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY
+    ),
+    "bigram_logprob": QueryDef(q_bigram_logprob, SQL_BIGRAM_LOGPROB),
+    "quantile_normalize": QueryDef(
+        q_quantile_normalize, SQL_QUANTILE_NORMALIZE
+    ),
+    "simhash_candidates": QueryDef(
+        q_simhash_candidates, SQL_SIMHASH_CANDIDATES
+    ),
+    "edit1_pairs": QueryDef(q_edit1_pairs, SQL_EDIT1_PAIRS),
+    "funnel_conversion_bounded": QueryDef(
+        q_funnel_conversion_bounded, SQL_FUNNEL
+    ),
+    "quality_ensemble": QueryDef(
+        q_quality_ensemble, SQL_QUALITY_ENSEMBLE
+    ),
+    "plan_batches": QueryDef(q_plan_batches, SQL_PLAN_BATCHES),
+    "supplier_triangles": QueryDef(
+        q_supplier_triangles, SQL_SUPPLIER_TRIANGLES
+    ),
+    "session_paths": QueryDef(q_session_paths, SQL_SESSION_PATHS),
+    "mixture_card": QueryDef(q_mixture_card, SQL_MIXTURE_CARD),
+    "customer_set_ops": QueryDef(
+        q_customer_set_ops, SQL_CUSTOMER_SET_OPS
+    ),
+    "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),
+    "f1_division_filter": QueryDef(q_f1_division_filter, SQL_F1),
+    "f2_prefix_filter": QueryDef(q_f2_prefix_filter, SQL_F2),
+    "f3_fungi_gate": QueryDef(q_f3_fungi_gate, SQL_F3),
+    "f4_whitelist_deadletter": QueryDef(q_f4_whitelist_deadletter, SQL_F4),
+    "f5_malformed_id_drop": QueryDef(q_f5_malformed_id_drop, SQL_F5),
+    "f7_unparseable_cds_drop": QueryDef(q_f7_unparseable_cds_drop, SQL_F7),
+    "p1_regex_extract": QueryDef(q_p1_regex_extract, SQL_P1),
+    "p2_alternation_extract": QueryDef(q_p2_alternation_extract, SQL_P2),
+    "p3_range_extract": QueryDef(q_p3_range_extract, SQL_P3),
+    "p7_location_normalizer": QueryDef(q_p7_location_normalizer, SQL_P7),
+    "p8_strand_detector": QueryDef(q_p8_strand_detector, SQL_P8),
+    "p9_path_components": QueryDef(q_p9_path_components, SQL_P9),
+    "g1_sessionize": QueryDef(q_g1_sessionize, SQL_G1),
 }
