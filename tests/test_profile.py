@@ -54,6 +54,24 @@ def test_single_aggregation_plan(spark):
     assert plan.count("Exchange") <= 1
 
 
+def test_exact_path_no_expand(spark):
+    """The exact path must use the two-phase long-form distinct, NOT
+    Catalyst's multi-distinct Expand rewrite (which sorts an
+    (N+1)x-replicated relation on every profiled column at once —
+    round-6 verdict item 2)."""
+    df = sample_df(spark)
+    plan = (
+        PRF.profile(df, distinct="exact")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan
+    # the Expand rewrite's real cost was the full Sort of the
+    # replicated relation on every profiled column; a keyless
+    # SortAggregate (string min/max fold) is fine — an actual Sort
+    # node is not
+    assert "Sort [" not in plan
+
+
 def test_bad_mode_rejected(spark):
     with pytest.raises(ValueError):
         PRF.profile(sample_df(spark), distinct="nope")

@@ -70,10 +70,16 @@ def main() -> None:
         t_spark = reps[1]
         t_oracle = None
         if qd.oracle is not None:
-            for _ in range(2):
-                t0 = time.perf_counter()
-                con.sql(qd.oracle).arrow()
-                t_oracle = time.perf_counter() - t0
+            # own try: one bad oracle SQL must record an ERR row, not
+            # abort the remaining queries (round-6 ADVICE)
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    con.sql(qd.oracle).arrow()
+                    t_oracle = time.perf_counter() - t0
+            except Exception as exc:  # noqa: BLE001
+                print(f"ERR   {name} (oracle): {exc}", flush=True)
+                t_oracle = None
         rows.append(
             {
                 "name": name,
