@@ -25,6 +25,11 @@ any other key join:
   running sum.  For per-point coverage COUNTS this beats any join —
   shuffle volume is 2 rows per interval regardless of span — and it is
   the shape to reach for when the join's only purpose is counting.
+* :func:`coverage_at_points` — the count-only range join: probe
+  points ride the sweep as zero-delta boundaries, so each probe reads
+  its exact coverage without ever materializing the point-interval
+  pair relation (round-6 verdict #4: count-only shapes route here;
+  :func:`range_join` is for queries that need the joined payload).
 """
 
 from __future__ import annotations
@@ -160,7 +165,55 @@ def concurrent_intervals(
     ``offset + local cumsum`` is the exact sweep value and no task
     ever sorts the whole axis."""
     by = by or []
-    deltas = intervals.select(
+    deltas = _interval_deltas(intervals, start_col, end_col, by)
+    return _sweep(deltas, by, bucket_width)
+
+
+def coverage_at_points(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: list[str] | None = None,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Count-only range join: every ``points`` row with ``n_active`` =
+    the number of ``intervals`` rows containing it (``start <= p <=
+    end``) — including 0.  Equivalent to ``range_join(...).groupBy(
+    point).count()`` but never materializes the point-interval pair
+    relation: the probe positions enter the sweep as zero-delta
+    boundary rows, so the sweep value AT each probe position is exactly
+    its coverage, and shuffle volume stays 2 rows per interval + 1 per
+    probe position regardless of interval span or match fan-out.  The
+    shape to reach for whenever the join's only purpose is counting
+    (the payload-preserving form is :func:`range_join`).
+
+    ``by`` keys the sweep per group (probe rows must carry the same
+    columns); ``bucket_width`` selects the distributed two-phase prefix
+    sum exactly as in :func:`concurrent_intervals`."""
+    by = by or []
+    probe_pos = points.select(
+        *by, F.col(point_col).cast("long").alias("pos")
+    ).distinct()
+    deltas = _interval_deltas(intervals, start_col, end_col, by).unionByName(
+        probe_pos.withColumn("d", F.lit(0))
+    )
+    sweep = _sweep(deltas, by, bucket_width)
+    keys = [*by, "pos"]
+    return (
+        points.withColumn("pos", F.col(point_col).cast("long"))
+        .join(sweep, keys, "left")
+        .drop("pos")
+        .withColumn("n_active", F.coalesce("n_active", F.lit(0)))
+    )
+
+
+def _interval_deltas(
+    intervals: DataFrame, start_col: str, end_col: str, by: list[str]
+) -> DataFrame:
+    """+1 at start, -1 just past the (inclusive) end."""
+    return intervals.select(
         *by,
         F.explode(
             F.array(
@@ -175,6 +228,13 @@ def concurrent_intervals(
             )
         ).alias("e"),
     ).select(*by, "e.pos", "e.d")
+
+
+def _sweep(
+    deltas: DataFrame, by: list[str], bucket_width: int | None
+) -> DataFrame:
+    """Running sum of deltas in position order: (by..., pos, n_active),
+    one row per distinct position."""
     per_pos = deltas.groupBy(*by, "pos").agg(F.sum("d").alias("delta"))
     if bucket_width is None:
         w = Window.partitionBy(*by).orderBy("pos")

@@ -1695,13 +1695,22 @@ FROM views v ASOF LEFT JOIN buys b
 
 
 def q_range_join_transit(spark, sf_dir):
-    """Point-in-interval range join (operators/rangejoin.py): for each
+    """Count-only range join (rangejoin.coverage_at_points): for each
     distinct order date, how many lineitems were in transit
     (shipdate <= d <= receiptdate).  The fixture lineitem carries no
     receipt date, so transit time is derived deterministically as
-    ``(l_quantity % 30) + 1`` days.  Bucketed equi-join — intervals
-    explode to ~2 month-buckets each, a point lands in exactly one, no
-    cross product anywhere."""
+    ``(l_quantity % 30) + 1`` days.
+
+    Round-7 re-point (r6 verdict #4): this row previously materialized
+    the point-interval pair relation via the bucketed range_join and
+    aggregated it — 4.15x its oracle and the largest absolute
+    Spark-slower query at sf0.1.  A count-only shape never needs the
+    pairs: the probe dates ride the sweep as zero-delta boundaries
+    (shuffle = 2 rows/interval + 1 row/date, span- and fan-out-
+    independent).  The payload-preserving range_join operator is
+    exercised by ``transit_payload`` (max transit duration per date —
+    not expressible as a prefix sum) and the randomized brute-force
+    parity tests in tests/test_relational_ext.py."""
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     points = (
@@ -1714,12 +1723,13 @@ def q_range_join_transit(spark, sf_dir):
         sd.alias("sd"),
         (sd + (F.col("l_quantity").cast("int") % 30) + 1).alias("ed"),
     )
-    joined = RJ.range_join(
+    cov = RJ.coverage_at_points(
         points, intervals, point_col="day", start_col="sd", end_col="ed",
-        bucket_width=32,
+        bucket_width=90,
     )
-    return joined.groupBy(F.col("d").cast("string").alias("order_date")).agg(
-        F.count("*").alias("n_in_transit")
+    return cov.where(F.col("n_active") > 0).select(
+        F.col("d").cast("string").alias("order_date"),
+        F.col("n_active").cast("long").alias("n_in_transit"),
     )
 
 
@@ -1778,6 +1788,53 @@ SELECT CAST(pos AS VARCHAR) AS pos,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS n_active
 FROM per_pos
+"""
+
+
+def q_transit_payload(spark, sf_dir):
+    """Payload-preserving range join (rangejoin.range_join): per order
+    date, the count AND the longest transit duration among in-transit
+    lineitems.  max-over-covering-set is not a prefix sum (no inverse),
+    so this genuinely needs the materialized point-interval pairs —
+    the row that keeps the bucketed range_join operator oracle-
+    exercised after ``range_join_transit`` re-pointed to the sweep
+    (r6 verdict #4).  Bucketed equi-join: intervals explode to ~2
+    month-buckets each, a point lands in exactly one, no cross product
+    anywhere."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    points = (
+        orders.select(F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+        .withColumn("day", F.unix_date("d"))
+    )
+    sd = F.unix_date(F.col("l_shipdate").cast("date"))
+    intervals = li.select(
+        sd.alias("sd"),
+        (sd + (F.col("l_quantity").cast("int") % 30) + 1).alias("ed"),
+    )
+    joined = RJ.range_join(
+        points, intervals, point_col="day", start_col="sd", end_col="ed",
+        bucket_width=32,
+    )
+    return joined.groupBy(F.col("d").cast("string").alias("order_date")).agg(
+        F.count("*").alias("n_in_transit"),
+        F.max(F.col("ed") - F.col("sd")).cast("long").alias("max_transit_days"),
+    )
+
+
+SQL_TRANSIT_PAYLOAD = """
+WITH pts AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders),
+iv AS (
+  SELECT CAST(l_shipdate AS DATE) AS sd,
+         CAST(l_shipdate AS DATE)
+           + CAST((CAST(l_quantity AS INTEGER) % 30) + 1 AS INTEGER) AS ed
+  FROM lineitem
+)
+SELECT CAST(p.d AS VARCHAR) AS order_date, count(*) AS n_in_transit,
+       CAST(max(ed - sd) AS BIGINT) AS max_transit_days
+FROM pts p JOIN iv ON iv.sd <= p.d AND p.d <= iv.ed
+GROUP BY p.d
 """
 
 
@@ -7593,11 +7650,12 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #     transit_sweepline, green r2) + the first 20 of the
 #     round-3-window set (rollup_revenue .. json_roundtrip, green
 #     r3).  1 + 29 + 20 = 50; registry now 180 entries.
-#   round 8: the remaining 30 r3-window queries (tpch_q4_priority ..
-#     stream_dedup) + the first 20 of the round-4-window set
-#     (heavy_hitters .. hash_sample_weighted).
-#   round 9+: remaining 30 r4-window + first 20 of the r6-window
-#     set; steady state is a ~3.6-round rotation of 180 queries at
+#   round 8: transit_payload (the one r7 addition, never-checked —
+#     first below the fold) + the remaining 30 r3-window queries
+#     (tpch_q4_priority .. stream_dedup) + the first 19 of the
+#     round-4-window set (heavy_hitters .. asof_join_bucketed).
+#   round 9+: remaining 31 r4-window + first 19 of the r6-window
+#     set; steady state is a ~3.6-round rotation of 181 queries at
 #     50 checked entries per round — hold net-new additions near
 #     zero so the cycle stays tight.
 #
@@ -7673,6 +7731,10 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_shuffle": QueryDef(q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
     "json_roundtrip": QueryDef(q_json_roundtrip, SQL_JSON_ROUNDTRIP),
     # ============== below the fold (not checked in r7) ==============
+    # -- round-7 addition, FIRST into the round-8 window (never-checked
+    # outranks banked): the payload-preserving range_join row added
+    # when range_join_transit re-pointed to the sweep (r6 verdict #4)
+    "transit_payload": QueryDef(q_transit_payload, SQL_TRANSIT_PAYLOAD),
     # -- remaining round-3 window (rotate back in round 8 with
     # the first 20 of the round-4 window)
     "tpch_q4_priority": QueryDef(q_tpch_q4_priority, SQL_TPCH_Q4),

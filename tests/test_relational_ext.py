@@ -259,3 +259,49 @@ def test_interval_overlap_matches_bruteforce_randomized(spark):
             if ls <= re and rs <= le
         )
         assert sorted(pairs) == want, width
+
+
+def test_coverage_at_points_matches_range_join(spark):
+    """coverage_at_points == range_join + groupBy count, PLUS explicit
+    zero rows for uncovered probes; randomized with negative
+    positions, wide spans, duplicate probe positions, and both the
+    windowed and bucketed sweep."""
+    import random
+
+    rng = random.Random(29)
+    pts = [(i, rng.randint(-200, 200)) for i in range(50)]
+    ivs = []
+    for i in range(25):
+        s = rng.randint(-200, 180)
+        e = s if i % 5 == 0 else s + rng.randint(0, 120)
+        ivs.append((1000 + i, s, e))
+    points = spark.createDataFrame(pts, "pid long, pos long")
+    intervals = spark.createDataFrame(ivs, "iid long, sd long, ed long")
+    want = {
+        pid: sum(1 for _, s, e in ivs if s <= pos <= e)
+        for pid, pos in pts
+    }
+    for width in (None, 7, 64):
+        out = RJ.coverage_at_points(
+            points, intervals, "pos", "sd", "ed", bucket_width=width
+        )
+        got = {r["pid"]: r["n_active"] for r in out.collect()}
+        assert got == want, width
+
+
+def test_coverage_at_points_grouped(spark):
+    """Per-group sweeps stay independent: the same position covered in
+    one group contributes nothing to another."""
+    points = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 50), ("b", 3, 5)],
+        "g string, pid long, pos long",
+    )
+    intervals = spark.createDataFrame(
+        [("a", 0, 10), ("a", 5, 6), ("b", 100, 110)],
+        "g string, sd long, ed long",
+    )
+    out = RJ.coverage_at_points(
+        points, intervals, "pos", "sd", "ed", by=["g"], bucket_width=4
+    )
+    got = {r["pid"]: r["n_active"] for r in out.collect()}
+    assert got == {1: 2, 2: 0, 3: 0}
