@@ -16,9 +16,12 @@ bounded-state:
    group) cumsum on the tiny side and broadcast back as offsets —
    no single task ever sorts a whole group (with ``bucket_width=None``
    it degrades to one ordered window per group, fine for small groups);
-3. a broadcast join against the quantile list finds, per target rank
+3. the quantile list explodes map-side as a literal array (partition-
+   preserving — no join, no extra exchange) and, per target rank
    ``r = 1 + (n-1) * q`` (``percentile_cont`` semantics), the bracketing
-   values ``v_floor(r)`` / ``v_ceil(r)`` and linearly interpolates.
+   values ``v_floor(r)`` / ``v_ceil(r)`` aggregate out and linearly
+   interpolate — on the window's own partitioning, so everything after
+   the cumulative sum is shuffle-free.
 """
 
 from __future__ import annotations
@@ -32,23 +35,23 @@ def _cumulative_counts(
 ) -> DataFrame:
     """per (by, value): running count <= value (``_cum``), the same
     minus own count (``_cum_prev``), and the group total (``_n``).
-    With ``by=[]`` (global), totals is a 1-row broadcast cross join."""
-    totals = counts.groupBy(*by).agg(F.sum("_c").alias("_n"))
 
-    def _with_totals(rel: DataFrame) -> DataFrame:
-        if by:
-            return rel.join(F.broadcast(totals), by)
-        return rel.crossJoin(F.broadcast(totals))
+    ``_n`` comes from a SECOND window over the same partitioning
+    (unbounded frame), never from a separate aggregation branch: a
+    ``counts.groupBy(by).sum()`` subtree re-executes the whole
+    upstream (scan + partial agg) because its exchange keys on
+    ``by`` while the count exchange keys on ``(by, value)`` — the
+    round-6 quantiles_exact plan read the input parquet twice for
+    exactly this reason."""
     if bucket_width is None:
         w = Window.partitionBy(*by).orderBy(value_col)
-        return (
-            counts.select(
-                *by,
-                F.col(value_col).alias("_v"),
-                F.sum("_c").over(w).alias("_cum"),
-                (F.sum("_c").over(w) - F.col("_c")).alias("_cum_prev"),
-            )
-            .transform(_with_totals)
+        w_all = Window.partitionBy(*by)  # same exchange, no extra sort
+        return counts.select(
+            *by,
+            F.col(value_col).alias("_v"),
+            F.sum("_c").over(w).alias("_cum"),
+            (F.sum("_c").over(w) - F.col("_c")).alias("_cum_prev"),
+            F.sum("_c").over(w_all).alias("_n"),
         )
     bkt = F.floor(F.col(value_col) / F.lit(float(bucket_width)))
     local = counts.withColumn("_bkt", bkt)
@@ -60,16 +63,23 @@ def _cumulative_counts(
         F.col("_c"),
         F.sum("_c").over(w_local).alias("_lcum"),
     )
-    # bucket totals are one row per (group, bucket) — tiny; their
-    # exclusive running sum is each bucket's offset into the group
+    # bucket totals from the SAME windowed frame (counts are positive,
+    # so the bucket's max running sum IS its total), NOT a fresh
+    # aggregation over `local` — the branches must share one physical
+    # subtree so the count relation materializes once.  One row per
+    # (group, bucket) — tiny; the exclusive running sum is each
+    # bucket's offset into the group, and the group sum is ``_n`` —
+    # both window over the tiny relation.
     w_bkt = Window.partitionBy(*by).orderBy("_bkt")
+    w_all = Window.partitionBy(*by)
     offsets = (
-        local.groupBy(*by, "_bkt")
-        .agg(F.sum("_c").alias("_bc"))
+        cum_local.groupBy(*by, "_bkt")
+        .agg(F.max("_lcum").alias("_bc"))
         .select(
             *by,
             "_bkt",
             (F.sum("_bc").over(w_bkt) - F.col("_bc")).alias("_off"),
+            F.sum("_bc").over(w_all).alias("_n"),
         )
     )
     # LEFT join (offsets covers every (group, bucket) of cum_local by
@@ -78,15 +88,14 @@ def _cumulative_counts(
     # and push it below the caller's shared exchange — on ONE consumer
     # branch only, desyncing the subtrees so ReusedExchange stops
     # firing and the upstream re-executes (observed in quantile_gate).
-    return (
-        cum_local.join(F.broadcast(offsets), [*by, "_bkt"], "left")
-        .select(
-            *by,
-            "_v",
-            (F.col("_lcum") + F.col("_off")).alias("_cum"),
-            (F.col("_lcum") + F.col("_off") - F.col("_c")).alias("_cum_prev"),
-        )
-        .transform(_with_totals)
+    return cum_local.join(
+        F.broadcast(offsets), [*by, "_bkt"], "left"
+    ).select(
+        *by,
+        "_v",
+        (F.col("_lcum") + F.col("_off")).alias("_cum"),
+        (F.col("_lcum") + F.col("_off") - F.col("_c")).alias("_cum_prev"),
+        "_n",
     )
 
 
@@ -187,9 +196,13 @@ def exact_quantiles(
     df = df.where(F.col(value_col).isNotNull())
     counts = df.groupBy(*by, value_col).agg(F.count("*").alias("_c"))
     cum = _cumulative_counts(counts, value_col, by, bucket_width)
-    quants = df.sparkSession.createDataFrame(
-        [(float(q),) for q in qs], "q double"
-    )
+    # the quantile list is a LITERAL: explode it map-side rather than
+    # broadcast-joining a 1-column DataFrame — a BroadcastNestedLoopJoin
+    # reports unknown output partitioning, which forced a fresh
+    # exchange before the bracket aggregation; Generate preserves the
+    # window's hash(by) partitioning, so the groupBys below it need no
+    # further shuffle
+    qlist = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
     # target rank r in [1, n]; the value at integer rank k is the first
     # value whose cumulative count reaches k: _cum_prev < k <= _cum
     r = F.lit(1.0) + (F.col("_n") - 1) * F.col("q")
@@ -197,7 +210,7 @@ def exact_quantiles(
     hi_k = F.ceil(r)
     serves_lo = (F.col("_cum_prev") < lo_k) & (lo_k <= F.col("_cum"))
     serves_hi = (F.col("_cum_prev") < hi_k) & (hi_k <= F.col("_cum"))
-    hit = cum.join(F.broadcast(quants)).where(serves_lo | serves_hi)
+    hit = cum.select(cum["*"], qlist).where(serves_lo | serves_hi)
     agg = hit.groupBy(*by, "q").agg(
         F.max(F.when(serves_lo, F.col("_v"))).alias("vlo"),
         F.max(F.when(serves_hi, F.col("_v"))).alias("vhi"),
