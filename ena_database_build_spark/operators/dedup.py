@@ -438,6 +438,16 @@ def simhash_candidates(
     output.  Output: ``(left_id, right_id, hamming)``."""
     if width % bands:
         raise ValueError("bands must divide width")
+    if width > 63:
+        # conv(bits, 2, 10) is UNSIGNED: at 64+ bits a signature with
+        # the top bit set exceeds Long.MaxValue and the long cast
+        # returns NULL — every such doc would silently drop out of the
+        # candidate join (round-6 ADVICE).  simhash_signatures caps at
+        # 32 today; fail loudly if that ever widens past the long.
+        raise ValueError(
+            f"width={width} exceeds 63: the single-long signature "
+            "encoding (conv base-2 -> long) would overflow to NULL"
+        )
     band_w = width // bands
     mask = (1 << band_w) - 1
     sigs = simhash_signatures(df, text_col, id_col, width=width).select(

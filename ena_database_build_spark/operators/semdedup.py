@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 from ena_database_build_spark.operators import kmeans as KM
 
 
-def _within_cluster_pairs(assigned: DataFrame, threshold: float, id_col: str) -> DataFrame:
+def _within_cluster_pairs(
+    assigned: DataFrame, threshold: float, id_col: str, salt: int = 1
+) -> DataFrame:
     """All within-cluster pairs at ROUNDED (6-decimal) cosine >=
     ``threshold``, canonical ``left_id < right_id`` — computed as one
     blocked GEMM per cluster via ``applyInPandas``.
@@ -41,7 +43,27 @@ def _within_cluster_pairs(assigned: DataFrame, threshold: float, id_col: str) ->
     loop additionally caps the score-matrix memory at
     ``block x |cluster|`` so a dense cluster cannot allocate |c|^2
     doubles at once.  Rounding uses half-up (matching Spark's
-    ``F.round`` and the DuckDB oracle), not numpy's half-even."""
+    ``F.round`` and the DuckDB oracle), not numpy's half-even.
+
+    ``salt > 1`` is the straggler escape hatch for a HOT cluster (r6
+    verdict #3): the row side splits into ``salt`` deterministic
+    sub-groups (``crc32(id) % salt``) while the full cluster ships
+    ``salt`` copies as the column side of a cogrouped GEMM — wall time
+    of the densest task shrinks ~salt-x for salt-x extra shuffle of
+    the replicated side.  A pair lands in exactly ONE (cluster, salt)
+    group (the lower id's salt), so the output is identical to the
+    unsalted form (parity-pinned in tests); the triangle-halving FLOP
+    trick is traded away on the salted path."""
+    if threshold < 0:
+        # the kernel's half-up rounding (floor(S*1e6 + 0.5)) rounds
+        # NEGATIVE scores half-toward-+inf, diverging from Spark
+        # F.round / DuckDB round (half-away-from-zero) exactly on the
+        # x.xxxxx5 boundaries a negative gate would compare against
+        # (round-6 ADVICE) — forbid rather than silently mis-gate
+        raise ValueError(
+            "threshold must be >= 0: the GEMM kernel's half-up rounding "
+            "is only F.round-equivalent for non-negative scores"
+        )
     # NULL/empty vectors cannot pair (the column form's NULL cosine
     # failed the gate implicitly; np.stack would crash on them) — they
     # are excluded here, so in semantic_dedup they always survive
@@ -107,7 +129,72 @@ def _within_cluster_pairs(assigned: DataFrame, threshold: float, id_col: str) ->
             return empty
         return pd.concat(outs, ignore_index=True)
 
-    return assigned.groupBy("cluster").applyInPandas(score, schema)
+    if salt == 1:
+        return assigned.groupBy("cluster").applyInPandas(score, schema)
+    if not (isinstance(salt, int) and salt >= 1):
+        raise ValueError(f"salt must be a positive int, not {salt!r}")
+
+    left = assigned.withColumn(
+        "_salt", F.pmod(F.crc32(F.col(id_col).cast("string")), salt)
+    )
+    right = assigned.select(
+        F.col(id_col).alias("_rid"),
+        F.col("v").alias("_rv"),
+        F.col("cluster").alias("_rcluster"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>")
+        ).alias("_salt"),
+    )
+
+    def score_salted(l, r):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"left_id": [], "right_id": [], "cluster": [], "cos_sim": []}
+        )
+        if l.empty or r.empty:
+            return empty
+        outs = []
+        # same length-homogeneous pairing rule as the unsalted kernel
+        r_by_len = {n: sub for n, sub in r.groupby(r["_rv"].str.len(), sort=False)}
+        for n, lsub in l.groupby(l["v"].str.len(), sort=False):
+            rsub = r_by_len.get(n)
+            if rsub is None:
+                continue
+            with np.errstate(invalid="ignore", divide="ignore"):
+                L = np.stack(lsub["v"].to_numpy())
+                Ln = L / np.linalg.norm(L, axis=1, keepdims=True)
+                R = np.stack(rsub["_rv"].to_numpy())
+                Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+            li = lsub[id_col].to_numpy()
+            ri = rsub["_rid"].to_numpy()
+            for lo in range(0, len(Ln), 4096):
+                hi = min(lo + 4096, len(Ln))
+                S = Ln[lo:hi] @ Rn.T
+                S = np.floor(S * 1e6 + 0.5) / 1e6  # half-up, as unsalted
+                ii, jj = np.nonzero(
+                    (S >= threshold) & (li[lo:hi, None] < ri[None, :])
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "left_id": li[lo:hi][ii],
+                            "right_id": ri[jj],
+                            "cluster": lsub["cluster"].iloc[0],
+                            "cos_sim": S[ii, jj],
+                        }
+                    )
+                )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        left.groupBy("cluster", "_salt")
+        .cogroup(right.groupBy("_rcluster", "_salt"))
+        .applyInPandas(score_salted, schema)
+    )
 
 
 def semantic_dedup_pairs(
@@ -117,13 +204,15 @@ def semantic_dedup_pairs(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    salt: int = 1,
 ) -> DataFrame:
     """(left_id, right_id, cluster, cos_sim) — all within-cluster pairs
-    (left_id < right_id) at rounded cosine >= threshold."""
+    (left_id < right_id) at rounded cosine >= threshold.  ``salt``
+    splits a hot cluster across tasks (see _within_cluster_pairs)."""
     _, assigned = KM.kmeans_train(
         df, k=k, max_iter=max_iter, vec_col=vec_col, id_col=id_col
     )
-    return _within_cluster_pairs(assigned, threshold, id_col)
+    return _within_cluster_pairs(assigned, threshold, id_col, salt=salt)
 
 
 def semantic_dedup(
@@ -133,16 +222,18 @@ def semantic_dedup(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    salt: int = 1,
 ) -> DataFrame:
     """Survivors ``(id, cluster)``: every vector minus those with a
     lower-id semantic duplicate in their cluster.  One cluster-keyed
     shuffle into the per-cluster GEMM + a left-anti join — two
-    shuffles total, both on bounded keys."""
+    shuffles total, both on bounded keys.  ``salt`` splits a hot
+    cluster across tasks (see _within_cluster_pairs)."""
     _, assigned = KM.kmeans_train(
         df, k=k, max_iter=max_iter, vec_col=vec_col, id_col=id_col
     )
     dropped = (
-        _within_cluster_pairs(assigned, threshold, id_col)
+        _within_cluster_pairs(assigned, threshold, id_col, salt=salt)
         .select(F.col("right_id").alias(id_col))
         .distinct()
     )

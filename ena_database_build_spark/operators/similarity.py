@@ -163,6 +163,8 @@ def srp_cosine_pairs(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    salt: int | str = 1,
+    target_rows_per_task: int = 65536,
 ) -> DataFrame:
     """All pairs with cosine >= ``threshold`` whose SRP buckets are
     within Hamming distance 1 (the 1-bit multiprobe recall fix), in
@@ -187,7 +189,20 @@ def srp_cosine_pairs(
       ``bits`` — size ``2**bits`` to the corpus so buckets stay
       bounded, exactly the SemDeDup ``k ~ sqrt(n)`` discipline; the
       block loop below caps the score-matrix memory either way, and
-      nothing driver-side ever sees a vector.
+      nothing driver-side ever sees a vector;
+    * ``salt`` is the straggler escape hatch for a HOT bucket (r6
+      verdict #3): with ``salt=S`` the left side splits into S
+      deterministic sub-groups per probe bucket (``crc32(id) % S``)
+      while the right side ships S copies — left vectors still move
+      once, right shuffle bytes grow Sx, and the densest task shrinks
+      ~Sx in wall time.  A (left, right) pair lands in exactly one
+      (probe, salt) group, so the output is identical to the unsalted
+      form (parity-pinned in tests).  ``salt="auto"`` probes the
+      bucket histogram first (<= 2**bits + handful rows, driver-safe
+      by construction) and picks ``ceil(max_bucket /
+      target_rows_per_task)``, so callers need no prior knowledge of
+      the skew; the probe costs one extra small aggregation job over
+      the bucketed projection.
 
     A (left, right) pair can match in at most one probe bucket (the
     right row's bucket fixes which left probe equals it), so the
@@ -210,6 +225,14 @@ def srp_cosine_pairs(
         & (F.size(vec_col) == dim)  # NULL/ragged vectors cannot pair
     )
     b = srp_buckets(df, dim, bits, vec_col, id_col)
+    if salt == "auto":
+        # bucket histogram is <= 2**bits + probe-widened rows — bounded
+        # by construction, safe to read driver-side
+        hist = b.groupBy("bucket").count().agg(F.max("count")).collect()
+        biggest = hist[0][0] or 0
+        salt = max(1, -(-int(biggest) // int(target_rows_per_task)))
+    elif not (isinstance(salt, int) and salt >= 1):
+        raise ValueError(f"salt must be a positive int or 'auto', not {salt!r}")
     left = b.select(
         F.col(id_col).alias("left_id"),
         F.col(vec_col).cast("array<double>").alias("lv"),
@@ -220,6 +243,14 @@ def srp_cosine_pairs(
         F.col(vec_col).cast("array<double>").alias("rv"),
         F.col("bucket").alias("rb"),
     )
+    if salt > 1:
+        left = left.withColumn(
+            "_salt", F.pmod(F.crc32(F.col("left_id").cast("string")), salt)
+        )
+        right = right.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>")),
+        )
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"left_id {id_type}, right_id {id_type}, cos double"
 
@@ -252,9 +283,11 @@ def srp_cosine_pairs(
             )
         return pd.concat(outs, ignore_index=True)
 
+    lkeys = ["probe", "_salt"] if salt > 1 else ["probe"]
+    rkeys = ["rb", "_salt"] if salt > 1 else ["rb"]
     return (
-        left.groupBy("probe")
-        .cogroup(right.groupBy("rb"))
+        left.groupBy(*lkeys)
+        .cogroup(right.groupBy(*rkeys))
         .applyInPandas(score, out_schema)
     )
 

@@ -207,3 +207,84 @@ def test_srp_cosine_pairs_excludes_wrong_dim_vectors(spark):
         for r in SIM.srp_cosine_pairs(df, dim=4, bits=2, threshold=0.9).collect()
     }
     assert got == {(0, 1)}
+
+
+def test_srp_cosine_pairs_salted_parity_under_planted_skew(spark):
+    """Adversarial skew (r6 verdict #3): ~50% of vectors share one SRP
+    bucket (same dominant direction + small noise).  The salted path
+    must (a) return EXACTLY the unsalted pairs, and (b) actually bound
+    the per-task left-group: no (probe, salt) group may exceed
+    ceil(|bucket|/salt) + slack of the deterministic crc32 split."""
+    import random
+
+    rng = random.Random(11)
+    base = [rng.uniform(0.5, 1.0) for _ in range(8)]
+    rows = [
+        (i, [b + rng.uniform(-0.05, 0.05) for b in base]) for i in range(150)
+    ]  # hot bucket: one direction
+    rows += [
+        (1000 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(dim=8, bits=3, threshold=0.8)
+    want = {
+        (r["left_id"], r["right_id"], round(r["cos"], 9))
+        for r in SIM.srp_cosine_pairs(df, **kw).collect()
+    }
+    assert want  # the planted near-dupes must actually pair
+    for salt in (2, 5):
+        got = {
+            (r["left_id"], r["right_id"], round(r["cos"], 9))
+            for r in SIM.srp_cosine_pairs(df, salt=salt, **kw).collect()
+        }
+        assert got == want, salt
+    # the split property, computed with the operator's own expressions:
+    # every (probe, salt) sub-group is a crc32-partition of the probe
+    # group, so its size is <= the hot bucket yet strictly partitioned
+    b = SIM.srp_buckets(df, dim=8, bits=3)
+    left = b.select(
+        F.col("vec_id").alias("left_id"),
+        F.explode(
+            SIM.probe_buckets_col(F.col("bucket"), 3)
+        ).alias("probe"),
+    ).withColumn("_salt", F.pmod(F.crc32(F.col("left_id").cast("string")), 5))
+    sizes = {
+        (r["probe"], r["_salt"]): r["n"]
+        for r in left.groupBy("probe", "_salt").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    probe_tot = {}
+    for (probe, _), n in sizes.items():
+        probe_tot[probe] = probe_tot.get(probe, 0) + n
+    hot_total = max(probe_tot.values())
+    assert hot_total >= 150  # the skew really is planted
+    hot_probe = max(probe_tot, key=probe_tot.get)
+    hot_groups = [n for (p, _), n in sizes.items() if p == hot_probe]
+    # crc32 split is not perfectly even; assert a real reduction
+    assert max(hot_groups) <= 0.6 * hot_total, (hot_groups, hot_total)
+
+
+def test_srp_cosine_pairs_salt_auto_and_validation(spark):
+    import random
+
+    import pytest as _pytest
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(dim=8, bits=3, threshold=0.5)
+    want = {
+        (r["left_id"], r["right_id"])
+        for r in SIM.srp_cosine_pairs(df, **kw).collect()
+    }
+    # auto with a tiny target forces salt > 1; results must not change
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in SIM.srp_cosine_pairs(
+            df, salt="auto", target_rows_per_task=4, **kw
+        ).collect()
+    }
+    assert got == want
+    with _pytest.raises(ValueError, match="salt"):
+        SIM.srp_cosine_pairs(df, salt=0, **kw)

@@ -145,3 +145,58 @@ def test_within_cluster_pairs_ragged_lengths_no_crash(spark):
         for r in _within_cluster_pairs(df, 0.999, "vec_id").collect()
     }
     assert got == {(0, 1), (2, 3)}
+
+
+def test_salted_pairs_parity_under_hot_cluster(spark):
+    """Adversarial skew (r6 verdict #3): force k=1 so EVERY vector
+    lands in one cluster — the worst straggler case — and check the
+    salted cogrouped GEMM returns exactly the unsalted pairs,
+    including across 4096-row GEMM blocks being irrelevant here but
+    ragged lengths and ties being present."""
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(120):
+        v = [rng.uniform(-1, 1) for _ in range(6)]
+        rows.append((i, v))
+        if i % 4 == 0:  # planted duplicates
+            rows.append((10000 + i, [1.5 * x for x in v]))
+    rows.append((20001, [0.1, 0.2]))  # ragged length pair
+    rows.append((20002, [0.2, 0.4]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pairs(salt):
+        return {
+            (r["left_id"], r["right_id"], r["cos_sim"])
+            for r in SD.semantic_dedup_pairs(
+                df, k=1, max_iter=1, threshold=0.95, salt=salt
+            ).collect()
+        }
+
+    want = pairs(1)
+    assert len(want) >= 30  # planted dupes + the ragged pair
+    assert (20001, 20002, 1.0) in want
+    for salt in (2, 7):
+        assert pairs(salt) == want, salt
+
+
+def test_salted_dedup_survivors_match_unsalted(spark):
+    import random
+
+    rng = random.Random(19)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(80)]
+    rows += [(5000 + i, [2.0 * x for x in rows[i][1]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def survivors(salt):
+        return {
+            r["vec_id"]
+            for r in SD.semantic_dedup(
+                df, k=2, max_iter=2, threshold=0.98, salt=salt
+            ).collect()
+        }
+
+    want = survivors(1)
+    assert survivors(3) == want
+    assert len(want) < len(rows)  # dupes actually dropped
