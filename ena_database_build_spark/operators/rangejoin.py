@@ -191,15 +191,18 @@ def coverage_at_points(
 
     ``by`` keys the sweep per group (probe rows must carry the same
     columns); ``bucket_width`` selects the distributed two-phase prefix
-    sum exactly as in :func:`concurrent_intervals`."""
+    sum exactly as in :func:`concurrent_intervals`.
+
+    This form joins the sweep back to ``points`` so arbitrary point
+    columns survive — which evaluates the ``points`` subtree twice
+    (once into the sweep, once as the join side).  When the probe
+    position is all a caller needs, :func:`coverage_at_positions`
+    reads the coverage straight off the sweep (single evaluation of
+    both inputs)."""
     by = by or []
-    probe_pos = points.select(
-        *by, F.col(point_col).cast("long").alias("pos")
-    ).distinct()
-    deltas = _interval_deltas(intervals, start_col, end_col, by).unionByName(
-        probe_pos.withColumn("d", F.lit(0))
+    sweep = coverage_at_positions(
+        points, intervals, point_col, start_col, end_col, by, bucket_width
     )
-    sweep = _sweep(deltas, by, bucket_width)
     keys = [*by, "pos"]
     return (
         points.withColumn("pos", F.col(point_col).cast("long"))
@@ -207,6 +210,46 @@ def coverage_at_points(
         .drop("pos")
         .withColumn("n_active", F.coalesce("n_active", F.lit(0)))
     )
+
+
+def coverage_at_positions(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: list[str] | None = None,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """``(by..., pos, n_active)`` for each DISTINCT probe position in
+    ``points`` — the no-join core of :func:`coverage_at_points`: probe
+    rows ride the sweep as zero-delta boundaries carrying a marker,
+    and the output is the sweep filtered to marked positions.
+
+    With ``bucket_width=None`` each input relation is evaluated
+    exactly once (scan-audit pinned) — and since the window input is
+    already one row per DISTINCT position, this is the right call
+    whenever the position domain is bounded (calendar days, epoch
+    hours, score grids).  With ``bucket_width`` set, the two-phase
+    offsets branch currently re-evaluates the inputs: the probe mark
+    exists only in the main branch, so Catalyst prunes the two
+    consumers of the windowed frame differently and exchange reuse
+    stops firing (the quality_ensemble defect class) — acceptable only
+    when a truly unbounded position axis forces the bucketed form."""
+    by = by or []
+    probe_pos = (
+        points.select(*by, F.col(point_col).cast("long").alias("pos"))
+        .distinct()
+        .withColumn("d", F.lit(0))
+        .withColumn("_p", F.lit(1))
+    )
+    deltas = (
+        _interval_deltas(intervals, start_col, end_col, by)
+        .withColumn("_p", F.lit(0))
+        .unionByName(probe_pos)
+    )
+    sweep = _sweep(deltas, by, bucket_width, mark_col="_p")
+    return sweep.where(F.col("_p") == 1).select(*by, "pos", "n_active")
 
 
 def _interval_deltas(
@@ -231,15 +274,24 @@ def _interval_deltas(
 
 
 def _sweep(
-    deltas: DataFrame, by: list[str], bucket_width: int | None
+    deltas: DataFrame,
+    by: list[str],
+    bucket_width: int | None,
+    mark_col: str | None = None,
 ) -> DataFrame:
     """Running sum of deltas in position order: (by..., pos, n_active),
-    one row per distinct position."""
-    per_pos = deltas.groupBy(*by, "pos").agg(F.sum("d").alias("delta"))
+    one row per distinct position.  ``mark_col`` names an extra 0/1
+    column of ``deltas`` carried through (max per position) so probe
+    rows remain identifiable downstream."""
+    marks = [F.max(mark_col).alias(mark_col)] if mark_col else []
+    mark_cols = [mark_col] if mark_col else []
+    per_pos = deltas.groupBy(*by, "pos").agg(
+        F.sum("d").alias("delta"), *marks
+    )
     if bucket_width is None:
         w = Window.partitionBy(*by).orderBy("pos")
         return per_pos.select(
-            *by, "pos", F.sum("delta").over(w).alias("n_active")
+            *by, "pos", F.sum("delta").over(w).alias("n_active"), *mark_cols
         )
     # `div` truncation is monotone, so bucket order == position order
     local = per_pos.withColumn("_bkt", F.expr(f"pos div {int(bucket_width)}"))
@@ -262,5 +314,8 @@ def _sweep(
         )
     )
     return cum_local.join(F.broadcast(offsets), [*by, "_bkt"], "left").select(
-        *by, "pos", (F.col("_off") + F.col("_lcum")).alias("n_active")
+        *by,
+        "pos",
+        (F.col("_off") + F.col("_lcum")).alias("n_active"),
+        *mark_cols,
     )

@@ -1738,12 +1738,22 @@ def q_range_join_transit(spark, sf_dir):
         sd.alias("sd"),
         (sd + (F.col("l_quantity").cast("int") % 30) + 1).alias("ed"),
     )
-    cov = RJ.coverage_at_points(
+    # windowed sweep (bucket_width=None): the position axis is
+    # CALENDAR DAYS, so the boundary set is bounded by the date domain
+    # (~2.6k here, <=tens of thousands for any corpus) and arrives at
+    # the window already aggregated per position — the single ordered
+    # partition is over that bounded set, never data rows.  The
+    # bucketed two-phase exists for dense numeric axes; with the probe
+    # mark it currently re-evaluates inputs (see coverage_at_positions)
+    cov = RJ.coverage_at_positions(
         points, intervals, point_col="day", start_col="sd", end_col="ed",
-        bucket_width=90,
     )
+    # the date is recoverable from the position, so the no-join core
+    # suffices — orders and lineitem each scan exactly once
     return cov.where(F.col("n_active") > 0).select(
-        F.col("d").cast("string").alias("order_date"),
+        F.date_from_unix_date(F.col("pos").cast("int"))
+        .cast("string")
+        .alias("order_date"),
         F.col("n_active").cast("long").alias("n_in_transit"),
     )
 
@@ -7688,6 +7698,13 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #       end of round 6 at BOTH sf0.01 and sf0.1 (187/187 each — the
 #       sf0.1 sweep is the first full value-compare at that scale),
 #       plus scan_audit 187/187 within budget on the final tree.
+#   r7: table_profile (banked r4) — exact-distinct path re-platformed
+#       from the Expand/multi-distinct rewrite to the single-scan
+#       struct-encoded long-form distinct (operators/profile.py; r6
+#       verdict #2).  Same rows/values; re-greened locally via
+#       check_catalog at sf0.01 and sf0.1.  dedup_embedding /
+#       semantic_dedup gained a salt escape hatch DEFAULTED OFF
+#       (salt=1 keeps the banked plans byte-identical).
 CATALOG: dict[str, QueryDef] = {
     # ================== r7 window (positions 1-50) ==================
     # -- the one never-driver-checked query (added r6 below the
