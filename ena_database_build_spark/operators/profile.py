@@ -19,20 +19,25 @@ single worst plan in the round-6 profile (92x its oracle).  Two
 no-Expand rewrites replace it:
 
 * **single-scan long form** (used when every profiled column's type
-  admits an order-preserving string encoding — strings, integral
-  types, booleans, dates, timestamps): each row projects to
-  ``posexplode(array(struct(enc_i, disp_i)))`` where ``enc`` sorts
-  like the native value (fixed-width sign-flipped hex for the
-  temporal/integral types, identity for strings) and ``disp`` is the
-  ``cast(value AS string)`` rendering the caller gets back.  One
-  hash aggregate dedups (col_idx, struct) WITH a per-group count
-  (map-side partial collapses duplicates before the exchange), then
-  a per-col_idx aggregate reads every statistic off the deduped
-  relation: n_rows = sum(cnt), n_nulls = cnt of the NULL-struct
-  group, n_distinct = count of non-NULL groups, min/max =
-  ``min/max(struct).disp`` (struct ordering = enc ordering = native
-  ordering).  Three stages, one scan, shuffles bounded by the number
-  of DISTINCT values — the same bound any exact-distinct plan pays.
+  admits an order-preserving long encoding or is a string — integral
+  types, booleans, dates, timestamps, strings): each row projects to
+  ``posexplode(array(struct(el_i, es_i)))`` where exactly one field
+  is populated per column — ``el`` a native long that sorts like the
+  value (cast for integral/boolean, ``unix_date``/``unix_micros``
+  for temporal), ``es`` the raw string.  One hash aggregate dedups
+  (col_idx, struct) WITH a per-group count (map-side partial
+  collapses duplicates before the exchange), then a per-col_idx
+  aggregate reads every statistic off the deduped relation:
+  n_rows = sum(cnt), n_nulls = cnt of the NULL-struct group,
+  n_distinct = count of non-NULL groups, min/max = min/max over each
+  encoding field separately (the unused field is all-NULL, which
+  min/max ignore — and scalar long/string aggregates keep the fold a
+  HashAggregate where a struct min/max would force a Sort), decoded
+  to the ``cast(value AS string)`` rendering AFTER aggregation on
+  <= 2 values per column.  Three stages, one scan, shuffle payload 8
+  fixed bytes (or the raw string) per DISTINCT value — the same
+  cardinality bound any exact-distinct plan pays, without the
+  round-6 form's per-row hex/string rendering.
 
 * **two-job long form** (fallback when a column's type has no such
   encoding — float/double, decimals, binary): the ``approx`` wide
@@ -66,30 +71,36 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-_SIGN_BIT = -9223372036854775808  # 1 << 63 as a signed long
-
-
-def _hex_enc(longcol: Column) -> Column:
-    """Order-preserving fixed-width encoding of a signed long: flip the
-    sign bit (signed order -> unsigned order), render as zero-padded
-    hex (fixed-width hex compares like the unsigned value)."""
-    return F.lpad(F.hex(longcol.bitwiseXOR(F.lit(_SIGN_BIT))), 16, "0")
-
-
-def _sortable_enc(col: Column, dt: DataType) -> Column | None:
-    """A string whose binary ordering equals the native ordering of
-    ``col``, or None when the type has no cheap such encoding."""
-    if isinstance(dt, StringType):
-        return col
+def _long_enc(col: Column, dt: DataType) -> Column | None:
+    """A LONG whose native ordering equals ``col``'s, or None when the
+    type has no such encoding (strings ride the struct's second field
+    verbatim; float/decimal/binary take the two-job fallback).  A
+    native long shuffles as 8 fixed bytes and hashes/compares without
+    the per-row hex rendering the round-6 string encoding paid."""
     if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
-        return _hex_enc(col.cast("long"))
+        return col.cast("long")
     if isinstance(dt, BooleanType):
-        return _hex_enc(col.cast("long"))
+        return col.cast("long")
     if isinstance(dt, DateType):
-        return _hex_enc(F.unix_date(col).cast("long"))
+        return F.unix_date(col).cast("long")
     if isinstance(dt, TimestampType):
-        return _hex_enc(F.unix_micros(col))
+        return F.unix_micros(col)
     return None
+
+
+def _decode_disp(el: Column, es: Column, dt: DataType) -> Column:
+    """Render a min/max encoding back to the string the caller sees —
+    identical to ``cast(value AS string)`` on the native column.  Runs
+    on <= 2 values per profiled column, so decode cost is nil."""
+    if isinstance(dt, StringType):
+        return es
+    if isinstance(dt, BooleanType):
+        return el.cast("boolean").cast("string")
+    if isinstance(dt, DateType):
+        return F.date_from_unix_date(el.cast("int")).cast("string")
+    if isinstance(dt, TimestampType):
+        return F.timestamp_micros(el).cast("string")
+    return el.cast("string")
 
 
 def profile(
@@ -112,9 +123,12 @@ def profile(
     cols = cols or df.columns
 
     if distinct == "exact":
-        encs = [_sortable_enc(F.col(c), df.schema[c].dataType) for c in cols]
-        if all(e is not None for e in encs):
-            return _exact_single_scan(df, cols, encs)
+        dts = [df.schema[c].dataType for c in cols]
+        if all(
+            isinstance(dt, StringType) or _long_enc(F.col(c), dt) is not None
+            for c, dt in zip(cols, dts)
+        ):
+            return _exact_single_scan(df, cols)
         return _exact_two_job(df, cols)
 
     return _wide_stack(df, cols, approx_nd=True)
@@ -150,32 +164,42 @@ def _wide_stack(df: DataFrame, cols: list[str], approx_nd: bool) -> DataFrame:
     )
 
 
-def _exact_single_scan(
-    df: DataFrame, cols: list[str], encs: list[Column]
-) -> DataFrame:
+def _exact_single_scan(df: DataFrame, cols: list[str]) -> DataFrame:
     """All statistics off ONE scan: explode to (col_idx,
-    struct(enc, disp)), dedup with counts, fold per column.  Struct
-    ordering is dominated by ``enc`` (order-preserving by
-    construction; ``disp`` only breaks ties between equal values,
-    where it is identical too), so min/max of the struct IS the
-    native min/max.  NULL values become a NULL struct: its group
-    carries the null count and is skipped by count/min/max."""
+    struct(el: long, es: string)), dedup with counts, fold per column.
+    Exactly one struct field is populated per COLUMN (``el`` for
+    integral/boolean/temporal values via the order-preserving long
+    encoding, ``es`` for strings), so per-field min/max aggregates
+    (which ignore the unused field's NULLs) recover the native
+    min/max without a struct-valued — hence sort-based — aggregate.
+    The shuffled payload is 8
+    fixed bytes (or the raw string) per distinct value — no per-row
+    hex/string rendering; the caller-facing ``cast(value AS string)``
+    display is decoded AFTER aggregation on <= 2 values per column.
+    NULL values become a NULL struct: its group carries the null
+    count and is skipped by count/min/max."""
+    dts = [df.schema[c].dataType for c in cols]
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
+
+    def enc_struct(c: str, dt: DataType) -> Column:
+        el = _long_enc(F.col(c), dt)
+        if el is None:  # string column
+            pair = F.struct(null_l.alias("el"), F.col(c).alias("es"))
+        else:
+            pair = F.struct(el.alias("el"), null_s.alias("es"))
+        return F.when(F.col(c).isNotNull(), pair)
+
     pairs = df.select(
         F.posexplode(
-            F.array(
-                *[
-                    F.when(
-                        F.col(c).isNotNull(),
-                        F.struct(
-                            enc.alias("enc"),
-                            F.col(c).cast("string").alias("disp"),
-                        ),
-                    )
-                    for c, enc in zip(cols, encs)
-                ]
-            )
+            F.array(*[enc_struct(c, dt) for c, dt in zip(cols, dts)])
         ).alias("_ci", "_s")
     )
+    # min/max aggregate the two encoding fields SEPARATELY (the field
+    # the column does not use is all-NULL, which min/max ignore): long
+    # and string are hash-aggregable, so the fold stays a
+    # HashAggregate — a struct-valued min/max would force Catalyst to
+    # a SortAggregate and a Sort of the deduped relation
     per_col = (
         pairs.groupBy("_ci", "_s")
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -186,10 +210,21 @@ def _exact_single_scan(
                 F.sum(F.when(F.col("_s").isNull(), F.col("_cnt"))), F.lit(0)
             ).alias("n_nulls"),
             F.count("_s").alias("n_distinct"),
-            F.min("_s").getField("disp").alias("min_val"),
-            F.max("_s").getField("disp").alias("max_val"),
+            F.min(F.col("_s").getField("el")).alias("_min_l"),
+            F.max(F.col("_s").getField("el")).alias("_max_l"),
+            F.min(F.col("_s").getField("es")).alias("_min_str"),
+            F.max(F.col("_s").getField("es")).alias("_max_str"),
         )
     )
+
+    def decode(lf: str, sf: str) -> Column:
+        out = null_s
+        for i, dt in enumerate(dts):
+            out = F.when(
+                F.col("_ci") == i, _decode_disp(F.col(lf), F.col(sf), dt)
+            ).otherwise(out)
+        return out
+
     # spine: guarantee one output row per profiled column even on an
     # EMPTY input (aggregate-without-group-by semantics, same as the
     # wide-agg paths); per_col is <= len(cols) rows -> broadcast
@@ -203,8 +238,8 @@ def _exact_single_scan(
         F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
         F.coalesce("n_nulls", F.lit(0)).alias("n_nulls"),
         F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
-        "min_val",
-        "max_val",
+        decode("_min_l", "_min_str").alias("min_val"),
+        decode("_max_l", "_max_str").alias("max_val"),
     )
 
 

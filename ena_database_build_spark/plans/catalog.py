@@ -2610,7 +2610,19 @@ def q_table_profile(spark, sf_dir):
     table's stable-typed columns: nulls, exact cardinality, min/max —
     a single wide aggregation, long-form output.  Exact distincts so
     the DuckDB oracle matches value-for-value (the approx variant's
-    HLL estimates are engine-specific by construction)."""
+    HLL estimates are engine-specific by construction).
+
+    r7 perf posture: the exact path is one scan, no Expand, no Sort
+    of data rows, and ships 8 bytes (or the raw string) per DISTINCT
+    value — the cardinality bound every exact-distinct plan pays.
+    The residual sf0.1 ratio (~30x against a ~20 ms oracle) is fixed
+    stage latency: the two-exchange pipeline floors at ~2x o4_topk's
+    pure-floor 0.13 s while the oracle profiles 150 k rows in-process.
+    Head-to-head the long encoding matches the round-6 hex form's
+    wall time at sf0.1 and cuts shuffle bytes 43% — the term that
+    grows with data.  Production default stays `distinct='approx'`
+    (HLL++, ONE exchange of a handful of partial rows); this row
+    exists to oracle-check the exact machinery."""
     orders = t(spark, sf_dir, "orders", spread=True)
     return PRF.profile(
         orders,
@@ -7701,10 +7713,13 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #   r7: table_profile (banked r4) — exact-distinct path re-platformed
 #       from the Expand/multi-distinct rewrite to the single-scan
 #       struct-encoded long-form distinct (operators/profile.py; r6
-#       verdict #2).  Same rows/values; re-greened locally via
-#       check_catalog at sf0.01 and sf0.1.  dedup_embedding /
-#       semantic_dedup gained a salt escape hatch DEFAULTED OFF
-#       (salt=1 keeps the banked plans byte-identical).
+#       verdict #2), then the encoding moved from 16-char hex strings
+#       to native longs (-43% shuffle bytes on identical records:
+#       2.03 -> 1.17 MB at sf0.1, min/max display decoded after
+#       aggregation on <= 2 values/column).  Same rows/values;
+#       re-greened locally via check_catalog at sf0.01 and sf0.1.
+#       dedup_embedding / semantic_dedup gained a salt escape hatch
+#       DEFAULTED OFF (salt=1 keeps the banked plans byte-identical).
 CATALOG: dict[str, QueryDef] = {
     # ================== r7 window (positions 1-50) ==================
     # -- the one never-driver-checked query (added r6 below the

@@ -75,3 +75,80 @@ def test_exact_path_no_expand(spark):
 def test_bad_mode_rejected(spark):
     with pytest.raises(ValueError):
         PRF.profile(sample_df(spark), distinct="nope")
+
+
+def encodable_df(spark):
+    """Every type the single-scan exact path encodes, with NULLs and
+    duplicates in each column."""
+    import datetime as dt
+
+    rows = [
+        (1, 10, True, dt.date(2024, 1, 2), dt.datetime(2024, 1, 2, 3, 4, 5), "b"),
+        (2, -10, False, dt.date(2023, 12, 31), dt.datetime(2024, 1, 1), "a"),
+        (1, None, True, None, dt.datetime(2024, 1, 1), None),
+        (None, 10, None, dt.date(2024, 1, 2), None, "a"),
+    ]
+    return spark.createDataFrame(
+        rows, "k long, i int, b boolean, d date, t timestamp, s string"
+    )
+
+
+def test_single_scan_exact_all_types(spark):
+    got = {
+        r.col_name: (r.n_rows, r.n_nulls, r.n_distinct, r.min_val, r.max_val)
+        for r in PRF.profile(encodable_df(spark), distinct="exact").collect()
+    }
+    assert got["k"] == (4, 1, 2, "1", "2")
+    assert got["i"] == (4, 1, 2, "-10", "10")
+    assert got["b"] == (4, 1, 2, "false", "true")
+    assert got["d"] == (4, 1, 2, "2023-12-31", "2024-01-02")
+    assert got["t"][1:3] == (1, 2)
+    assert got["t"][3].startswith("2024-01-01 00:00:00")
+    assert got["t"][4].startswith("2024-01-02 03:04:05")
+    assert got["s"] == (4, 1, 2, "a", "b")
+
+
+def test_single_scan_matches_two_job_renderings(spark):
+    """The post-aggregation decode must render min/max exactly like
+    cast(value AS string) — pin it against the wide-agg fallback on
+    the same data."""
+    df = encodable_df(spark)
+    exact = {
+        r.col_name: (r.min_val, r.max_val)
+        for r in PRF.profile(df, distinct="exact").collect()
+    }
+    wide = {
+        r.col_name: (r.min_val, r.max_val)
+        for r in PRF.profile(df, distinct="approx").collect()
+    }
+    assert exact == wide
+
+
+def test_single_scan_empty_and_all_null(spark):
+    import datetime  # noqa: F401
+
+    df = spark.createDataFrame([], "k long, s string")
+    rows = {r.col_name: r for r in PRF.profile(df, distinct="exact").collect()}
+    assert set(rows) == {"k", "s"}
+    for r in rows.values():
+        assert (r.n_rows, r.n_nulls, r.n_distinct) == (0, 0, 0)
+        assert r.min_val is None and r.max_val is None
+
+
+def test_single_scan_plan_shape(spark):
+    """One scan, no Expand, no Sort of DATA rows.  The per-column fold
+    is a SortAggregate (string min/max buffers are not
+    hash-aggregable), but its Sort sits ABOVE the dedup exchange —
+    bounded by the number of distinct values, the same bound the
+    exchange itself pays — never below it on the raw-row side."""
+    df = encodable_df(spark)
+    plan = (
+        PRF.profile(df, distinct="exact")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan
+    assert plan.count("Scan ExistingRDD") <= 1
+    # top-down print: everything after the LAST hashpartitioning
+    # exchange is the scan side of the dedup — no Sort may touch it
+    below_dedup = plan[plan.rindex("Exchange hashpartitioning") :]
+    assert "Sort [" not in below_dedup

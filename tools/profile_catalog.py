@@ -51,12 +51,15 @@ from ena_database_build_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/profile_catalog.json"
+    only = set(sys.argv[3:])  # optional query-name subset
     spark = get_spark("profile-catalog")
     con = duckdb.connect()
     for tab in TABLES:
         con.sql(f"CREATE VIEW {tab} AS SELECT * FROM '{sf_dir}/{tab}.parquet'")
     rows = []
     for name, qd in CATALOG.items():
+        if only and name not in only:
+            continue
         try:
             reps = []
             for _ in range(2):
