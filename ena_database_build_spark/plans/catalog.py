@@ -1825,7 +1825,17 @@ def q_transit_payload(spark, sf_dir):
     exercised after ``range_join_transit`` re-pointed to the sweep
     (r6 verdict #4).  Bucketed equi-join: intervals explode to ~2
     month-buckets each, a point lands in exactly one, no cross product
-    anywhere."""
+    anywhere.
+
+    Scale shape: every output statistic depends only on the interval's
+    JOIN KEYS (sd, ed), so intervals pre-aggregate to (sd, ed, cnt)
+    BEFORE the join — at sf0.1 that is ~43 k weighted rows in place
+    of 600 k, and the materialized pair relation shrinks ~8x
+    (count = sum(cnt), max unchanged).  The general rule: push the
+    partial aggregation below a many-to-many join whenever the
+    payload is a function of the equi/range keys — at 100 TB this is
+    the difference between joining the corpus and joining its key
+    histogram."""
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     points = (
@@ -1834,16 +1844,20 @@ def q_transit_payload(spark, sf_dir):
         .withColumn("day", F.unix_date("d"))
     )
     sd = F.unix_date(F.col("l_shipdate").cast("date"))
-    intervals = li.select(
-        sd.alias("sd"),
-        (sd + (F.col("l_quantity").cast("int") % 30) + 1).alias("ed"),
+    intervals = (
+        li.select(
+            sd.alias("sd"),
+            (sd + (F.col("l_quantity").cast("int") % 30) + 1).alias("ed"),
+        )
+        .groupBy("sd", "ed")
+        .agg(F.count("*").alias("cnt"))
     )
     joined = RJ.range_join(
         points, intervals, point_col="day", start_col="sd", end_col="ed",
         bucket_width=32,
     )
     return joined.groupBy(F.col("d").cast("string").alias("order_date")).agg(
-        F.count("*").alias("n_in_transit"),
+        F.sum("cnt").alias("n_in_transit"),
         F.max(F.col("ed") - F.col("sd")).cast("long").alias("max_transit_days"),
     )
 
