@@ -7709,6 +7709,12 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #     set; steady state is a ~3.6-round rotation of 181 queries at
 #     50 checked entries per round — hold net-new additions near
 #     zero so the cycle stays tight.
+#   round-7 closing verification: FULL 181-query catalog re-verified
+#     against the oracle on the final tree at BOTH sf0.01 and sf0.1
+#     (181/181 each), plan_audit 181/181 clean, scan_audit 181/181
+#     within budget, pytest 292 passed / 2 env-gated skips.  The r7
+#     window (positions 1-50, incl. dsir_weights) additionally
+#     check_catalog-verified as a block at sf0.01 (50/50).
 #
 # Out-of-window IMPLEMENTATION swaps (semantics identical, re-greened
 # locally via tools/check_catalog.py; the row re-earns a driver row at
