@@ -7712,7 +7712,7 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #   round-7 closing verification: FULL 181-query catalog re-verified
 #     against the oracle on the final tree at BOTH sf0.01 and sf0.1
 #     (181/181 each), plan_audit 181/181 clean, scan_audit 181/181
-#     within budget, pytest 292 passed / 2 env-gated skips.  The r7
+#     within budget, pytest 296 passed / 2 env-gated skips.  The r7
 #     window (positions 1-50, incl. dsir_weights) additionally
 #     check_catalog-verified as a block at sf0.01 (50/50).
 #
