@@ -305,3 +305,44 @@ def test_coverage_at_points_grouped(spark):
     )
     got = {r["pid"]: r["n_active"] for r in out.collect()}
     assert got == {1: 2, 2: 0, 3: 0}
+
+
+def test_range_join_preaggregated_intervals_parity(spark):
+    """The transit_payload rewrite rule: when every downstream statistic
+    is a function of the interval's (start, end), pre-aggregating
+    intervals to (start, end, cnt) below the range join and weighting
+    the count must equal joining the raw intervals.  Randomized
+    differential with duplicate intervals (the case the multiplicity
+    carries)."""
+    import random
+
+    rng = random.Random(7)
+    pts = [(i, rng.randint(0, 120)) for i in range(40)]
+    ivs = []
+    for _ in range(150):
+        s = rng.randint(0, 110)
+        ivs.append((s, s + rng.randint(0, 25)))
+    ivs += ivs[:60]  # force real duplicate-key multiplicity
+    points = spark.createDataFrame(pts, "pid long, pos long")
+    raw = spark.createDataFrame(ivs, "sd long, ed long")
+
+    naive = (
+        RJ.range_join(points, raw, "pos", "sd", "ed", bucket_width=16)
+        .groupBy("pid")
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.col("ed") - F.col("sd")).alias("mx"),
+        )
+    )
+    pre = raw.groupBy("sd", "ed").agg(F.count("*").alias("cnt"))
+    weighted = (
+        RJ.range_join(points, pre, "pos", "sd", "ed", bucket_width=16)
+        .groupBy("pid")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.max(F.col("ed") - F.col("sd")).alias("mx"),
+        )
+    )
+    a = {r["pid"]: (r["n"], r["mx"]) for r in naive.collect()}
+    b = {r["pid"]: (r["n"], r["mx"]) for r in weighted.collect()}
+    assert a == b
