@@ -28,7 +28,11 @@ from ena_database_build_spark.operators import kmeans as KM
 
 
 def _within_cluster_pairs(
-    assigned: DataFrame, threshold: float, id_col: str, salt: int = 1
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str,
+    salt: int | str = 1,
+    target_rows_per_task: int = 65536,
 ) -> DataFrame:
     """All within-cluster pairs at ROUNDED (6-decimal) cosine >=
     ``threshold``, canonical ``left_id < right_id`` — computed as one
@@ -54,6 +58,13 @@ def _within_cluster_pairs(
     group (the lower id's salt), so the output is identical to the
     unsalted form (parity-pinned in tests); the triangle-halving FLOP
     trick is traded away on the salted path."""
+    # validate BEFORE the salt==1 fast path: bool is an int subclass
+    # and 1.0 == 1, so salt=True / salt=1.0 would otherwise silently
+    # take the unsalted path instead of raising (r7 ADVICE)
+    if salt != "auto" and not (
+        isinstance(salt, int) and not isinstance(salt, bool) and salt >= 1
+    ):
+        raise ValueError(f"salt must be a positive int or 'auto', not {salt!r}")
     if threshold < 0:
         # the kernel's half-up rounding (floor(S*1e6 + 0.5)) rounds
         # NEGATIVE scores half-toward-+inf, diverging from Spark
@@ -129,10 +140,16 @@ def _within_cluster_pairs(
             return empty
         return pd.concat(outs, ignore_index=True)
 
+    if salt == "auto":
+        # task key IS the cluster, so the cluster histogram (k rows,
+        # bounded by construction) sizes the densest task directly
+        hist = (
+            assigned.groupBy("cluster").count().agg(F.max("count")).collect()
+        )
+        biggest = hist[0][0] or 0
+        salt = max(1, -(-int(biggest) // int(target_rows_per_task)))
     if salt == 1:
         return assigned.groupBy("cluster").applyInPandas(score, schema)
-    if not (isinstance(salt, int) and salt >= 1):
-        raise ValueError(f"salt must be a positive int, not {salt!r}")
 
     left = assigned.withColumn(
         "_salt", F.pmod(F.crc32(F.col(id_col).cast("string")), salt)
@@ -204,15 +221,20 @@ def semantic_dedup_pairs(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    salt: int = 1,
+    salt: int | str = 1,
+    target_rows_per_task: int = 65536,
 ) -> DataFrame:
     """(left_id, right_id, cluster, cos_sim) — all within-cluster pairs
     (left_id < right_id) at rounded cosine >= threshold.  ``salt``
-    splits a hot cluster across tasks (see _within_cluster_pairs)."""
+    splits a hot cluster across tasks; ``salt='auto'`` sizes it from
+    the cluster histogram (see _within_cluster_pairs)."""
     _, assigned = KM.kmeans_train(
         df, k=k, max_iter=max_iter, vec_col=vec_col, id_col=id_col
     )
-    return _within_cluster_pairs(assigned, threshold, id_col, salt=salt)
+    return _within_cluster_pairs(
+        assigned, threshold, id_col, salt=salt,
+        target_rows_per_task=target_rows_per_task,
+    )
 
 
 def semantic_dedup(
@@ -222,18 +244,23 @@ def semantic_dedup(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    salt: int = 1,
+    salt: int | str = 1,
+    target_rows_per_task: int = 65536,
 ) -> DataFrame:
     """Survivors ``(id, cluster)``: every vector minus those with a
     lower-id semantic duplicate in their cluster.  One cluster-keyed
     shuffle into the per-cluster GEMM + a left-anti join — two
     shuffles total, both on bounded keys.  ``salt`` splits a hot
-    cluster across tasks (see _within_cluster_pairs)."""
+    cluster across tasks; ``salt='auto'`` sizes it from the cluster
+    histogram (see _within_cluster_pairs)."""
     _, assigned = KM.kmeans_train(
         df, k=k, max_iter=max_iter, vec_col=vec_col, id_col=id_col
     )
     dropped = (
-        _within_cluster_pairs(assigned, threshold, id_col, salt=salt)
+        _within_cluster_pairs(
+            assigned, threshold, id_col, salt=salt,
+            target_rows_per_task=target_rows_per_task,
+        )
         .select(F.col("right_id").alias(id_col))
         .distinct()
     )

@@ -220,19 +220,37 @@ def srp_cosine_pairs(
     the last ulp.  Callers that hash-compare scores should round
     (the catalog rounds to 6 decimals) or compare with a tolerance.
     """
+    # validate BEFORE any salt==1 / salt>1 comparison: bool is an int
+    # subclass and 1.0 == 1, so salt=True / salt=1.0 would otherwise
+    # silently take the unsalted path instead of raising (r7 ADVICE)
+    if salt != "auto" and not (
+        isinstance(salt, int) and not isinstance(salt, bool) and salt >= 1
+    ):
+        raise ValueError(f"salt must be a positive int or 'auto', not {salt!r}")
     df = df.where(
         F.col(id_col).isNotNull()  # NULL ids would raise in the kernel
         & (F.size(vec_col) == dim)  # NULL/ragged vectors cannot pair
     )
     b = srp_buckets(df, dim, bits, vec_col, id_col)
     if salt == "auto":
-        # bucket histogram is <= 2**bits + probe-widened rows — bounded
-        # by construction, safe to read driver-side
-        hist = b.groupBy("bucket").count().agg(F.max("count")).collect()
+        # the cogrouped left task is keyed on PROBE — the union of up
+        # to bits+1 neighboring buckets — so size the salt from the
+        # exploded probe histogram, not the raw bucket histogram
+        # (which under-estimates the hottest task by up to (bits+1)x,
+        # r7 ADVICE).  <= 2**bits output rows — driver-safe.
+        hist = (
+            b.select(
+                F.explode(probe_buckets_col(F.col("bucket"), bits)).alias(
+                    "probe"
+                )
+            )
+            .groupBy("probe")
+            .count()
+            .agg(F.max("count"))
+            .collect()
+        )
         biggest = hist[0][0] or 0
         salt = max(1, -(-int(biggest) // int(target_rows_per_task)))
-    elif not (isinstance(salt, int) and salt >= 1):
-        raise ValueError(f"salt must be a positive int or 'auto', not {salt!r}")
     left = b.select(
         F.col(id_col).alias("left_id"),
         F.col(vec_col).cast("array<double>").alias("lv"),

@@ -78,32 +78,32 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_check_window_ordering_pinned():
     """The driver grades the FIRST 50 registry entries; this pins the
-    round-7 check window (dsir_weights promoted + the 29 banked §2
-    rows + first 20 of the r3 set — see the registry header) so a
-    refactor cannot silently reorder the dict and destroy the graded
-    window.  UPDATE THIS LIST ONLY when a rotation is deliberately
-    applied (tools/rotate_catalog_r7.py)."""
+    round-8 check window (transit_payload promoted + the 30 remaining
+    r3-window rows + first 19 of the r4 set — see the registry
+    header) so a refactor cannot silently reorder the dict and
+    destroy the graded window.  UPDATE THIS LIST ONLY when a rotation
+    is deliberately applied (tools/rotate_catalog_r8.py)."""
     from ena_database_build_spark.plans.catalog import CATALOG
 
     expected = [
-        "dsir_weights",
-        "g2_nested_sessionize", "g3_final_flush", "g4_ordinals",
-        "a1_collect_set", "a2_record_set_union", "a3_flat_minmax",
-        "a4_circular_resolution", "j1_lookup_join", "j2_anti_join",
-        "j3_fallback_coalesce", "o1_explode",
-        "o2_seven_col_projection", "o3_union", "o4_topk",
-        "o5_stable_range_sort", "s5_tsv_roundtrip",
-        "ena_context_analog", "tpch_q1_pricing", "tpch_q3_shipping",
-        "tpch_q5_volume", "dedup_exact", "minhash_signatures",
-        "lsh_candidate_pairs", "simhash", "jaccard_pairs",
-        "dedup_clusters", "asof_join", "range_join_transit",
-        "transit_sweepline",
-        "rollup_revenue", "order_analytics", "quantiles_exact",
-        "approx_quantiles", "kmeans_clusters", "embedding_quantize",
-        "corpus_curation", "repetition_stats", "pii_scrub",
-        "tfidf_top_terms", "bm25_top_terms", "inverted_index",
-        "phrase_search", "decontaminate", "unigram_logprob",
-        "pack_sequences", "mixture_rebalance", "doc_chunks",
-        "corpus_shuffle", "json_roundtrip",
+        "transit_payload",
+        "tpch_q4_priority", "tpch_q18_large_orders",
+        "dedup_incremental", "purchase_attribution", "quality_gate",
+        "hash_sample", "train_test_split", "stratified_sample",
+        "cosine_topk", "srp_buckets", "dedup_embedding", "ivf_topk",
+        "lang_id", "quality_scores", "token_counts",
+        "doc_fingerprints", "rolling_fingerprints",
+        "boilerplate_kgrams", "top_ngrams", "events_tumbling",
+        "events_sliding", "events_sessions", "approx_distinct",
+        "exact_distinct", "multimodal_decode", "multimodal_frames",
+        "events_pivot", "props_extract", "stream_totals",
+        "stream_dedup",
+        "heavy_hitters", "semantic_dedup", "scd2_user_state",
+        "pagerank_suppliers", "zorder_values", "embedding_project",
+        "embedding_meanpool", "table_profile", "source_cap",
+        "snapshot_diff", "cdc_latest_state", "bloom_decontaminate",
+        "bpe_pair_counts", "bpe_merges", "incremental_stats",
+        "orc_roundtrip", "stream_enrichment", "dq_report",
+        "asof_join_bucketed",
     ]
     assert list(CATALOG)[:50] == expected

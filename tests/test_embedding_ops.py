@@ -286,5 +286,8 @@ def test_srp_cosine_pairs_salt_auto_and_validation(spark):
         ).collect()
     }
     assert got == want
-    with _pytest.raises(ValueError, match="salt"):
-        SIM.srp_cosine_pairs(df, salt=0, **kw)
+    # bool/float values that compare equal to valid ints must raise,
+    # not silently take the unsalted path (r7 ADVICE)
+    for bad in (0, True, 1.0, -3, "always"):
+        with _pytest.raises(ValueError, match="salt"):
+            SIM.srp_cosine_pairs(df, salt=bad, **kw)

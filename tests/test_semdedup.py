@@ -200,3 +200,33 @@ def test_salted_dedup_survivors_match_unsalted(spark):
     want = survivors(1)
     assert survivors(3) == want
     assert len(want) < len(rows)  # dupes actually dropped
+
+
+def test_salt_auto_parity_and_strict_validation(spark):
+    """salt='auto' (sized from the cluster histogram) returns exactly
+    the unsalted pairs; bool/float salts that compare equal to 1 must
+    raise instead of silently taking the unsalted path (r7 ADVICE)."""
+    import pytest
+    import random
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(60)]
+    rows += [(7000 + i, [3.0 * x for x in rows[i][1]]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pairs(**kw):
+        return {
+            (r["left_id"], r["right_id"], r["cos_sim"])
+            for r in SD.semantic_dedup_pairs(
+                df, k=1, max_iter=1, threshold=0.95, **kw
+            ).collect()
+        }
+
+    want = pairs(salt=1)
+    assert len(want) >= 10
+    # tiny target forces auto to pick salt > 1 on the single hot cluster
+    assert pairs(salt="auto", target_rows_per_task=8) == want
+
+    for bad in (True, 1.0, 0, -2, "always"):
+        with pytest.raises(ValueError, match="salt"):
+            SD.semantic_dedup_pairs(df, k=1, threshold=0.95, salt=bad)
