@@ -40,18 +40,22 @@ no-Expand rewrites replace it:
   round-6 form's per-row hex/string rendering.
 
 * **two-job long form** (fallback when a column's type has no such
-  encoding — float/double, decimals, binary): the ``approx`` wide
-  aggregation minus the distincts (count/nulls/min/max on native
-  types, one scan, no sort), plus a long-form grouped
-  ``count_distinct`` over string-cast values, broadcast-joined.
-  Two pruned scans; every aggregate is hash-based.
+  encoding — float/double, decimals, binary, arrays, structs): the
+  ``approx`` wide aggregation minus the distincts (count/nulls/min/max
+  on native types, one scan, no sort), plus exact distinct counts
+  broadcast-joined in: columns whose string cast is injective share a
+  long-form grouped ``count_distinct`` over the cast values, while
+  non-atomic columns (arrays, structs — where the rendering is NOT
+  injective: ``["a, b"]`` and ``["a","b"]`` both render ``[a, b]``)
+  each run a native per-column ``count_distinct`` aggregation.
+  Map-typed columns raise under ``distinct='exact'`` (Spark cannot
+  group/compare maps); ``distinct='approx'`` handles them.
 
-Exactness caveat (fallback path only): distinctness is judged on the
-STRING rendering, which is injective for Spark's atomic types with
-one exception — floating -0.0 and 0.0 render differently while
-``count(DISTINCT)`` treats them as equal, so float/double columns are
-normalized with ``+ 0.0`` (IEEE: turns -0.0 into 0.0, identity for
-every other value incl. NaN) before the cast."""
+Exactness caveat (fallback path only): for the string-cast columns,
+floating -0.0 and 0.0 render differently while ``count(DISTINCT)``
+treats them as equal, so float/double columns are normalized with
+``+ 0.0`` (IEEE: turns -0.0 into 0.0, identity for every other value
+incl. NaN) before the cast."""
 
 from __future__ import annotations
 
@@ -134,17 +138,43 @@ def profile(
     return _wide_stack(df, cols, approx_nd=True)
 
 
+def _orderable(dt: DataType) -> bool:
+    """Whether Spark's min/max accept the type: atomic types yes,
+    arrays/structs of orderable types yes, maps (at any nesting) no."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def _wide_stack(df: DataFrame, cols: list[str], approx_nd: bool) -> DataFrame:
     """One wide aggregation + stack pivot.  ``approx_nd=False`` leaves
-    ``n_distinct`` NULL for the two-job exact path to fill in."""
+    ``n_distinct`` NULL for the two-job exact path to fill in.
+    Non-orderable columns (maps) report NULL min/max — Spark defines
+    no ordering for them — while count/nulls/HLL still apply."""
     aggs = [F.count(F.lit(1)).alias("_n")]
+    null_s = F.lit(None).cast("string")
     for i, c in enumerate(cols):
         col = F.col(c)
+        ordb = _orderable(df.schema[c].dataType)
         if approx_nd:
             aggs.append(F.approx_count_distinct(col).alias(f"_nd_{i}"))
         aggs.append(F.count(col).alias(f"_nn_{i}"))
-        aggs.append(F.min(col).cast("string").alias(f"_min_{i}"))
-        aggs.append(F.max(col).cast("string").alias(f"_max_{i}"))
+        aggs.append(
+            (F.min(col).cast("string") if ordb else F.min(null_s)).alias(
+                f"_min_{i}"
+            )
+        )
+        aggs.append(
+            (F.max(col).cast("string") if ordb else F.max(null_s)).alias(
+                f"_max_{i}"
+            )
+        )
     wide = df.agg(*aggs)
 
     stack_args = []
@@ -243,12 +273,46 @@ def _exact_single_scan(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def _cast_faithful(dt: DataType) -> bool:
+    """True when ``cast(col AS string)`` is injective over the type's
+    value domain (after the -0.0 normalization for float/double), so
+    distinct-over-rendering equals distinct-over-values.  Atomic types
+    qualify: strings trivially, long-encodable types by order
+    isomorphism, float/double/decimal by unique decimal renderings,
+    binary because the cast is a byte-passthrough (UTF8String wraps
+    the raw bytes; equality is byte-wise).  Arrays/structs/maps do NOT
+    — e.g. array values ``["a, b"]`` and ``["a", "b"]`` both render
+    ``[a, b]`` (r7 ADVICE), so they take the native-distinct path."""
+    from pyspark.sql.types import BinaryType, DecimalType
+
+    return (
+        isinstance(
+            dt, (StringType, FloatType, DoubleType, DecimalType, BinaryType)
+        )
+        or _long_enc(F.col("_"), dt) is not None
+    )
+
+
 def _exact_two_job(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Fallback for column types without an order-preserving string
-    encoding: native-typed wide agg (count/nulls/min/max) + long-form
-    grouped count_distinct on string-cast values, broadcast-joined.
-    No Expand: a single distinct aggregate per group never triggers
-    Catalyst's multi-distinct rewrite."""
+    """Fallback for column types without an order-preserving long
+    encoding: native-typed wide agg (count/nulls/min/max) + exact
+    distinct counts, broadcast-joined.  No Expand: a single distinct
+    aggregate per group never triggers Catalyst's multi-distinct
+    rewrite.
+
+    Distinct counts come from TWO sources keyed by type (r7 ADVICE —
+    the string rendering is non-injective for non-atomic types):
+
+    * columns whose string cast is injective (:func:`_cast_faithful`)
+      share ONE long-form grouped ``count_distinct`` over the cast
+      values — one scan for all of them;
+    * every other column (arrays, structs) gets its own native
+      ``count_distinct`` aggregation — exact for any groupable type,
+      one pruned scan per column, unioned into the same tiny
+      broadcast side.  Map-typed columns raise: Spark cannot group or
+      compare maps, so no exact-distinct plan exists for them
+      (``distinct='approx'`` works — HLL hashes map values)."""
+    from pyspark.sql.types import MapType
 
     def _norm(c: str) -> Column:
         col = F.col(c)
@@ -256,20 +320,43 @@ def _exact_two_job(df: DataFrame, cols: list[str]) -> DataFrame:
             col = col + F.lit(0.0)  # -0.0 -> 0.0; identity otherwise
         return col.cast("string")
 
+    faithful = [c for c in cols if _cast_faithful(df.schema[c].dataType)]
+    native = [c for c in cols if c not in faithful]
+    for c in native:
+        if isinstance(df.schema[c].dataType, MapType):
+            raise ValueError(
+                f"profile(distinct='exact') cannot profile map column "
+                f"{c!r}: Spark cannot group/compare map values, so no "
+                "exact distinct count exists — use distinct='approx'"
+            )
+
     base = _wide_stack(df, cols, approx_nd=False)
-    pairs = df.select(
-        F.posexplode(F.array(*[_norm(c) for c in cols])).alias("_ci", "_v")
-    )
-    nd = (
-        pairs.groupBy("_ci")
-        .agg(F.count_distinct("_v").alias("_nd"))
-        .select(
-            F.element_at(
-                F.array(*[F.lit(c) for c in cols]), F.col("_ci") + 1
-            ).alias("col_name"),
-            "_nd",
+    nd_parts = []
+    if faithful:
+        pairs = df.select(
+            F.posexplode(F.array(*[_norm(c) for c in faithful])).alias(
+                "_ci", "_v"
+            )
         )
-    )
+        nd_parts.append(
+            pairs.groupBy("_ci")
+            .agg(F.count_distinct("_v").alias("_nd"))
+            .select(
+                F.element_at(
+                    F.array(*[F.lit(c) for c in faithful]), F.col("_ci") + 1
+                ).alias("col_name"),
+                "_nd",
+            )
+        )
+    for c in native:
+        nd_parts.append(
+            df.agg(F.count_distinct(F.col(c)).alias("_nd")).select(
+                F.lit(c).alias("col_name"), "_nd"
+            )
+        )
+    nd = nd_parts[0]
+    for part in nd_parts[1:]:
+        nd = nd.unionByName(part)
     return base.drop("n_distinct").join(
         F.broadcast(nd), "col_name", "left"
     ).select(

@@ -38,6 +38,31 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _require_integral(df: DataFrame, col: str, fn: str) -> None:
+    """The sweep-line forms compare POSITIONS AFTER a long cast, so a
+    fractional position column would silently truncate (0.7 counted at
+    0) and break the documented equivalence to ``range_join(...)``'s
+    native-value residual filter (r7 ADVICE).  ``range_join`` itself
+    is exempt: truncation there only picks the bucket (monotone, so
+    containment never escapes the bucket range) and the residual
+    filter compares native values."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    dt = df.schema[col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"{fn} requires integral position columns; {col!r} is "
+            f"{dt.simpleString()} — the long cast would truncate "
+            "fractional positions and silently diverge from "
+            "range_join's native-value containment"
+        )
+
+
 def _bucket(col: Column, width: int) -> Column:
     # Float division + truncating cast, NOT the repo's usual integer
     # `div` (which needs a NAMED column for F.expr — one call site
@@ -165,6 +190,8 @@ def concurrent_intervals(
     ``offset + local cumsum`` is the exact sweep value and no task
     ever sorts the whole axis."""
     by = by or []
+    for c in (start_col, end_col):
+        _require_integral(intervals, c, "concurrent_intervals")
     deltas = _interval_deltas(intervals, start_col, end_col, by)
     return _sweep(deltas, by, bucket_width)
 
@@ -198,7 +225,13 @@ def coverage_at_points(
     (once into the sweep, once as the join side).  When the probe
     position is all a caller needs, :func:`coverage_at_positions`
     reads the coverage straight off the sweep (single evaluation of
-    both inputs)."""
+    both inputs).
+
+    Position columns must be integral (:func:`_require_integral`).
+    NULL handling: a points row with a NULL position is contained in
+    no interval, so it comes back with ``n_active = 0``; intervals
+    with a NULL endpoint contain nothing (NULL comparisons are false
+    in the inner-join form) and are dropped from the sweep."""
     by = by or []
     sweep = coverage_at_positions(
         points, intervals, point_col, start_col, end_col, by, bucket_width
@@ -226,19 +259,24 @@ def coverage_at_positions(
     rows ride the sweep as zero-delta boundaries carrying a marker,
     and the output is the sweep filtered to marked positions.
 
-    With ``bucket_width=None`` each input relation is evaluated
-    exactly once (scan-audit pinned) — and since the window input is
-    already one row per DISTINCT position, this is the right call
-    whenever the position domain is bounded (calendar days, epoch
-    hours, score grids).  With ``bucket_width`` set, the two-phase
-    offsets branch currently re-evaluates the inputs: the probe mark
-    exists only in the main branch, so Catalyst prunes the two
-    consumers of the windowed frame differently and exchange reuse
-    stops firing (the quality_ensemble defect class) — acceptable only
-    when a truly unbounded position axis forces the bucketed form."""
+    Each input relation is evaluated exactly once on BOTH sweep forms
+    (plan-test pinned): with ``bucket_width=None`` trivially, and with
+    ``bucket_width`` set because the offsets branch reads the windowed
+    frame through a ReusedExchange — the probe mark is referenced in
+    the offsets aggregation's max_by ordering key purely so column
+    pruning cannot desync the two consumers of the shared exchange
+    (r7 verdict #5; see the comment in :func:`_sweep`).
+
+    Position columns must be integral (:func:`_require_integral`);
+    NULL probe positions are excluded (no ``pos = NULL`` output row —
+    NULL comparisons are false in the inner-join form this mirrors)."""
     by = by or []
+    _require_integral(points, point_col, "coverage_at_positions")
+    for c in (start_col, end_col):
+        _require_integral(intervals, c, "coverage_at_positions")
     probe_pos = (
-        points.select(*by, F.col(point_col).cast("long").alias("pos"))
+        points.where(F.col(point_col).isNotNull())
+        .select(*by, F.col(point_col).cast("long").alias("pos"))
         .distinct()
         .withColumn("d", F.lit(0))
         .withColumn("_p", F.lit(1))
@@ -255,7 +293,12 @@ def coverage_at_positions(
 def _interval_deltas(
     intervals: DataFrame, start_col: str, end_col: str, by: list[str]
 ) -> DataFrame:
-    """+1 at start, -1 just past the (inclusive) end."""
+    """+1 at start, -1 just past the (inclusive) end.  Intervals with
+    a NULL endpoint contain nothing (NULL comparisons are false in the
+    join form the sweep mirrors) and are dropped."""
+    intervals = intervals.where(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    )
     return intervals.select(
         *by,
         F.explode(
@@ -304,9 +347,20 @@ def _sweep(
     w_bkt = Window.partitionBy(*by).orderBy("_bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # the offsets aggregation must REFERENCE mark_col: otherwise
+    # column pruning reads the windowed frame without the mark in this
+    # branch while the main branch reads it with, the two subtrees
+    # stop canonicalizing equal, and ReusedExchange never fires —
+    # re-executing the whole delta union (probe distinct included) a
+    # second time (r7 verdict #5, the quality_ensemble defect class).
+    # A dropped dummy aggregate gets pruned right back out, so the
+    # reference rides the max_by ORDERING key instead: pos is unique
+    # per (by, _bkt) group (per_pos grouped on it), so the struct
+    # tie-break on the mark can never change the argmax.
+    ord_key = F.struct("pos", mark_col) if mark_col else F.col("pos")
     offsets = (
         cum_local.groupBy(*by, "_bkt")
-        .agg(F.max_by("_lcum", "pos").alias("_btot"))
+        .agg(F.max_by("_lcum", ord_key).alias("_btot"))
         .select(
             *by,
             "_bkt",

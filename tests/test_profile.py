@@ -152,3 +152,39 @@ def test_single_scan_plan_shape(spark):
     # exchange is the scan side of the dedup — no Sort may touch it
     below_dedup = plan[plan.rindex("Exchange hashpartitioning") :]
     assert "Sort [" not in below_dedup
+
+
+def test_exact_distinct_on_array_columns_is_native(spark):
+    """Array values whose STRING renderings collide (["a, b"] vs
+    ["a","b"] both print "[a, b]") must still count as distinct — the
+    r7 ADVICE regression: the two-job fallback judged distinctness on
+    the rendering.  Also covers a struct column and checks the float
+    column sharing the relation still normalizes -0.0 == 0.0."""
+    rows = [
+        (["a, b"], (1, "x"), -0.0),
+        (["a", "b"], (1, "x"), 0.0),
+        (["a", "b"], (2, "y"), 1.5),
+        (None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "arr array<string>, st struct<a:int,b:string>, f double",
+    )
+    got = {
+        r.col_name: (r.n_rows, r.n_nulls, r.n_distinct)
+        for r in PRF.profile(df, distinct="exact").collect()
+    }
+    assert got["arr"] == (4, 1, 2)  # renderings collide, values do not
+    assert got["st"] == (4, 1, 2)
+    assert got["f"] == (4, 1, 2)  # -0.0 and 0.0 are ONE distinct value
+
+
+def test_exact_distinct_map_column_rejected(spark):
+    df = spark.createDataFrame(
+        [({"a": 1},)], "m map<string,int>"
+    )
+    with pytest.raises(ValueError, match="map"):
+        PRF.profile(df, distinct="exact")
+    # approx path handles maps fine
+    row = PRF.profile(df, distinct="approx").collect()[0]
+    assert (row.n_rows, row.n_nulls) == (1, 0)

@@ -346,3 +346,84 @@ def test_range_join_preaggregated_intervals_parity(spark):
     a = {r["pid"]: (r["n"], r["mx"]) for r in naive.collect()}
     b = {r["pid"]: (r["n"], r["mx"]) for r in weighted.collect()}
     assert a == b
+
+
+def test_bucketed_sweep_single_evaluation_of_inputs(spark):
+    """r7 verdict #5: with bucket_width set AND the probe mark carried,
+    the offsets branch must read the windowed frame through a
+    ReusedExchange instead of re-executing the whole delta union.  The
+    mark reference rides the offsets max_by ordering struct (a dummy
+    aggregate gets pruned); this pins that the final AQE plan reuses
+    the _bkt exchange — i.e. each input is evaluated exactly once."""
+    points = spark.createDataFrame([(i,) for i in range(40)], "pos long")
+    intervals = spark.createDataFrame(
+        [(i, i + 9) for i in range(0, 60, 3)], "sd long, ed long"
+    )
+    out = RJ.coverage_at_positions(
+        points, intervals, "pos", "sd", "ed", bucket_width=8
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final
+    # the reuse must be of the _bkt-partitioned exchange (the top of
+    # the shared sweep subtree), not some smaller fragment
+    import re
+
+    m = re.search(r"ReusedExchange \[[^\]]*\], Exchange hashpartitioning\(_bkt", final)
+    assert m, final
+
+
+def test_coverage_null_handling_matches_inner_join_semantics(spark):
+    """NULL probe positions are excluded from coverage_at_positions
+    (no pos=NULL row) and come back as n_active=0 from
+    coverage_at_points; intervals with a NULL endpoint contain
+    nothing (r7 ADVICE)."""
+    points = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 100)], "pid long, pos long"
+    )
+    intervals = spark.createDataFrame(
+        [(0, 10), (None, 10), (4, None)], "sd long, ed long"
+    )
+    pos_rows = RJ.coverage_at_positions(
+        points, intervals, "pos", "sd", "ed"
+    ).collect()
+    assert {r["pos"] for r in pos_rows} == {5, 100}
+    got = {
+        r["pid"]: r["n_active"]
+        for r in RJ.coverage_at_points(
+            points, intervals, "pos", "sd", "ed"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 0, 3: 0}
+
+
+def test_sweep_forms_reject_fractional_position_columns(spark):
+    """The long cast in the sweep forms would TRUNCATE fractional
+    positions (0.7 counted at 0), silently diverging from range_join's
+    native-value containment — so non-integral position columns raise
+    (r7 ADVICE).  range_join itself stays fractional-safe: truncation
+    only picks the bucket and the residual filter compares natives."""
+    import pytest
+
+    pts_f = spark.createDataFrame([(0.7,)], "pos double")
+    ivs = spark.createDataFrame([(0, 10)], "sd long, ed long")
+    ivs_f = spark.createDataFrame([(0.5, 0.6)], "sd double, ed double")
+    pts = spark.createDataFrame([(1,)], "pos long")
+    with pytest.raises(ValueError, match="integral"):
+        RJ.coverage_at_positions(pts_f, ivs, "pos", "sd", "ed")
+    with pytest.raises(ValueError, match="integral"):
+        RJ.coverage_at_points(pts, ivs_f, "pos", "sd", "ed")
+    with pytest.raises(ValueError, match="integral"):
+        RJ.concurrent_intervals(ivs_f, "sd", "ed")
+    # range_join on fractional columns: exact (residual filter native)
+    got = RJ.range_join(
+        spark.createDataFrame([(0.55,), (0.7,)], "p double"),
+        ivs_f,
+        "p",
+        "sd",
+        "ed",
+        bucket_width=1,
+    ).collect()
+    assert [(r["p"]) for r in got] == [0.55]
