@@ -431,3 +431,27 @@ def test_span_dedup_skew_safe_gram_verdict(spark):
         r"Window .*?windowspecdefinition\(([^,]+),", final
     ):
         assert "doc_id" in m.group(1), m.group(0)
+
+
+def test_p3_extraction_single_regex_evaluation(spark):
+    """r7 verdict #3: the explode-first range extraction must evaluate
+    regexp_extract_all exactly ONCE per input line — the gate/extract
+    pair must not re-run the pattern — and the whole map side (regex +
+    explode + endpoint split) must stay inside one codegen'd map stage
+    with no exchange."""
+    from ena_database_build_spark.functions import locations as L
+
+    df = spark.createDataFrame(
+        [(1, "10..20,x,300..>350"), (2, "no ranges here")],
+        "id long, loc string",
+    )
+    out = L.explode_ranges(df, F.col("loc"), "id")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_extract_all") == 1, plan
+    phys = _executed_plan(out)
+    final = phys.split("== Initial Plan ==")[0]
+    assert not _exchanges(final), final  # map-only
+    assert "Generate explode" in final, final
+    # and the values are right (incl. the >-marker strip)
+    rows = {(r["id"], r["range_start"], r["range_end"]) for r in out.collect()}
+    assert rows == {(1, 10, 20), (1, 300, 350)}
