@@ -1,6 +1,34 @@
+import os
+import sys
+
 import pytest
 
-from ena_database_build_spark.session import get_spark
+# Pip-less protobuf drop (round-8, r7 verdict #6): pyspark's
+# transformWithStateInPandas driver/worker protocol imports
+# google.protobuf, which is not pip-installed in this container.  A
+# public protobuf runtime (6.32.0) ships inside the machine's Google
+# Cloud SDK; appending it to sys.path (and PYTHONPATH, so the
+# StreamingPythonRunner's spawned driver worker inherits it) lets the
+# env-gated streaming test execute.  pyspark 4.1.2's generated
+# StateMessage_pb2 was compiled with protoc 6.33.0 — one minor AHEAD
+# of the 6.32 runtime — so the runtime's own documented escape hatch
+# (TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK) is set; the gated test
+# then verifies behavior end-to-end, which is the real compatibility
+# check.  A pip-installed protobuf always wins (sys.path APPEND).
+_GAE_PB = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+try:  # pragma: no cover - trivially environment-dependent
+    import google.protobuf  # noqa: F401
+except ImportError:
+    if os.path.isdir(os.path.join(_GAE_PB, "google", "protobuf")):
+        sys.path.append(_GAE_PB)
+        os.environ["PYTHONPATH"] = (
+            _GAE_PB + os.pathsep + os.environ.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep)
+        os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+
+from ena_database_build_spark.session import get_spark  # noqa: E402
 
 
 @pytest.fixture(scope="session")

@@ -135,10 +135,31 @@ def _has_protobuf() -> bool:
     "environment; the applyInPandasWithState twins are fully tested",
 )
 def test_top_purchases_stream_matches_batch(spark, event_dir):
-    stream = STR.read_event_stream(spark, event_dir, max_files_per_trigger=2)
-    got = _run_stream(
-        spark, STR.top_purchases_stream(stream, k=3), "topk", mode="update"
+    # transformWithState requires a multi-column-family state store:
+    # the default HDFSBackedStateStoreProvider rejects it outright, so
+    # this query (and only this query) runs on RocksDB — the provider
+    # Spark 4 ships for exactly this API.  Conf is read at query
+    # start; restore afterwards so the applyInPandasWithState tests
+    # keep their default-provider coverage.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
+    try:
+        stream = STR.read_event_stream(
+            spark, event_dir, max_files_per_trigger=2
+        )
+        got = _run_stream(
+            spark, STR.top_purchases_stream(stream, k=3), "topk", mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     # update mode re-emits per batch; the final state per user is the
     # longest/most-complete leaderboard — reduce by taking the row
     # with the lexicographically largest (desc-sorted) array, which
