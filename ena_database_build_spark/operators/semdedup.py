@@ -142,7 +142,10 @@ def _within_cluster_pairs(
 
     if salt == "auto":
         # task key IS the cluster, so the cluster histogram (k rows,
-        # bounded by construction) sizes the densest task directly
+        # bounded by construction) sizes the densest task directly.
+        # The probe is one extra aggregation job over the (lazy)
+        # assignment relation — one additional pass of the broadcast-
+        # centroid assignment map, run eagerly at build time.
         hist = (
             assigned.groupBy("cluster").count().agg(F.max("count")).collect()
         )
