@@ -305,7 +305,10 @@ def q_p3_range_extract(spark, sf_dir):
     fixture's, not the operator's); regex ~0.19 s, explode+split
     ~0.47 s.  A split-on-comma alternative measured SLOWER (1.26 s).
     The ratio (~11x over a 97 ms compose-only oracle) is the price of
-    actually parsing; floor documented, no plan defect."""
+    actually parsing; floor documented, no plan defect.  Scaling curve
+    (bars corpora, 1/10/100 replicas of sf0.1): 11.3x -> 3.24x ->
+    1.87x — at ~sf10 the parse runs within 2x of the oracle's
+    compose, confirming the sf0.1 number is launch floor."""
     li = t(spark, sf_dir, "lineitem")
     loc = F.concat_ws(
         "",
@@ -824,7 +827,10 @@ def q_p7_location_normalizer(spark, sf_dir):
     (diverges from sequential replace on seam-crossing matches),
     translate for the \\n/space passes (measured 1.6x SLOWER than
     literal replace).  Floor documented; ~7.6x over a 283 ms
-    compose-only oracle is parse-vs-compose, not a plan defect."""
+    compose-only oracle is parse-vs-compose, not a plan defect.
+    Scaling curve (bars corpora, 1/10/100 replicas of sf0.1):
+    6.3x -> 2.83x -> 1.64x — within 2x of the compose-only oracle at
+    ~sf10."""
     from ena_database_build_spark.functions import embl as E
 
     li = t(spark, sf_dir, "lineitem")
