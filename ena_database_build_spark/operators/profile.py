@@ -47,9 +47,9 @@ no-Expand rewrites replace it:
   long-form grouped ``count_distinct`` over the cast values, while
   non-atomic columns (arrays, structs — where the rendering is NOT
   injective: ``["a, b"]`` and ``["a","b"]`` both render ``[a, b]``)
-  each run a native per-column ``count_distinct`` aggregation.
-  Map-typed columns raise under ``distinct='exact'`` (Spark cannot
-  group/compare maps); ``distinct='approx'`` handles them.
+  each run a native per-column ``count_distinct`` aggregation
+  (maps included — counted key-order-insensitively; their min/max
+  report NULL since maps define no ordering).
 
 Exactness caveat (fallback path only): for the string-cast columns,
 floating -0.0 and 0.0 render differently while ``count(DISTINCT)``
@@ -306,13 +306,12 @@ def _exact_two_job(df: DataFrame, cols: list[str]) -> DataFrame:
     * columns whose string cast is injective (:func:`_cast_faithful`)
       share ONE long-form grouped ``count_distinct`` over the cast
       values — one scan for all of them;
-    * every other column (arrays, structs) gets its own native
-      ``count_distinct`` aggregation — exact for any groupable type,
-      one pruned scan per column, unioned into the same tiny
-      broadcast side.  Map-typed columns raise: Spark cannot group or
-      compare maps, so no exact-distinct plan exists for them
-      (``distinct='approx'`` works — HLL hashes map values)."""
-    from pyspark.sql.types import MapType
+    * every other column (arrays, structs, maps — incl. nested maps)
+      gets its own native ``count_distinct`` aggregation — exact, one
+      pruned scan per column, unioned into the same tiny broadcast
+      side.  Maps aggregate key-order-insensitively (count_distinct
+      treats {a:1,b:2} == {b:2,a:1}) but define no ordering, so their
+      min/max report NULL (see :func:`_orderable`)."""
 
     def _norm(c: str) -> Column:
         col = F.col(c)
@@ -322,13 +321,6 @@ def _exact_two_job(df: DataFrame, cols: list[str]) -> DataFrame:
 
     faithful = [c for c in cols if _cast_faithful(df.schema[c].dataType)]
     native = [c for c in cols if c not in faithful]
-    for c in native:
-        if isinstance(df.schema[c].dataType, MapType):
-            raise ValueError(
-                f"profile(distinct='exact') cannot profile map column "
-                f"{c!r}: Spark cannot group/compare map values, so no "
-                "exact distinct count exists — use distinct='approx'"
-            )
 
     base = _wide_stack(df, cols, approx_nd=False)
     nd_parts = []

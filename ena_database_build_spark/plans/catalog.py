@@ -1791,8 +1791,9 @@ def q_range_join_transit(spark, sf_dir):
     # (~2.6k here, <=tens of thousands for any corpus) and arrives at
     # the window already aggregated per position — the single ordered
     # partition is over that bounded set, never data rows.  The
-    # bucketed two-phase exists for dense numeric axes; with the probe
-    # mark it currently re-evaluates inputs (see coverage_at_positions)
+    # bucketed two-phase exists for dense numeric axes and, since r8,
+    # also single-evaluates its inputs with the probe mark carried
+    # (ReusedExchange pinned — see coverage_at_positions)
     cov = RJ.coverage_at_positions(
         points, intervals, point_col="day", start_col="sd", end_col="ed",
     )

@@ -20,10 +20,28 @@ try:  # pragma: no cover - trivially environment-dependent
     import google.protobuf  # noqa: F401
 except ImportError:
     if os.path.isdir(os.path.join(_GAE_PB, "google", "protobuf")):
-        sys.path.append(_GAE_PB)
+        # expose ONLY the google/ package through a shim dir — the GAE
+        # platform dir also carries top-level modules (api_server,
+        # dev_appserver, ...) that must not shadow anything in spawned
+        # workers.  In THIS interpreter sys.path.append puts the shim
+        # after site-packages, so a pip install always wins here; in
+        # children PYTHONPATH precedes site-packages by Python's own
+        # rules (any position within PYTHONPATH does), which is why
+        # this whole block only engages when the import above failed —
+        # i.e. when there is no pip protobuf in this environment to
+        # shadow.  Appending at the END of PYTHONPATH still keeps any
+        # pre-existing PYTHONPATH entries ahead of the shim.
+        import tempfile
+
+        _shim = os.path.join(tempfile.gettempdir(), "spark_graft_pb_shim")
+        _link = os.path.join(_shim, "google")
+        os.makedirs(_shim, exist_ok=True)
+        if not os.path.lexists(_link):
+            os.symlink(os.path.join(_GAE_PB, "google"), _link)
+        sys.path.append(_shim)
         os.environ["PYTHONPATH"] = (
-            _GAE_PB + os.pathsep + os.environ.get("PYTHONPATH", "")
-        ).rstrip(os.pathsep)
+            os.environ.get("PYTHONPATH", "") + os.pathsep + _shim
+        ).lstrip(os.pathsep)
         os.environ.setdefault(
             "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
         )

@@ -179,12 +179,28 @@ def test_exact_distinct_on_array_columns_is_native(spark):
     assert got["f"] == (4, 1, 2)  # -0.0 and 0.0 are ONE distinct value
 
 
-def test_exact_distinct_map_column_rejected(spark):
+def test_exact_distinct_map_column_native(spark):
+    """Map columns take the native count_distinct path: counted
+    key-order-insensitively ({a:1,b:2} == {b:2,a:1}), NULL min/max
+    (maps define no ordering).  Nested maps (array<map>) behave the
+    same."""
+    rows = [
+        ({"a": 1, "b": 2}, [{"x": 1}]),
+        ({"b": 2, "a": 1}, [{"x": 1}]),  # same map, different key order
+        ({"a": 9}, [{"x": 2}]),
+        (None, None),
+    ]
     df = spark.createDataFrame(
-        [({"a": 1},)], "m map<string,int>"
+        rows, "m map<string,int>, am array<map<string,int>>"
     )
-    with pytest.raises(ValueError, match="map"):
-        PRF.profile(df, distinct="exact")
-    # approx path handles maps fine
-    row = PRF.profile(df, distinct="approx").collect()[0]
-    assert (row.n_rows, row.n_nulls) == (1, 0)
+    for mode in ("exact", "approx"):
+        got = {
+            r.col_name: r for r in PRF.profile(df, distinct=mode).collect()
+        }
+        assert (got["m"].n_rows, got["m"].n_nulls) == (4, 1)
+        assert (got["am"].n_rows, got["am"].n_nulls) == (4, 1)
+        assert got["m"].min_val is None and got["m"].max_val is None
+        assert got["am"].min_val is None and got["am"].max_val is None
+        if mode == "exact":
+            assert got["m"].n_distinct == 2
+            assert got["am"].n_distinct == 2
