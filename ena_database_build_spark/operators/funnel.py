@@ -175,9 +175,15 @@ def funnel_counts(
     result-identical by the differential test."""
     stages_fn = funnel_stages_bounded if bounded else funnel_stages
     st = stages_fn(events, steps, user_col, ts_col, type_col)
+    # coalesce: SUM over ZERO rows is NULL, so an empty event log must
+    # still report 0 users per step (matches SQL count semantics; on
+    # any non-empty input the 0/1 casts are non-null and the coalesce
+    # is inert)
     row = st.agg(
         *[
-            F.sum((F.col("stage") >= k).cast("long")).alias(f"s{k}")
+            F.coalesce(
+                F.sum((F.col("stage") >= k).cast("long")), F.lit(0)
+            ).alias(f"s{k}")
             for k in range(1, len(steps) + 1)
         ]
     )

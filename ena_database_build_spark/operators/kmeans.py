@@ -97,6 +97,17 @@ def kmeans_train(
         .collect()
     )
     centroids = [list(r["v"]) for r in seeds]
+    if not centroids:
+        # empty input: no seeds exist, so there is no model — return
+        # an empty assignment with the contract schema instead of
+        # letting assign_clusters build array_min(array()) (a VOID-
+        # typed expression that fails analysis with a cryptic error)
+        empty = df.select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("cluster"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).where(F.lit(False))
+        return [], empty
     for _ in range(max_iter):
         assigned = assign_clusters(df, centroids, vec_col, id_col)
         new = _mean_centroids(assigned, k)

@@ -1408,7 +1408,13 @@ def q_rollup_revenue(spark, sf_dir):
     """Multi-level aggregation via ROLLUP: revenue at (flag, status),
     per-flag subtotal, and grand total in ONE pass — Spark expands the
     grouping sets before the exchange, so partial aggregation covers
-    every level with a single shuffle (vs 3 separate scans+shuffles)."""
+    every level with a single shuffle (vs 3 separate scans+shuffles).
+
+    Known divergence, EMPTY INPUT ONLY: Spark's ROLLUP (DataFrame and
+    SQL forms alike — probed r8) emits ZERO rows over an empty table,
+    while ANSI/DuckDB emit the ()-grouping-set grand-total row.
+    Engine-level behavior, not a plan choice; both engines agree on
+    every non-empty input."""
     li = t(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
@@ -4436,10 +4442,12 @@ WITH dirty AS (
                / count(o_orderstatus), 6)
   FROM dirty WHERE o_orderstatus IS NOT NULL
   UNION ALL
+  -- COALESCE 1.0: an EMPTY fact side is vacuously intact (no FK can
+  -- dangle) — the engine's ri_coverage posture; inert on non-empty
   SELECT 'orders_custkey_ri',
-         round(CAST(sum(CASE WHEN c.c_custkey IS NOT NULL
+         coalesce(round(CAST(sum(CASE WHEN c.c_custkey IS NOT NULL
                              THEN 1 ELSE 0 END) AS DOUBLE)
-               / count(*), 6)
+               / count(*), 6), 1.0)
   FROM dirty o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
   WHERE o.o_custkey IS NOT NULL
   UNION ALL
@@ -4451,9 +4459,12 @@ WITH dirty AS (
   WHERE l.l_orderkey IS NOT NULL
 )
 SELECT check_name, metric,
-       metric >= CASE WHEN check_name IN (
+       -- fail CLOSED on an un-measurable (NULL) metric — the engine's
+       -- metrics_report posture (round-3 ADVICE); inert on non-empty
+       coalesce(metric >= CASE WHEN check_name IN (
          'orders_orderkey_unique', 'orders_status_domain',
-         'lineitem_orderkey_ri') THEN 0.999 ELSE 1.0 END AS passed
+         'lineitem_orderkey_ri') THEN 0.999 ELSE 1.0 END,
+         FALSE) AS passed
 FROM m
 """
 
@@ -5511,7 +5522,10 @@ def q_cube_revenue(spark, sf_dir):
     aggregation covers all 4 levels with a single shuffle; the
     sibling `rollup_revenue` pins the hierarchical variant).  NULL
     grouping keys render as 'ALL' so the margin rows compare
-    portably."""
+    portably.  Same empty-input divergence as rollup_revenue: Spark's
+    CUBE emits zero rows over an empty table where ANSI emits the
+    grand-total row — engine behavior, agrees on all non-empty
+    input."""
     li = t(spark, sf_dir, "lineitem", spread=True)
     return (
         li.cube("l_returnflag", "l_linestatus")
@@ -6059,7 +6073,12 @@ def q_session_duration_quartiles(spark, sf_dir):
     the bounded-state exact-quantile operator — the p25/p50/p75 of
     session length in seconds, computed without any per-group
     in-memory value array.  The oracle re-sessionizes with the proven
-    lag/cumsum SQL and applies quantile_cont."""
+    lag/cumsum SQL and applies quantile_cont.
+
+    Known divergence, EMPTY INPUT ONLY: exact_quantiles returns NO row
+    for a group with no values (documented operator contract), while
+    the oracle's ungrouped quantile_cont emits NULL-valued rows over
+    an empty table.  Agrees on every non-empty input."""
     ev = t(spark, sf_dir, "events", spread=True).where(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
@@ -7647,8 +7666,17 @@ def q_s67_sinks(spark, sf_dir):
     rd = spark.read.schema(_ENA_TAB_READ_SCHEMA).option("sep", "\t").option(
         "header", "false"
     )
+    shards_raw = rd.csv(path6)
+    if "source_dir" not in shards_raw.columns:
+        # source_dir is a PARTITION column, discovered from the shard
+        # directories — an empty write creates none, so the read-back
+        # sees only the declared data schema; re-attach it explicitly
+        # (schema-only check, no job)
+        shards_raw = shards_raw.withColumn(
+            "source_dir", F.lit(None).cast("string")
+        )
     shards = (
-        rd.csv(path6)
+        shards_raw
         .groupBy(F.col("source_dir").cast("string").alias("source_dir"))
         .agg(F.count("*").alias("n_rows"), F.countDistinct("ena_id").alias("n_ids"))
         .select(
@@ -7680,7 +7708,12 @@ SELECT 's6:' || CASE WHEN doc_id % 3 = 0 THEN 'wgs-public-abc'
 FROM documents GROUP BY 1
 UNION ALL
 SELECT 's7:single' AS sink, count(*) AS n_rows,
-       count(DISTINCT doc_id) AS n_ids, CAST(1 AS BIGINT) AS n_files
+       count(DISTINCT doc_id) AS n_ids,
+       -- the invariant is NO MULTI-PART SPLIT, measured as the count
+       -- of row-bearing part files: 1 whenever rows exist, 0 for an
+       -- empty export (input_file_name over zero rows sees no files)
+       CAST(CASE WHEN count(*) = 0 THEN 0 ELSE 1 END AS BIGINT)
+         AS n_files
 FROM documents
 """
 
@@ -7797,6 +7830,18 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #     r7-window set; steady state is a ~3.6-round rotation of 181
 #     queries at 50 checked entries per round — hold net-new
 #     additions near zero so the cycle stays tight.
+#   round-8 empty-input sweep (new robustness gate): all 181 queries
+#     run against a ZERO-ROW corpus with the real schemas
+#     (/tmp/sf_empty, built from sf0.001 slices).  178/181 match the
+#     oracle on empty input after this round's fixes (funnel zero
+#     coalesce, kmeans empty-model guard, s67 partition-column
+#     re-attach, dq/s67 oracle empty-semantics alignment — all
+#     value-identical on any non-empty input, re-greened at sf0.01);
+#     the 3 residuals are DOCUMENTED engine-level divergences
+#     (Spark ROLLUP/CUBE emit no grand-total row over empty input,
+#     probed against both the DataFrame and SQL forms;
+#     exact_quantiles' absent-group contract), noted in those rows'
+#     docstrings.
 #   round-8 closing verification: FULL 181-query catalog re-verified
 #     against the oracle on the final tree at BOTH sf0.01 and sf0.1
 #     (181/181 each), plan_audit 181/181 clean, scan_audit 181/181

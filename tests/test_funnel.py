@@ -101,3 +101,22 @@ def test_bounded_variant_matches_fold_randomized(spark):
             for r in FUN.funnel_stages_bounded(events, steps).collect()
         }
         assert bounded == fold, steps
+
+
+def test_funnel_counts_empty_events_report_zero(spark):
+    """SUM over zero rows is NULL — the report must still say 0 users
+    per step on an empty event log (r8 empty-corpus sweep finding;
+    matches SQL count semantics)."""
+    from ena_database_build_spark.operators import funnel as FUN
+
+    ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string"
+    )
+    for bounded in (False, True):
+        got = {
+            r.funnel_step: r.n_users
+            for r in FUN.funnel_counts(
+                ev, ["view", "click", "purchase"], bounded=bounded
+            ).collect()
+        }
+        assert got == {1: 0, 2: 0, 3: 0}, bounded

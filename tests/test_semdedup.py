@@ -230,3 +230,18 @@ def test_salt_auto_parity_and_strict_validation(spark):
     for bad in (True, 1.0, 0, -2, "always"):
         with pytest.raises(ValueError, match="salt"):
             SD.semantic_dedup_pairs(df, k=1, threshold=0.95, salt=bad)
+
+
+def test_kmeans_and_semdedup_empty_input(spark):
+    """Empty input: kmeans_train returns an empty model + empty
+    assignment with the contract schema instead of failing analysis
+    on array_min(array()) (r8 empty-corpus sweep finding);
+    semantic_dedup then yields zero survivors."""
+    from ena_database_build_spark.operators import kmeans as KM
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    centroids, assigned = KM.kmeans_train(df, k=4, max_iter=2)
+    assert centroids == []
+    assert assigned.columns == ["vec_id", "cluster", "v"]
+    assert assigned.count() == 0
+    assert SD.semantic_dedup(df, k=4).count() == 0
