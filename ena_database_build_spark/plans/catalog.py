@@ -7830,6 +7830,17 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #     r7-window set; steady state is a ~3.6-round rotation of 181
 #     queries at 50 checked entries per round — hold net-new
 #     additions near zero so the cycle stays tight.
+#   round-8 adversarial-value sweep (tools/adversarial_corpus.py —
+#     NULLs in every non-key column, empty/control-char strings,
+#     zeros, empty arrays; both engines read the same mutated bytes):
+#     152/181 agree; the 29 disagreements triage into three families,
+#     NONE an engine defect — (1) the DuckDB oracles' concat_ws
+#     k-gram construction synthesizes an empty shingle for NULL text
+#     where the engine propagates NULL (verified row-by-row on
+#     decontaminate), (2) empty-array folds return the 0.0 init on
+#     the engine vs NULL from DuckDB list aggregates, (3) the
+#     absent-group quantile contract.  Full analysis in the tool's
+#     docstring.
 #   round-8 empty-input sweep (new robustness gate): all 181 queries
 #     run against a ZERO-ROW corpus with the real schemas
 #     (/tmp/sf_empty, built from sf0.001 slices).  178/181 match the

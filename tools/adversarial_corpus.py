@@ -1,0 +1,144 @@
+"""Adversarial-value corpus generator + the round-8 triage record.
+
+Builds a mutated copy of the sf0.001 corpus for differential
+robustness sweeps (``tools/check_catalog.py <out_dir>`` runs all 181
+queries on Spark AND DuckDB over the same mutated files — any
+disagreement is a semantics finding, since both engines read identical
+bytes):
+
+* ~10% of values in every non-key column become NULL (deterministic
+  index hash);
+* string columns additionally plant empty strings, embedded tabs,
+  embedded newlines, and mixed quotes;
+* numeric columns plant exact zeros;
+* array columns plant empty arrays.
+
+Key/join/timestamp columns stay untouched so the relational shapes
+remain meaningful.  Float-MAGNITUDE extremes (1e15) are deliberately
+NOT planted: they make every multi-term float SUM order-sensitive,
+which reports engine-noise, not semantics (measured: 16 spurious
+failures from that alone).
+
+Round-8 sweep results (this generator + check_catalog):
+
+* zero-row corpus: 178/181 agree after the r8 fixes (funnel zero
+  coalesce, kmeans empty-model guard, s67 partition-column re-attach,
+  dq/s67 oracle empty-semantics alignment); the 3 residuals are
+  engine-level divergences documented in their rows' docstrings
+  (Spark ROLLUP/CUBE emit no grand-total row on empty input;
+  exact_quantiles' absent-group contract).
+* this corpus: 152/181 agree.  The 29 disagreements triage into
+  three families, none an engine defect:
+
+  1. NULL-text shingle synthesis (the dedup/decontaminate family):
+     the DuckDB oracles build k-grams with ``concat_ws`` over
+     ``tk[i]..tk[i+k-1]``, and for a NULL text every index is NULL —
+     concat_ws SKIPS nulls and synthesizes an EMPTY-STRING shingle,
+     so NULL-text docs spuriously "share" '' and cross-contaminate.
+     The engine propagates NULL (no tokens, no shingles) — standard
+     SQL NULL semantics, verified row-by-row on `decontaminate`
+     (oracle-only flagged doc_ids are exactly the NULL-text ones).
+     The oracles are correct on every corpus whose text column is
+     non-NULL (all driver fixtures; enforced upstream by real
+     pipelines' ingest contracts).
+  2. NULL/empty-array folds (the embedding family): the engine's
+     ``aggregate(v, 0.0, +)`` returns the init (0.0) for an empty
+     array where DuckDB's list aggregates return NULL; min/max are
+     NULL on both sides.  Both postures are defensible; outputs agree
+     wherever a vector has elements.
+  3. NULL-value aggregation edges elsewhere (quantiles over columns
+     with planted NULLs hit the same absent-vs-NULL-row contract as
+     the empty corpus).
+
+Usage: python tools/adversarial_corpus.py [src_sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ena_database_build_spark.plans.catalog import TABLES  # noqa: E402
+
+KEYS = {
+    "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey",
+    "c_nationkey", "s_suppkey", "s_nationkey", "p_partkey",
+    "o_orderkey", "o_custkey", "l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "event_id", "user_id", "doc_id", "vec_id", "ts",
+    "event_type", "o_orderdate", "l_shipdate", "l_receiptdate",
+    "l_commitdate",
+}
+
+
+def mutate(src: str, out_dir: str) -> None:
+    out = Path(out_dir)
+    out.mkdir(exist_ok=True)
+    for t in TABLES:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        n = tbl.num_rows
+        idx = np.arange(n)
+        mask = (idx * 2654435761 % 97) < 10  # deterministic ~10%
+        cols = {}
+        for i, f in enumerate(tbl.schema):
+            col = tbl.column(i)
+            if f.name in KEYS or n == 0:
+                cols[f.name] = col
+                continue
+            vals = col.to_pylist()
+            if pa.types.is_string(f.type) or pa.types.is_large_string(
+                f.type
+            ):
+                for j in range(n):
+                    r = (j * 40503) % 101
+                    if mask[j]:
+                        vals[j] = None
+                    elif r == 0:
+                        vals[j] = ""
+                    elif r == 1:
+                        vals[j] = "tab\there"
+                    elif r == 2:
+                        vals[j] = "nl\nhere"
+                    elif r == 3:
+                        vals[j] = "quote\"and'mix"
+            elif pa.types.is_floating(f.type):
+                for j in range(n):
+                    r = (j * 48271) % 103
+                    if mask[j]:
+                        vals[j] = None
+                    elif r == 0:
+                        vals[j] = 0.0
+            elif pa.types.is_integer(f.type):
+                for j in range(n):
+                    r = (j * 69621) % 107
+                    if mask[j]:
+                        vals[j] = None
+                    elif r == 0:
+                        vals[j] = 0
+            elif pa.types.is_list(f.type) or pa.types.is_large_list(
+                f.type
+            ):
+                for j in range(n):
+                    r = (j * 16807) % 109
+                    if mask[j]:
+                        vals[j] = None
+                    elif r == 0:
+                        vals[j] = []
+            else:
+                for j in range(n):
+                    if mask[j]:
+                        vals[j] = None
+            cols[f.name] = pa.array(vals, type=f.type)
+        pq.write_table(pa.table(cols), out / f"{t}.parquet")
+        print(t, n, "rows mutated")
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    dest = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_adv"
+    mutate(src, dest)
