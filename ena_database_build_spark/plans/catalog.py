@@ -7854,14 +7854,15 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #     exact_quantiles' absent-group contract), noted in those rows'
 #     docstrings.
 #   round-8 closing verification: FULL 181-query catalog re-verified
-#     against the oracle on the final tree at BOTH sf0.01 and sf0.1
-#     (181/181 each), plan_audit 181/181 clean, scan_audit 181/181
-#     within budget (manifest unchanged), pytest 305 passed / 1 skip
-#     (MySQL wire only — the transformWithStateInPandas gate now
-#     EXECUTES via the pip-less protobuf drop + RocksDB provider).
-#     The r8 window (positions 1-50, incl. transit_payload and the
-#     salt='auto' dedup_embedding / semantic_dedup) check_catalog-
-#     verified as a block at sf0.01 (50/50).
+#     against the oracle on the final tree (AFTER the robustness-
+#     sweep fixes) at BOTH sf0.01 and sf0.1 (181/181 each),
+#     plan_audit 181/181 clean, scan_audit 181/181 within budget
+#     (manifest unchanged), pytest 307 passed / 1 skip (MySQL wire
+#     only — the transformWithStateInPandas gate now EXECUTES via the
+#     pip-less protobuf drop + RocksDB provider).  The r8 window
+#     (positions 1-50, incl. transit_payload and the salt='auto'
+#     dedup_embedding / semantic_dedup) check_catalog-verified as a
+#     block at sf0.01 (50/50).
 #   round-7 closing verification: FULL 181-query catalog re-verified
 #     against the oracle on the final tree at BOTH sf0.01 and sf0.1
 #     (181/181 each), plan_audit 181/181 clean, scan_audit 181/181
