@@ -35,9 +35,18 @@ except ImportError:
 
         _shim = os.path.join(tempfile.gettempdir(), "spark_graft_pb_shim")
         _link = os.path.join(_shim, "google")
+        _target = os.path.join(_GAE_PB, "google")
         os.makedirs(_shim, exist_ok=True)
+        # /tmp is world-writable: never trust a pre-existing link that
+        # points anywhere else (a hostile symlink would get imported
+        # as google.protobuf by every spawned worker) — recreate it
+        if os.path.lexists(_link) and os.path.realpath(_link) != _target:
+            os.unlink(_link)
         if not os.path.lexists(_link):
-            os.symlink(os.path.join(_GAE_PB, "google"), _link)
+            try:
+                os.symlink(_target, _link)
+            except FileExistsError:
+                pass  # concurrent pytest session won the race; same link
         sys.path.append(_shim)
         os.environ["PYTHONPATH"] = (
             os.environ.get("PYTHONPATH", "") + os.pathsep + _shim

@@ -78,7 +78,7 @@ KEYS = {
 
 def mutate(src: str, out_dir: str) -> None:
     out = Path(out_dir)
-    out.mkdir(exist_ok=True)
+    out.mkdir(parents=True, exist_ok=True)
     for t in TABLES:
         tbl = pq.read_table(f"{src}/{t}.parquet")
         n = tbl.num_rows
