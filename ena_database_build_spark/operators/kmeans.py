@@ -92,13 +92,20 @@ def kmeans_train(
     and the assignment of every row under them."""
     seeds = (
         df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        # r8 ADVICE: a NULL/empty vector among the k lowest ids must
+        # not crash seed construction (list(None) TypeError) — mirror
+        # srp_cosine_pairs' isNotNull guard; seeds come from the k
+        # lowest-id VALID vectors, and if none exist we fall through
+        # to the empty-model branch below
+        .where(F.col("v").isNotNull() & (F.size("v") > 0))
         .orderBy(id_col)
         .limit(k)
         .collect()
     )
     centroids = [list(r["v"]) for r in seeds]
     if not centroids:
-        # empty input: no seeds exist, so there is no model — return
+        # empty input (or all-invalid vectors): no seeds exist, so
+        # there is no model — return
         # an empty assignment with the contract schema instead of
         # letting assign_clusters build array_min(array()) (a VOID-
         # typed expression that fails analysis with a cryptic error)

@@ -65,6 +65,18 @@ def _within_cluster_pairs(
         isinstance(salt, int) and not isinstance(salt, bool) and salt >= 1
     ):
         raise ValueError(f"salt must be a positive int or 'auto', not {salt!r}")
+    # same strict check for the auto-salt divisor (r8 ADVICE): 0 would
+    # ZeroDivisionError inside the ceil-div and a negative value would
+    # silently yield salt=1
+    if not (
+        isinstance(target_rows_per_task, int)
+        and not isinstance(target_rows_per_task, bool)
+        and target_rows_per_task >= 1
+    ):
+        raise ValueError(
+            "target_rows_per_task must be a positive int, not "
+            f"{target_rows_per_task!r}"
+        )
     if threshold < 0:
         # the kernel's half-up rounding (floor(S*1e6 + 0.5)) rounds
         # NEGATIVE scores half-toward-+inf, diverging from Spark

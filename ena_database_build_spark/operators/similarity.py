@@ -227,6 +227,18 @@ def srp_cosine_pairs(
         isinstance(salt, int) and not isinstance(salt, bool) and salt >= 1
     ):
         raise ValueError(f"salt must be a positive int or 'auto', not {salt!r}")
+    # same strict check for the auto-salt divisor (r8 ADVICE): 0 would
+    # ZeroDivisionError inside the ceil-div and a negative value would
+    # silently yield salt=1
+    if not (
+        isinstance(target_rows_per_task, int)
+        and not isinstance(target_rows_per_task, bool)
+        and target_rows_per_task >= 1
+    ):
+        raise ValueError(
+            "target_rows_per_task must be a positive int, not "
+            f"{target_rows_per_task!r}"
+        )
     df = df.where(
         F.col(id_col).isNotNull()  # NULL ids would raise in the kernel
         & (F.size(vec_col) == dim)  # NULL/ragged vectors cannot pair

@@ -7823,11 +7823,17 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #     stream_dedup) + the first 19 of the round-4-window set
 #     (heavy_hitters .. asof_join_bucketed).  1 + 30 + 19 = 50;
 #     registry stays at 181 entries, zero net-new additions.
-#   round 9: the remaining 31 r4-window rows (hash_sample_weighted
-#     .. kmv_distinct) + the first 19 of the r6-window set
-#     (daily_spine .. near_dedup_keep_longest).  31 + 19 = 50.
-#   round 10+: remaining 31 r6-window rows + first 19 of the
-#     r7-window set; steady state is a ~3.6-round rotation of 181
+#   round 9 (THIS ordering; executed by tools/rotate_catalog_r9.py
+#     after CORRECTNESS_r08 came back 50/50 green): the remaining 31
+#     r4-window rows (hash_sample_weighted .. kmv_distinct) + the
+#     first 19 of the r6-window set (daily_spine ..
+#     near_dedup_keep_longest).  31 + 19 = 50; registry stays at 181
+#     entries, zero net-new additions.
+#   round 10: remaining 31 r6-window rows (phash_buckets ..
+#     g1_sessionize) + first 19 of the r7-window set (dsir_weights ..
+#     tpch_q1_pricing).  31 + 19 = 50.
+#   round 11+: remaining 31 r7-window rows + first 19 of the
+#     r8-window set; steady state is a ~3.6-round rotation of 181
 #     queries at 50 checked entries per round — hold net-new
 #     additions near zero so the cycle stays tight.
 #   round-8 adversarial-value sweep (tools/adversarial_corpus.py —
@@ -7901,67 +7907,9 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #       counts the exploded PROBE projection (r7 ADVICE: the left
 #       task is keyed on probe, up to (bits+1)x a raw bucket).
 CATALOG: dict[str, QueryDef] = {
-    # ================== r8 window (positions 1-50) ==================
-    # -- the one never-driver-checked query (added r7 below the
-    # fold; never-checked outranks banked)
-    "transit_payload": QueryDef(q_transit_payload, SQL_TRANSIT_PAYLOAD),
-    # -- the 30 remaining round-3-window rows (green in round 3;
+    # ================== r9 window (positions 1-50) ==================
+    # -- the 31 remaining round-4-window rows (green in round 4;
     # last checked there)
-    "tpch_q4_priority": QueryDef(q_tpch_q4_priority, SQL_TPCH_Q4),
-    "tpch_q18_large_orders": QueryDef(q_tpch_q18_large_orders, SQL_TPCH_Q18),
-    "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
-    "purchase_attribution": QueryDef(
-        q_purchase_attribution, SQL_PURCHASE_ATTRIBUTION
-    ),
-    "quality_gate": QueryDef(q_quality_gate, SQL_QUALITY_GATE),
-    "hash_sample": QueryDef(q_hash_sample, SQL_HASH_SAMPLE),
-    "train_test_split": QueryDef(q_train_test_split, SQL_TRAIN_TEST),
-    "stratified_sample": QueryDef(q_stratified_sample, SQL_STRATIFIED),
-    "cosine_topk": QueryDef(q_cosine_topk, SQL_COSINE_TOPK),
-    "srp_buckets": QueryDef(q_srp_buckets, SQL_SRP_BUCKETS),
-    "dedup_embedding": QueryDef(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
-    "ivf_topk": QueryDef(q_ivf_topk, SQL_IVF_TOPK),
-    "lang_id": QueryDef(q_lang_id, SQL_LANG_ID),
-    "quality_scores": QueryDef(q_quality_scores, SQL_QUALITY),
-    "token_counts": QueryDef(q_token_counts, SQL_TOKEN_COUNTS),
-    "doc_fingerprints": QueryDef(q_doc_fingerprints, SQL_FINGERPRINTS),
-    "rolling_fingerprints": QueryDef(q_rolling_fingerprints, SQL_ROLLING),
-    "boilerplate_kgrams": QueryDef(q_boilerplate_kgrams, SQL_BOILERPLATE),
-    "top_ngrams": QueryDef(q_top_ngrams, SQL_TOP_NGRAMS),
-    "events_tumbling": QueryDef(q_events_tumbling, SQL_TUMBLING),
-    "events_sliding": QueryDef(q_events_sliding, SQL_SLIDING),
-    "events_sessions": QueryDef(q_events_sessions, SQL_SESSIONS),
-    "approx_distinct": QueryDef(q_approx_distinct, SQL_APPROX_DISTINCT),
-    "exact_distinct": QueryDef(q_exact_distinct, SQL_EXACT_DISTINCT),
-    "multimodal_decode": QueryDef(q_multimodal_decode, SQL_MULTIMODAL),
-    "multimodal_frames": QueryDef(q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "events_pivot": QueryDef(q_events_pivot, SQL_EVENTS_PIVOT),
-    "props_extract": QueryDef(q_props_extract, SQL_PROPS_EXTRACT),
-    "stream_totals": QueryDef(q_stream_totals, SQL_STREAM_TOTALS),
-    "stream_dedup": QueryDef(q_stream_dedup, SQL_STREAM_DEDUP),
-    # -- first 19 of the round-4 window (green in round 4)
-    "heavy_hitters": QueryDef(q_heavy_hitters, SQL_HEAVY_HITTERS),
-    "semantic_dedup": QueryDef(q_semantic_dedup, SQL_SEMANTIC_DEDUP),
-    "scd2_user_state": QueryDef(q_scd2_user_state, SQL_SCD2),
-    "pagerank_suppliers": QueryDef(q_pagerank_suppliers, SQL_PAGERANK),
-    "zorder_values": QueryDef(q_zorder_values, SQL_ZORDER),
-    "embedding_project": QueryDef(q_embedding_project, SQL_JL_PROJECT),
-    "embedding_meanpool": QueryDef(q_embedding_meanpool, SQL_MEANPOOL),
-    "table_profile": QueryDef(q_table_profile, SQL_TABLE_PROFILE),
-    "source_cap": QueryDef(q_source_cap, SQL_SOURCE_CAP),
-    "snapshot_diff": QueryDef(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
-    "cdc_latest_state": QueryDef(q_cdc_latest_state, SQL_CDC_LATEST),
-    "bloom_decontaminate": QueryDef(q_bloom_decontaminate, SQL_BLOOM_DECON),
-    "bpe_pair_counts": QueryDef(q_bpe_pair_counts, SQL_BPE_PAIRS),
-    "bpe_merges": QueryDef(q_bpe_merges, SQL_BPE_MERGES),
-    "incremental_stats": QueryDef(q_incremental_stats, SQL_INCREMENTAL_STATS),
-    "orc_roundtrip": QueryDef(q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
-    "stream_enrichment": QueryDef(q_stream_enrichment, SQL_STREAM_ENRICH),
-    "dq_report": QueryDef(q_dq_report, SQL_DQ_REPORT),
-    "asof_join_bucketed": QueryDef(q_asof_join_bucketed, SQL_ASOF_BUCKETED),
-    # ============== below the fold (not checked in r8) ==============
-    # -- remaining round-4 window (rotate back in round 9 with
-    # the first 19 of the round-6 window)
     "hash_sample_weighted": QueryDef(
         q_hash_sample_weighted, SQL_HASH_SAMPLE_WEIGHTED
     ),
@@ -8005,7 +7953,7 @@ CATALOG: dict[str, QueryDef] = {
     "supervised_pairs": QueryDef(q_supervised_pairs, SQL_SUPERVISED_PAIRS),
     "cms_frequencies": QueryDef(q_cms_frequencies, SQL_CMS_FREQUENCIES),
     "kmv_distinct": QueryDef(q_kmv_distinct, SQL_KMV_DISTINCT),
-    # -- round-6 window (banked green in round 6, CORRECTNESS_r06)
+    # -- first 19 of the round-6 window (green in round 6)
     "daily_spine": QueryDef(q_daily_spine, SQL_DAILY_SPINE),
     "session_bounce": QueryDef(q_session_bounce, SQL_SESSION_BOUNCE),
     "trending_types": QueryDef(q_trending_types, SQL_TRENDING),
@@ -8039,6 +7987,9 @@ CATALOG: dict[str, QueryDef] = {
     "near_dedup_keep_longest": QueryDef(
         q_near_dedup_keep_longest, SQL_NEAR_DEDUP_KEEP_LONGEST
     ),
+    # ============== below the fold (not checked in r9) ==============
+    # -- remaining round-6 window (rotate back in round 10 with
+    # the first 19 of the round-7 window)
     "phash_buckets": QueryDef(q_phash_buckets, SQL_PHASH_BUCKETS),
     "merge_upserts": QueryDef(q_merge_upserts, SQL_MERGE_UPSERTS),
     "rate_anomalies": QueryDef(q_rate_anomalies, SQL_RATE_ANOMALIES),
@@ -8137,4 +8088,57 @@ CATALOG: dict[str, QueryDef] = {
     "doc_chunks": QueryDef(q_doc_chunks, SQL_DOC_CHUNKS),
     "corpus_shuffle": QueryDef(q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
     "json_roundtrip": QueryDef(q_json_roundtrip, SQL_JSON_ROUNDTRIP),
+    # -- round-8 window (banked green in round 8, CORRECTNESS_r08)
+    "transit_payload": QueryDef(q_transit_payload, SQL_TRANSIT_PAYLOAD),
+    "tpch_q4_priority": QueryDef(q_tpch_q4_priority, SQL_TPCH_Q4),
+    "tpch_q18_large_orders": QueryDef(q_tpch_q18_large_orders, SQL_TPCH_Q18),
+    "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "purchase_attribution": QueryDef(
+        q_purchase_attribution, SQL_PURCHASE_ATTRIBUTION
+    ),
+    "quality_gate": QueryDef(q_quality_gate, SQL_QUALITY_GATE),
+    "hash_sample": QueryDef(q_hash_sample, SQL_HASH_SAMPLE),
+    "train_test_split": QueryDef(q_train_test_split, SQL_TRAIN_TEST),
+    "stratified_sample": QueryDef(q_stratified_sample, SQL_STRATIFIED),
+    "cosine_topk": QueryDef(q_cosine_topk, SQL_COSINE_TOPK),
+    "srp_buckets": QueryDef(q_srp_buckets, SQL_SRP_BUCKETS),
+    "dedup_embedding": QueryDef(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "ivf_topk": QueryDef(q_ivf_topk, SQL_IVF_TOPK),
+    "lang_id": QueryDef(q_lang_id, SQL_LANG_ID),
+    "quality_scores": QueryDef(q_quality_scores, SQL_QUALITY),
+    "token_counts": QueryDef(q_token_counts, SQL_TOKEN_COUNTS),
+    "doc_fingerprints": QueryDef(q_doc_fingerprints, SQL_FINGERPRINTS),
+    "rolling_fingerprints": QueryDef(q_rolling_fingerprints, SQL_ROLLING),
+    "boilerplate_kgrams": QueryDef(q_boilerplate_kgrams, SQL_BOILERPLATE),
+    "top_ngrams": QueryDef(q_top_ngrams, SQL_TOP_NGRAMS),
+    "events_tumbling": QueryDef(q_events_tumbling, SQL_TUMBLING),
+    "events_sliding": QueryDef(q_events_sliding, SQL_SLIDING),
+    "events_sessions": QueryDef(q_events_sessions, SQL_SESSIONS),
+    "approx_distinct": QueryDef(q_approx_distinct, SQL_APPROX_DISTINCT),
+    "exact_distinct": QueryDef(q_exact_distinct, SQL_EXACT_DISTINCT),
+    "multimodal_decode": QueryDef(q_multimodal_decode, SQL_MULTIMODAL),
+    "multimodal_frames": QueryDef(q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "events_pivot": QueryDef(q_events_pivot, SQL_EVENTS_PIVOT),
+    "props_extract": QueryDef(q_props_extract, SQL_PROPS_EXTRACT),
+    "stream_totals": QueryDef(q_stream_totals, SQL_STREAM_TOTALS),
+    "stream_dedup": QueryDef(q_stream_dedup, SQL_STREAM_DEDUP),
+    "heavy_hitters": QueryDef(q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "semantic_dedup": QueryDef(q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "scd2_user_state": QueryDef(q_scd2_user_state, SQL_SCD2),
+    "pagerank_suppliers": QueryDef(q_pagerank_suppliers, SQL_PAGERANK),
+    "zorder_values": QueryDef(q_zorder_values, SQL_ZORDER),
+    "embedding_project": QueryDef(q_embedding_project, SQL_JL_PROJECT),
+    "embedding_meanpool": QueryDef(q_embedding_meanpool, SQL_MEANPOOL),
+    "table_profile": QueryDef(q_table_profile, SQL_TABLE_PROFILE),
+    "source_cap": QueryDef(q_source_cap, SQL_SOURCE_CAP),
+    "snapshot_diff": QueryDef(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "cdc_latest_state": QueryDef(q_cdc_latest_state, SQL_CDC_LATEST),
+    "bloom_decontaminate": QueryDef(q_bloom_decontaminate, SQL_BLOOM_DECON),
+    "bpe_pair_counts": QueryDef(q_bpe_pair_counts, SQL_BPE_PAIRS),
+    "bpe_merges": QueryDef(q_bpe_merges, SQL_BPE_MERGES),
+    "incremental_stats": QueryDef(q_incremental_stats, SQL_INCREMENTAL_STATS),
+    "orc_roundtrip": QueryDef(q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
+    "stream_enrichment": QueryDef(q_stream_enrichment, SQL_STREAM_ENRICH),
+    "dq_report": QueryDef(q_dq_report, SQL_DQ_REPORT),
+    "asof_join_bucketed": QueryDef(q_asof_join_bucketed, SQL_ASOF_BUCKETED),
 }

@@ -78,32 +78,32 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_check_window_ordering_pinned():
     """The driver grades the FIRST 50 registry entries; this pins the
-    round-8 check window (transit_payload promoted + the 30 remaining
-    r3-window rows + first 19 of the r4 set — see the registry
-    header) so a refactor cannot silently reorder the dict and
-    destroy the graded window.  UPDATE THIS LIST ONLY when a rotation
-    is deliberately applied (tools/rotate_catalog_r8.py)."""
+    round-9 check window (the 31 remaining r4-window rows + first 19
+    of the r6-window set — see the registry header) so a refactor
+    cannot silently reorder the dict and destroy the graded window.
+    UPDATE THIS LIST ONLY when a rotation is deliberately applied
+    (tools/rotate_catalog_r9.py)."""
     from ena_database_build_spark.plans.catalog import CATALOG
 
     expected = [
-        "transit_payload",
-        "tpch_q4_priority", "tpch_q18_large_orders",
-        "dedup_incremental", "purchase_attribution", "quality_gate",
-        "hash_sample", "train_test_split", "stratified_sample",
-        "cosine_topk", "srp_buckets", "dedup_embedding", "ivf_topk",
-        "lang_id", "quality_scores", "token_counts",
-        "doc_fingerprints", "rolling_fingerprints",
-        "boilerplate_kgrams", "top_ngrams", "events_tumbling",
-        "events_sliding", "events_sessions", "approx_distinct",
-        "exact_distinct", "multimodal_decode", "multimodal_frames",
-        "events_pivot", "props_extract", "stream_totals",
-        "stream_dedup",
-        "heavy_hitters", "semantic_dedup", "scd2_user_state",
-        "pagerank_suppliers", "zorder_values", "embedding_project",
-        "embedding_meanpool", "table_profile", "source_cap",
-        "snapshot_diff", "cdc_latest_state", "bloom_decontaminate",
-        "bpe_pair_counts", "bpe_merges", "incremental_stats",
-        "orc_roundtrip", "stream_enrichment", "dq_report",
-        "asof_join_bucketed",
+        "hash_sample_weighted", "near_dedup_incremental",
+        "tpch_q7_nation_volume", "tpch_q13_order_distribution",
+        "user_retention", "compaction_plan", "funnel_conversion",
+        "replica_diff", "line_dedup", "activity_streaks",
+        "batch_cosine_topk", "event_transitions", "top_purchases",
+        "schema_evolution", "span_corruption", "mixture_upsample",
+        "script_composition", "bpe_compression", "skew_salted_agg",
+        "skew_salted_join", "weighted_sample_n", "rolling_user_value",
+        "scd2_enrichment", "weighted_sample_by_source", "cube_revenue",
+        "time_to_convert", "winsorize_counts", "contrastive_triples",
+        "supervised_pairs", "cms_frequencies", "kmv_distinct",
+        "daily_spine", "session_bounce", "trending_types",
+        "length_histogram", "revenue_share",
+        "session_duration_quartiles", "purchase_gaps",
+        "lang_source_matrix", "grouping_sets_revenue",
+        "window_distinct_users", "p456_detectors", "f68_guards",
+        "s67_sinks", "span_dedup", "embedding_standardize",
+        "sft_transcripts", "psi_drift", "temperature_sampling",
+        "near_dedup_keep_longest",
     ]
     assert list(CATALOG)[:50] == expected

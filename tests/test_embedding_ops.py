@@ -291,3 +291,21 @@ def test_srp_cosine_pairs_salt_auto_and_validation(spark):
     for bad in (0, True, 1.0, -3, "always"):
         with _pytest.raises(ValueError, match="salt"):
             SIM.srp_cosine_pairs(df, salt=bad, **kw)
+
+
+def test_srp_target_rows_per_task_strict_validation(spark):
+    """r8 ADVICE: srp_cosine_pairs' auto-salt divisor gets the same
+    strict int check as salt (0 -> ZeroDivisionError, negative ->
+    silent salt=1 before this pin)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for bad in (0, -1, True, 1.0, "64k"):
+        with _pytest.raises(ValueError, match="target_rows_per_task"):
+            SIM.srp_cosine_pairs(
+                df, dim=4, bits=2, threshold=0.5, salt="auto",
+                target_rows_per_task=bad,
+            )

@@ -245,3 +245,45 @@ def test_kmeans_and_semdedup_empty_input(spark):
     assert assigned.columns == ["vec_id", "cluster", "v"]
     assert assigned.count() == 0
     assert SD.semantic_dedup(df, k=4).count() == 0
+
+
+def test_target_rows_per_task_strict_validation(spark):
+    """r8 ADVICE: the auto-salt divisor gets the same strict int check
+    as salt — 0 used to ZeroDivisionError inside the ceil-div and a
+    negative value silently yielded salt=1."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for bad in (0, -1, True, 1.0, "64k"):
+        with pytest.raises(ValueError, match="target_rows_per_task"):
+            SD.semantic_dedup_pairs(
+                df, k=1, threshold=0.9, salt="auto",
+                target_rows_per_task=bad,
+            )
+
+
+def test_kmeans_null_vector_among_lowest_ids(spark):
+    """r8 ADVICE: a NULL (or empty) vector inside the k lowest-id rows
+    must not crash seed construction — seeds come from the k lowest-id
+    VALID vectors; an all-invalid input falls through to the
+    empty-model branch."""
+    from ena_database_build_spark.operators import kmeans as KM
+
+    df = spark.createDataFrame(
+        [(0, None), (1, []), (2, [1.0, 0.0]), (3, [0.0, 1.0]),
+         (4, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    centroids, assigned = KM.kmeans_train(df, k=2, max_iter=1)
+    assert len(centroids) == 2 and all(len(c) == 2 for c in centroids)
+    assert assigned.count() == 5  # assignment still covers every row
+
+    all_bad = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<double>"
+    )
+    centroids, assigned = KM.kmeans_train(all_bad, k=2, max_iter=1)
+    assert centroids == []
+    assert assigned.count() == 0

@@ -3,6 +3,12 @@ its oracle on DuckDB over the same parquet tables; compare row count,
 column names, and an order-insensitive value hash.
 
 Usage: python tools/check_catalog.py [sf_dir] [name ...]
+       python tools/check_catalog.py [sf_dir] --first N
+
+Unknown names are reported and exit non-zero BEFORE any query runs
+(round-8 verdict "What's wrong" #3 — one typo must not cost a long
+session).  ``--first N`` checks the driver-style window (the first N
+registry entries in order).
 """
 
 from __future__ import annotations
@@ -39,9 +45,29 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
+def resolve_names(argv: list[str]) -> list[str]:
+    """Turn the CLI tail into a validated query-name list.
+
+    Raises SystemExit (before any Spark/DuckDB work) on unknown names
+    or a malformed --first argument, listing every offender at once.
+    """
+    if argv[:1] == ["--first"]:
+        if len(argv) != 2 or not argv[1].isdigit() or int(argv[1]) < 1:
+            raise SystemExit("--first takes one positive integer")
+        return list(CATALOG)[: int(argv[1])]
+    names = argv or list(CATALOG)
+    unknown = [n for n in names if n not in CATALOG]
+    if unknown:
+        raise SystemExit(
+            f"unknown query name(s): {unknown} — nothing was run. "
+            f"Valid names are the {len(CATALOG)} CATALOG keys."
+        )
+    return names
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    names = sys.argv[2:] or list(CATALOG)
+    names = resolve_names(sys.argv[2:])
     spark = get_spark("check-catalog")
     con = duckdb.connect()
     for tab in TABLES:
