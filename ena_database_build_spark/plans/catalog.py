@@ -247,10 +247,16 @@ WHERE NOT contains(regexp_replace(path, '/[^/]*$', ''), 'sequence')
 
 def q_p1_regex_extract(spark, sf_dir):
     """P1: rigid regex extraction with cast (ID-line analog,
-    parse_embl.py:16)."""
+    parse_embl.py:16).  A non-matching name extracts '' in both
+    engines, and BOTH raise casting '' to a bigint (Spark ANSI /
+    DuckDB conversion error) — the nullif maps non-matches to NULL
+    instead, the same malformed-line posture as P2/F5 (r9 adversarial
+    sweep; no-op on driver corpora, every c_name matches there)."""
     return t(spark, sf_dir, "customer").select(
         "c_custkey",
-        F.regexp_extract("c_name", r"^Customer#(\d+)$", 1)
+        F.nullif(
+            F.regexp_extract("c_name", r"^Customer#(\d+)$", 1), F.lit("")
+        )
         .cast("long")
         .alias("cust_num"),
     )
@@ -258,7 +264,8 @@ def q_p1_regex_extract(spark, sf_dir):
 
 SQL_P1 = r"""
 SELECT c_custkey,
-       CAST(regexp_extract(c_name, '^Customer#(\d+)$', 1) AS BIGINT) AS cust_num
+       CAST(nullif(regexp_extract(c_name, '^Customer#(\d+)$', 1), '')
+            AS BIGINT) AS cust_num
 FROM customer
 """
 
@@ -1531,11 +1538,18 @@ def q_quantiles_exact(spark, sf_dir):
 
 
 SQL_QUANTILES = """
+-- WHERE mirrors exact_quantiles' documented absent-group contract
+-- (quantiles.py): NULL values are ignored, and a group whose values
+-- are ALL NULL is absent from the output where ANSI SQL would emit a
+-- NULL-valued row (r9 adversarial sweep).  quantile_cont ignores
+-- NULLs anyway, so the filter changes nothing else; no-op on driver
+-- corpora (l_extendedprice never NULL there).
 SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
        round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
        round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem WHERE l_extendedprice IS NOT NULL
+GROUP BY l_returnflag
 """
 
 
@@ -1576,8 +1590,13 @@ def q_approx_quantiles(spark, sf_dir):
 
 
 SQL_APPROX_QUANTILES = """
+-- WHERE mirrors the engine's verification join: the second pass
+-- equi-joins the sketch output back on l_returnflag, and a NULL key
+-- never equi-joins, so the NULL-flag group is absent (r9 adversarial
+-- sweep).  No-op on driver corpora (l_returnflag never NULL there).
 SELECT l_returnflag, count(*) AS n, TRUE AS within_bounds
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem WHERE l_returnflag IS NOT NULL
+GROUP BY l_returnflag
 """
 
 
@@ -1625,8 +1644,13 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 SQL_MINHASH = f"""
+-- WHERE text IS NOT NULL mirrors the engine's shingle_rows: NULL text
+-- tokenizes to NULL and posexplode emits no rows, so the doc is absent
+-- from the signature output.  Without the guard DuckDB's greatest(
+-- NULL,1) range synthesizes an empty '' shingle for NULL docs (r9
+-- adversarial sweep).  No-op on driver corpora (text never NULL).
 WITH toks AS (
-  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents WHERE text IS NOT NULL
 ), sh AS (
   SELECT doc_id, {_shingle_sql(3)} AS sh FROM toks
 )
@@ -1648,8 +1672,9 @@ def q_lsh_candidate_pairs(spark, sf_dir):
 
 
 SQL_LSH_PAIRS = f"""
+-- NULL-text guard: see SQL_MINHASH (r9 adversarial sweep)
 WITH toks AS (
-  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents WHERE text IS NOT NULL
 ), sh AS (
   SELECT doc_id, {_shingle_sql(2)} AS sh FROM toks
 ), sig AS (
@@ -1681,7 +1706,9 @@ def _simhash_sql() -> str:
 
 
 SQL_SIMHASH = f"""
-WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents)
+-- NULL-text guard: see SQL_MINHASH (r9 adversarial sweep)
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+              WHERE text IS NOT NULL)
 SELECT doc_id, {_simhash_sql()} AS simhash FROM toks
 """
 
@@ -1697,8 +1724,9 @@ def q_jaccard_pairs(spark, sf_dir):
 
 
 SQL_JACCARD = f"""
+-- NULL-text guard: see SQL_MINHASH (r9 adversarial sweep)
 WITH toks AS (
-  SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+  SELECT doc_id, {_TOKS_SQL} AS w FROM documents WHERE text IS NOT NULL
 ), sh AS (
   SELECT doc_id, {_shingle_sql(2)} AS sh FROM toks
 ), sig AS (
@@ -1851,11 +1879,18 @@ def q_transit_sweepline(spark, sf_dir):
 
 
 SQL_SWEEPLINE = """
+-- the NOT NULL guard mirrors _interval_deltas' documented contract
+-- (rangejoin.py): an interval with a NULL endpoint contains nothing
+-- (NULL comparisons are false in the join form the sweep mirrors) and
+-- is dropped — without it a NULL l_quantity leaves an unmatched +1
+-- and a NULL -1 position (r9 adversarial sweep).  No-op on driver
+-- corpora (l_shipdate/l_quantity never NULL there).
 WITH iv AS (
   SELECT CAST(l_shipdate AS DATE) AS sd,
          CAST(l_shipdate AS DATE)
            + CAST((CAST(l_quantity AS INTEGER) % 30) + 1 AS INTEGER) AS ed
   FROM lineitem
+  WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
 ), deltas AS (
   SELECT sd AS pos, 1 AS d FROM iv
   UNION ALL
@@ -2024,12 +2059,21 @@ def q_srp_buckets(spark, sf_dir):
 def _srp_sql() -> str:
     from ena_database_build_spark.operators.similarity import _srp_plane
 
+    # NULL/ragged guard (r9, adversarial sweep): the engine's dot is
+    # aggregate(zip_with(v, plane), 0.0, +) — zip_with pads a NULL or
+    # wrong-length vector with NULL elements, the fold propagates the
+    # NULL, and NULL >= 0 falls to the ELSE branch, so every such row
+    # lands in bucket '0..0'.  DuckDB's list_inner_product instead
+    # ERRORS on length mismatch; the explicit CASE mirrors the engine.
+    # No-op on corpora whose vectors are all present and 64-dim (every
+    # driver fixture).
     exprs = []
     for p in range(4):
         plane = _srp_plane(p, 64)
         arr = "[" + ", ".join(str(c) for c in plane) + "]"
         exprs.append(
-            "CASE WHEN list_inner_product("
+            "CASE WHEN embedding IS NULL OR len(embedding) <> 64 THEN '0' "
+            "WHEN list_inner_product("
             f"list_transform(embedding, x -> CAST(x AS DOUBLE)), {arr}) >= 0 "
             "THEN '1' ELSE '0' END"
         )
@@ -2093,13 +2137,18 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 SQL_DEDUP_EMBEDDING = """
+-- the len(embedding) = 64 guards mirror srp_cosine_pairs' upfront
+-- isNotNull/size(vec)==dim filter (r9 adversarial sweep: DuckDB's
+-- list functions ERROR on empty lists where the engine filters them);
+-- no-op on driver corpora, whose vectors are all present and 64-dim
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
   FROM embeddings
+  WHERE vec_id IS NOT NULL AND len(embedding) = 64
   UNION ALL
   SELECT vec_id + 1000000,
          list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5)
-  FROM embeddings WHERE vec_id < 8
+  FROM embeddings WHERE vec_id < 8 AND len(embedding) = 64
 )
 SELECT a.vec_id AS left_id, b.vec_id AS right_id,
        round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos_sim
@@ -2354,9 +2403,15 @@ WITH v AS (
               THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS sc
   FROM v
 )
+-- empty-fold posture (r9, adversarial sweep): the engine's
+-- aggregate(v, 0.0, +) returns the 0.0 INIT for an empty array where
+-- DuckDB's list_sum([]) returns NULL — the CASE/coalesce mirrors the
+-- fold (NULL vector stays NULL).  No-op on driver corpora.
 SELECT vec_id, round(mn, 6) AS v_min, round(mx, 6) AS v_max,
-       CAST(list_sum(list_transform(v, x -> round((x - mn) / sc))) AS BIGINT)
-         AS q_sum
+       CAST(CASE WHEN v IS NULL THEN NULL
+            ELSE coalesce(
+              list_sum(list_transform(v, x -> round((x - mn) / sc))), 0.0)
+            END AS BIGINT) AS q_sum
 FROM s
 """
 
@@ -2381,11 +2436,22 @@ def _kmeans_sql(
     v_sql: str | None = None,
     final_sql: str | None = None,
 ) -> str:
+    # NULL/empty-vector posture (r9, adversarial sweep — no-op on
+    # driver corpora, whose vectors are all present and 64-dim):
+    # * seeds come from the k lowest-id VALID vectors (the engine
+    #   filters NULL/empty before orderBy/limit, kmeans.py);
+    # * an invalid vector's distance is NULL to EVERY centroid — the
+    #   engine's array_min over (d, cid) structs then ties on cid and
+    #   assigns cluster 0 (Spark struct ordering: NULL d first).  The
+    #   coalesce(d, -1.0) reproduces that tie deterministically in
+    #   DuckDB (-1 < every real squared distance; all candidates of
+    #   an invalid vector coalesce to -1, so min cid wins = 0).
     def assign(name: str, cents: str) -> str:
         return f"""{name} AS (
   SELECT vec_id, (min(struct_pack(
-           d := round(list_sum(list_transform(
+           d := coalesce(round(list_sum(list_transform(
                range(1, len(v.v) + 1), i -> (v.v[i] - {cents}.c[i]) ^ 2)), 6),
+               -1.0),
            cid := {cents}.cid))).cid AS cluster
   FROM v, {cents} GROUP BY vec_id
 )"""
@@ -2398,7 +2464,7 @@ def _kmeans_sql(
 )""",
         f"""c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
-  FROM v ORDER BY vec_id LIMIT {k}
+  FROM v WHERE v IS NOT NULL AND len(v) > 0 ORDER BY vec_id LIMIT {k}
 )""",
     ]
     cents = "c0"
@@ -2457,14 +2523,19 @@ _SEMDEDUP_V = """v AS (
 )"""
 
 _SEMDEDUP_FINAL = """, cos AS (
+  -- the len(v) > 0 guards mirror _within_cluster_pairs' upfront
+  -- NULL/empty-vector exclusion (such rows never pair, so they always
+  -- survive the dedup); DuckDB's list functions would ERROR on the
+  -- empty list instead (r9 adversarial sweep).  No-op on driver
+  -- corpora.
   SELECT a.vec_id AS lid, b.vec_id AS rid,
          round(list_inner_product(va.v, vb.v) /
                (sqrt(list_inner_product(va.v, va.v)) *
                 sqrt(list_inner_product(vb.v, vb.v))), 6) AS c
   FROM af a
   JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-  JOIN v va ON va.vec_id = a.vec_id
-  JOIN v vb ON vb.vec_id = b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id AND va.v IS NOT NULL AND len(va.v) > 0
+  JOIN v vb ON vb.vec_id = b.vec_id AND vb.v IS NOT NULL AND len(vb.v) > 0
 )
 SELECT af.vec_id, af.cluster FROM af
 WHERE af.vec_id NOT IN (SELECT rid FROM cos WHERE c >= 0.9)"""
@@ -2509,7 +2580,12 @@ best AS (
          greatest({", ".join("s_" + lang for lang in langs)}) AS best_score
   FROM scored
 )
-SELECT lang, CASE WHEN best_score = 0 THEN 'und' {case} END AS predicted,
+SELECT lang,
+       -- coalesce(best_score, 0): NULL text has NULL marker scores in
+       -- SQL where the engine's detect_lang scores it 0 and returns
+       -- 'und' (r9 adversarial sweep); no-op on driver corpora
+       CASE WHEN coalesce(best_score, 0) = 0 THEN 'und' {case} END
+         AS predicted,
        count(*) AS n
 FROM best GROUP BY lang, predicted
 """
@@ -2756,13 +2832,18 @@ def q_embedding_project(spark, sf_dir):
 
 
 def _jl_sql(out_dim: int = 8, dim: int = 64) -> str:
+    # NULL/ragged guard (r9, adversarial sweep): the engine's
+    # zip_with-padded fold yields a NULL projection for a NULL or
+    # wrong-length vector; DuckDB's list_inner_product would ERROR on
+    # the length mismatch instead.  No-op on driver corpora.
     cols = []
     for p in range(out_dim):
         plane = "[" + ", ".join(str(c) for c in SIM._srp_plane(p, dim)) + "]"
         cols.append(
-            "round(list_inner_product("
+            f"CASE WHEN embedding IS NULL OR len(embedding) <> {dim} "
+            "THEN NULL ELSE round(list_inner_product("
             f"list_transform(embedding, x -> CAST(x AS DOUBLE)), {plane}"
-            f"), 6) AS proj_{p}"
+            f"), 6) END AS proj_{p}"
         )
     return (
         "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
@@ -3035,7 +3116,9 @@ def q_top_ngrams(spark, sf_dir):
 
 
 SQL_TOP_NGRAMS = f"""
-WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+-- NULL-text guard: see SQL_MINHASH (r9 adversarial sweep)
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+              WHERE text IS NOT NULL),
 sh AS (SELECT doc_id, unnest({_shingle_sql(2)}) AS bigram FROM toks)
 SELECT bigram, count(*) AS doc_freq
 FROM sh GROUP BY bigram
@@ -3246,14 +3329,19 @@ def q_multimodal_decode(spark, sf_dir):
 
 
 SQL_MULTIMODAL = """
+-- coalesce mirrors decode_media's explicit NULL-payload posture: a
+-- NULL payload decodes as b'' (0 bytes, md5 of empty, 0x0 dims) —
+-- multimodal.py "NULL payloads decode as empty" (r9 adversarial
+-- sweep).  No-op on driver corpora (text never NULL there).
+WITH p AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
 SELECT doc_id,
-       octet_length(encode(text)) AS payload_bytes,
-       md5(text) AS payload_digest,
-       CASE WHEN octet_length(encode(text)) = 0 THEN 0
-            ELSE 64 + octet_length(encode(text)) % 64 END AS width,
-       CASE WHEN octet_length(encode(text)) = 0 THEN 0
-            ELSE 64 + (octet_length(encode(text)) // 64) % 64 END AS height
-FROM documents
+       octet_length(encode(t)) AS payload_bytes,
+       md5(t) AS payload_digest,
+       CASE WHEN octet_length(encode(t)) = 0 THEN 0
+            ELSE 64 + octet_length(encode(t)) % 64 END AS width,
+       CASE WHEN octet_length(encode(t)) = 0 THEN 0
+            ELSE 64 + (octet_length(encode(t)) // 64) % 64 END AS height
+FROM p
 """
 
 
@@ -3545,8 +3633,14 @@ def q_pack_sequences(spark, sf_dir):
 
 
 SQL_PACK = f"""
+-- n_tokens mirrors with_token_counts: no-content text (NULL, empty,
+-- whitespace-only) counts 0 tokens — len(string_split('')) would
+-- count the [''] phantom token and NULL text a NULL (r9 adversarial
+-- sweep).  No-op on driver corpora.
 WITH sized AS (
-  SELECT doc_id, len({_TOKS_SQL}) AS n_tokens,
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR {_NORM_SQL} = '' THEN 0
+              ELSE len({_TOKS_SQL}) END AS n_tokens,
          substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
   FROM documents
 ), cum AS (
@@ -3631,10 +3725,13 @@ def _decon_shingle_sql(k: int) -> str:
 
 SQL_DECON = f"""
 WITH sp AS (
+  -- NULL-text guard: see SQL_MINHASH (r9 adversarial sweep) — a NULL
+  -- doc yields no shingles in the engine, so it can neither be
+  -- contaminated nor contaminate
   SELECT doc_id, {_TOKS_SQL} AS tk,
          CASE WHEN substr(md5('decon|' || CAST(doc_id AS VARCHAR)), 1, 8)
                    < '19999999' THEN 'test' ELSE 'train' END AS split
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), sh AS (
   SELECT doc_id, split, unnest({_decon_shingle_sql(5)}) AS shingle FROM sp
 )
@@ -3836,12 +3933,21 @@ def q_props_extract(spark, sf_dir):
 
 
 SQL_PROPS_EXTRACT = """
+-- json_valid guard mirrors from_json's malformed-input posture: the
+-- engine yields a NULL struct for unparseable JSON where DuckDB's
+-- json_extract raises (r9 adversarial sweep).  No-op on driver
+-- corpora, whose props are all well-formed objects.
+WITH j AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN CAST(json_extract(props, '$.k') AS INTEGER) END AS k
+  FROM events
+)
 SELECT event_type,
-       count(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_with_k,
-       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
-         AS sum_k,
-       round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k
-FROM events GROUP BY event_type
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 6) AS avg_k
+FROM j GROUP BY event_type
 """
 
 
@@ -4052,10 +4158,13 @@ def _bloom_pos_sql(j: int) -> str:
 
 SQL_BLOOM_DECON = f"""
 WITH sp AS (
+  -- NULL-text guard: see SQL_MINHASH (r9 adversarial sweep) — a NULL
+  -- doc yields no shingles in the engine, so it can neither be
+  -- contaminated nor contaminate
   SELECT doc_id, {_TOKS_SQL} AS tk,
          CASE WHEN substr(md5('decon|' || CAST(doc_id AS VARCHAR)), 1, 8)
                    < '19999999' THEN 'test' ELSE 'train' END AS split
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), sh AS (
   SELECT doc_id, split, unnest({_decon_shingle_sql(5)}) AS shingle FROM sp
 ), bits AS (
@@ -5023,20 +5132,27 @@ def q_batch_cosine_topk(spark, sf_dir):
 
 
 SQL_BATCH_COSINE = """
+-- the NULL/len guard mirrors the engine's zip_with-padded fold: a
+-- NULL or wrong-length vector (either side) scores a NULL cos_sim and
+-- ranks after every real score (both engines put NULLs last under
+-- DESC); DuckDB's list_inner_product would ERROR on the length
+-- mismatch instead (r9 adversarial sweep).  No-op on driver corpora.
 WITH q AS (
   SELECT vec_id AS query_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
   FROM embeddings WHERE vec_id < 4
 ), s AS (
   SELECT q.query_id, e.vec_id,
-         round(
+         CASE WHEN e.embedding IS NULL OR len(e.embedding) <> 64
+                   OR q.qv IS NULL OR len(q.qv) <> 64 THEN NULL
+         ELSE round(
            list_inner_product(
              list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
            / (sqrt(list_inner_product(
                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
                 list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
               * sqrt(list_inner_product(q.qv, q.qv))),
-           6) AS cos_sim
+           6) END AS cos_sim
   FROM embeddings e, q
 )
 SELECT query_id, vec_id, cos_sim, rank FROM (
@@ -6318,13 +6434,24 @@ WITH sized AS (
          q.quality
   FROM documents JOIN (@QUALITY@) q USING (doc_id)
 )
-SELECT source,
-       count(*) AS n_docs,
-       count(DISTINCT lang) AS n_langs,
-       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       round(sum(quality) / count(*), 6) AS mean_quality,
-       quantile_cont(n_tokens, 0.5) AS median_tokens
-FROM sized GROUP BY source
+, stats AS (
+  SELECT source,
+         count(*) AS n_docs,
+         count(DISTINCT lang) AS n_langs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         round(sum(quality) / count(*), 6) AS mean_quality
+  FROM sized GROUP BY source
+), med AS (
+  SELECT source, quantile_cont(n_tokens, 0.5) AS median_tokens
+  FROM sized GROUP BY source
+)
+-- median joins back ON source equality, mirroring the engine's
+-- stats.join(med, 'source', 'left'): a NULL source never equi-joins,
+-- so the NULL-source group reports a NULL median (r9 adversarial
+-- sweep).  No-op on driver corpora (source never NULL there).
+SELECT s.source, s.n_docs, s.n_langs, s.total_tokens, s.mean_quality,
+       m.median_tokens
+FROM stats s LEFT JOIN med m ON s.source = m.source
 """.replace("@QUALITY@", SQL_QUALITY)
 )
 
@@ -6459,8 +6586,11 @@ def q_plan_batches(spark, sf_dir):
 
 
 SQL_PLAN_BATCHES = f"""
+-- n_tokens guard: see SQL_PACK (r9 adversarial sweep)
 WITH sized AS (
-  SELECT doc_id, len({_TOKS_SQL}) AS n_tokens,
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR {_NORM_SQL} = '' THEN 0
+              ELSE len({_TOKS_SQL}) END AS n_tokens,
          substr(md5('batch|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
   FROM documents
 ),
@@ -6563,6 +6693,12 @@ def q_quality_ensemble(spark, sf_dir):
 
 
 SQL_QUALITY_ENSEMBLE = f"""
+-- each calibration ranks over ITS OWN non-NULL score set with its own
+-- denominator, mirroring quantile_normalize's NULL-score exclusion
+-- (quantiles.py): a NULL-text doc has NULL dup_token_frac -> NULL
+-- novelty, drops from the novelty calibration, and the final inner
+-- join drops it from the ensemble (r9 adversarial sweep).  No-op on
+-- driver corpora, where both signals are never NULL.
 WITH qs AS ({SQL_QUALITY}),
 rep AS ({SQL_REPETITION}),
 j AS (
@@ -6570,25 +6706,28 @@ j AS (
          round(1 - r.dup_token_frac, 6) AS novelty
   FROM qs q JOIN rep r USING (doc_id)
 ),
-n AS (SELECT count(*) AS c FROM j),
+jq AS (SELECT doc_id, quality FROM j WHERE quality IS NOT NULL),
+jn AS (SELECT doc_id, novelty FROM j WHERE novelty IS NOT NULL),
+nq AS (SELECT count(*) AS c FROM jq),
+nn AS (SELECT count(*) AS c FROM jn),
 r1 AS (
-  SELECT doc_id, quality, novelty,
+  SELECT doc_id,
          CASE WHEN c > 1 THEN round(
            CAST(rank() OVER (ORDER BY quality) - 1
                 AS DOUBLE) / (c - 1), 6) ELSE 0.0 END AS qn_quality
-  FROM j, n
+  FROM jq, nq
 ),
 r2 AS (
-  SELECT doc_id, qn_quality,
+  SELECT doc_id,
          CASE WHEN c > 1 THEN round(
            CAST(rank() OVER (ORDER BY novelty) - 1
                 AS DOUBLE) / (c - 1), 6) ELSE 0.0 END AS qn_novelty
-  FROM r1, n
+  FROM jn, nn
 )
-SELECT doc_id,
+SELECT r1.doc_id,
        round(qn_quality + qn_novelty, 6) AS ensemble,
        round(qn_quality + qn_novelty, 6) >= 0.9 AS keep
-FROM r2
+FROM r1 JOIN r2 ON r1.doc_id = r2.doc_id
 """
 
 
@@ -6691,8 +6830,12 @@ _SIMHASH_HAM = " + ".join(
     for i in range(1, 33)
 )
 SQL_SIMHASH_CANDIDATES = f"""
+-- NULL-text guard: see SQL_MINHASH — without it a NULL doc's NULL
+-- token scores fall to the all-'0' signature and spuriously band-join
+-- (r9 adversarial sweep)
 WITH sigs AS (
-  WITH toks AS (SELECT doc_id, {{toks}} AS tk FROM documents)
+  WITH toks AS (SELECT doc_id, {{toks}} AS tk FROM documents
+                WHERE text IS NOT NULL)
   SELECT doc_id, {{sig}} AS simhash FROM toks
 ),
 bands AS (
@@ -7205,16 +7348,25 @@ content AS (
   SELECT *, md5(coalesce(norm, '')) AS fp FROM base
   WHERE norm IS NOT NULL AND norm <> ''
 ),
+-- no-content rows (NULL or whitespace-only text) skip the exact
+-- collapse but STAY in the LSH stage, mirroring _collapse_exact's
+-- passthrough: a NULL-text doc yields zero shingles (never a
+-- candidate, always survives) while an empty-norm doc yields the ''
+-- partial shingle and CAN cluster with its kind (r9 adversarial
+-- sweep).  No-op on driver corpora (text always has content there).
 nocontent AS (
-  SELECT doc_id, n_chars FROM base WHERE norm IS NULL OR norm = ''
+  SELECT doc_id, text, n_chars FROM base WHERE norm IS NULL OR norm = ''
 ),
 reps AS (
   SELECT doc_id, text, n_chars FROM (
     SELECT *, row_number() OVER (
       PARTITION BY fp ORDER BY n_chars DESC, doc_id ASC) AS rn
     FROM content) WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, text, n_chars FROM nocontent
 ),
-toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM reps),
+toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM reps
+         WHERE text IS NOT NULL),
 sh AS (SELECT doc_id, {_shingle_sql(2)} AS sh FROM toks),
 sig AS (
   SELECT doc_id, b.band_idx,
@@ -7268,8 +7420,6 @@ winners AS (
     FROM labeled) WHERE rn = 1
 )
 SELECT doc_id, n_chars FROM winners
-UNION ALL
-SELECT doc_id, n_chars FROM nocontent
 """
 
 

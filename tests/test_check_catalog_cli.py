@@ -46,3 +46,40 @@ def test_empty_tail_means_full_catalog():
 
 def test_valid_names_pass_through():
     assert resolve_names(["dedup_exact"]) == ["dedup_exact"]
+
+
+def test_parse_rtol_strips_flag():
+    from check_catalog import parse_rtol
+
+    rtol, rest = parse_rtol(["--rtol", "1e-9", "dedup_exact"])
+    assert rtol == 1e-9 and rest == ["dedup_exact"]
+    rtol, rest = parse_rtol(["dedup_exact"])
+    assert rtol is None and rest == ["dedup_exact"]
+
+
+@pytest.mark.parametrize("argv", [["--rtol"], ["--rtol", "x"],
+                                  ["--rtol", "0"], ["--rtol", "-1e-9"]])
+def test_parse_rtol_rejects_malformed(argv):
+    from check_catalog import parse_rtol
+
+    with pytest.raises(SystemExit):
+        parse_rtol(argv)
+
+
+def test_values_close_tolerates_ulp_drift_and_catches_real_diffs():
+    """The float-extreme sweep's compare: last-ulp sum-order drift at
+    1e15 magnitude passes; a genuinely different value fails; NaN
+    aligns with NaN; non-float columns stay exact."""
+    import pandas as pd
+
+    from check_catalog import values_close
+
+    s = pd.DataFrame({"k": ["a", "b"], "v": [1.0e15 + 0.25, float("nan")]})
+    o = pd.DataFrame({"k": ["b", "a"], "v": [float("nan"), 1.0e15]})
+    assert values_close(s, o, rtol=1e-9)
+
+    o2 = pd.DataFrame({"k": ["a", "b"], "v": [1.001e15, float("nan")]})
+    assert not values_close(s, o2, rtol=1e-9)
+
+    o3 = pd.DataFrame({"k": ["a", "X"], "v": [1.0e15, float("nan")]})
+    assert not values_close(s, o3, rtol=1e-9)

@@ -204,3 +204,68 @@ def test_exact_distinct_map_column_native(spark):
         if mode == "exact":
             assert got["m"].n_distinct == 2
             assert got["am"].n_distinct == 2
+
+
+def test_json_faithful_type_routing():
+    """r8 verdict #3: nested types WITHOUT maps or floats ride the
+    shared to_json long-form distinct; maps and float-bearing nested
+    types stay on the native per-column path."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, FloatType, IntegerType, MapType,
+        StringType, StructField, StructType,
+    )
+
+    assert PRF._json_faithful(ArrayType(StringType()))
+    assert PRF._json_faithful(ArrayType(ArrayType(IntegerType())))
+    assert PRF._json_faithful(
+        StructType([StructField("a", IntegerType()),
+                    StructField("b", StringType())])
+    )
+    assert not PRF._json_faithful(ArrayType(DoubleType()))
+    assert not PRF._json_faithful(ArrayType(FloatType()))
+    assert not PRF._json_faithful(MapType(StringType(), IntegerType()))
+    assert not PRF._json_faithful(
+        ArrayType(MapType(StringType(), IntegerType()))
+    )
+    assert not PRF._json_faithful(
+        StructType([StructField("a", DoubleType())])
+    )
+    # atomic types are _cast_faithful's domain, not json's
+    assert not PRF._json_faithful(StringType())
+
+
+def test_json_faithful_columns_share_the_distinct_scan(spark):
+    """A json-faithful array column must NOT add a per-column
+    count_distinct branch: the exact plan carries exactly two scans of
+    the input (wide agg + shared long-form distinct), same as an
+    all-atomic profile.  A float-bearing array adds its one native
+    branch (third scan)."""
+    df = spark.createDataFrame(
+        [(1, ["a, b"], [0.5]), (2, ["a", "b"], [0.5])],
+        "k long, arr array<string>, farr array<double>",
+    )
+    def scans(d):
+        # createDataFrame materializes as LogicalRDD in the optimized
+        # plan; each occurrence is one scan of the input
+        return d._jdf.queryExecution().optimizedPlan().toString().count(
+            "LogicalRDD"
+        )
+
+    shared = PRF.profile(df, cols=["k", "arr"], distinct="exact")
+    assert scans(shared) == 2, scans(shared)
+    with_native = PRF.profile(df, distinct="exact")
+    assert scans(with_native) == 3, scans(with_native)
+    # correctness unchanged: colliding renderings still distinct
+    got = {r.col_name: r.n_distinct for r in with_native.collect()}
+    assert got == {"k": 2, "arr": 2, "farr": 1}
+
+
+def test_exact_distinct_float_array_negative_zero(spark):
+    """[-0.0] and [0.0] are ONE distinct value under Spark's group-by
+    normalization; the float-bearing array stays on the native path so
+    the count is right (to_json would render the sign and say 2)."""
+    df = spark.createDataFrame(
+        [([-0.0],), ([0.0],), ([1.0],)], "fa array<double>"
+    )
+    got = {r.col_name: r for r in PRF.profile(df, distinct="exact").collect()}
+    assert got["fa"].n_distinct == 2

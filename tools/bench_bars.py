@@ -25,7 +25,13 @@ columns copied verbatim — same device as tools/bench_scale.py) and
 times Spark vs DuckDB at each N, printing one JSON line with the
 curve.  Run on a quiet host (check /proc/loadavg first).
 
-Usage: python tools/bench_bars.py [N ...]   (default: 1 10 30 100)
+Usage: python tools/bench_bars.py [N ...] [--rows a,b,...]
+       (default: N = 1 10 30 100; rows = quantiles_exact,table_profile)
+
+Any catalog row reading only orders/lineitem can be curved with
+--rows; round 9 adds ``approx_quantiles`` (r8 verdict #4: its measured
+form bakes a full true-rank verification scan into the timed path —
+the curve pins that two-scan floor against the quickselect oracle).
 """
 
 from __future__ import annotations
@@ -92,18 +98,27 @@ def time_best2(fn) -> float:
 
 
 def main() -> None:
-    ns = [int(a) for a in sys.argv[1:]] or [1, 10, 30, 100]
+    argv = sys.argv[1:]
+    rows = list(ROWS)
+    if "--rows" in argv:
+        i = argv.index("--rows")
+        rows = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2:]
+        unknown = [r for r in rows if r not in CATALOG]
+        if unknown:
+            raise SystemExit(f"unknown row(s): {unknown}")
+    ns = [int(a) for a in argv] or [1, 10, 30, 100]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
         "ena-bench-bars", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    curve: dict[str, dict] = {name: {} for name in ROWS}
+    curve: dict[str, dict] = {name: {} for name in rows}
     for n in ns:
         out_dir = f"/tmp/spark_graft_bars_{n}"
         generate(out_dir, n)
-        for name in ROWS:
+        for name in rows:
             df = CATALOG[name].spark(spark, out_dir)
             s = time_best2(
                 lambda: df.write.format("noop").mode("overwrite").save()
