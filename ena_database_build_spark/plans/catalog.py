@@ -1559,7 +1559,27 @@ def q_approx_quantiles(spark, sf_dir):
     guarantees rank error <= n/accuracy, so a second pass computes the
     returned value's true rank and the query outputs whether it landed
     within the guaranteed band (+/- 2/accuracy for slack at value
-    ties); the oracle asserts TRUE."""
+    ties).
+
+    r9 ratio hygiene (r8 verdict #4): the oracle now runs the SAME
+    sketch-plus-true-rank-verification shape (DuckDB approx_quantile +
+    rank-band check) instead of a constant-TRUE count(*) — the old
+    comparison priced the full two-scan pipeline against a trivial
+    aggregate and graded 83.7x at sf0.1 / 80.7x at ~sf10, an artifact
+    of the oracle, not the plan.  Re-measured with both sides priced
+    (tools/bench_bars.py --rows approx_quantiles, 1/10/30/100
+    replicas of sf0.1, local[32]):
+      5.8x -> 5.9x -> 9.3x -> 11.4x   (sf0.1 .. ~sf10)
+    with the Spark wall strongly sublinear (0.80 -> 6.85 s across
+    100x the rows; two full scans by design).  The residual asymptote
+    is Spark's percentile_approx being a row-at-a-time
+    ImperativeAggregate (ObjectHashAggregate, no codegen) against
+    DuckDB's vectorized t-digest — an engine-internal throughput gap,
+    not a plan defect: the plan is one sketch aggregation (map-side
+    mergeable partials, one exchange of k sketch buffers) + one
+    verification scan with a broadcast join, and
+    tools/bench_parallel.py shows this family's walls scale with
+    cores while the in-process oracle's cannot."""
     li = t(spark, sf_dir, "lineitem")
     acc = 100
     ap = li.groupBy("l_returnflag").agg(
@@ -1590,13 +1610,29 @@ def q_approx_quantiles(spark, sf_dir):
 
 
 SQL_APPROX_QUANTILES = """
--- WHERE mirrors the engine's verification join: the second pass
--- equi-joins the sketch output back on l_returnflag, and a NULL key
--- never equi-joins, so the NULL-flag group is absent (r9 adversarial
--- sweep).  No-op on driver corpora (l_returnflag never NULL there).
-SELECT l_returnflag, count(*) AS n, TRUE AS within_bounds
-FROM lineitem WHERE l_returnflag IS NOT NULL
-GROUP BY l_returnflag
+-- the oracle runs the SAME sketch-plus-verification shape as the
+-- engine (r8 verdict #4: the former constant-TRUE count(*) oracle
+-- priced NONE of the operator, so the measured ratio compared a
+-- sketch+full-verify pipeline against a trivial scan — 80x at ~sf10
+-- and growing, meaningless as a grade).  DuckDB's t-digest
+-- approx_quantile stands in for Spark's KLL-style percentile_approx;
+-- both verify their own estimate's true rank against the +/-2% band,
+-- so within_bounds is TRUE on both sides unless a sketch actually
+-- breaks its guarantee, and the wall now prices sketch+verify vs
+-- sketch+verify.  The WHERE mirrors the engine's verification join
+-- (a NULL key never equi-joins, r9 adversarial sweep); no-op on
+-- driver corpora.
+WITH ap AS (
+  SELECT l_returnflag, approx_quantile(l_extendedprice, 0.5) AS ap
+  FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag
+)
+SELECT l.l_returnflag, count(*) AS n,
+       (count(CASE WHEN l.l_extendedprice <= ap.ap THEN 1 END)
+          >= count(*) * 0.48
+        AND count(CASE WHEN l.l_extendedprice < ap.ap THEN 1 END)
+          <= count(*) * 0.52) AS within_bounds
+FROM lineitem l JOIN ap ON l.l_returnflag = ap.l_returnflag
+GROUP BY l.l_returnflag
 """
 
 
@@ -2790,7 +2826,24 @@ def q_table_profile(spark, sf_dir):
     cluster that exchange is the thing that scales out; in-process
     DuckDB is the thing that stops at one machine.  REVISED BAR:
     <= 12x at 100 replicas (~sf10) and wall growth <= 0.5x the data
-    growth; re-measure with tools/bench_bars.py on a quiet host."""
+    growth; re-measure with tools/bench_bars.py on a quiet host.
+
+    r9: the "scales out" claim is now MEASURED, not argued
+    (tools/bench_parallel.py, ~sf10 corpus, fresh JVM per point):
+      local[4] 9.14 s -> local[8] 6.77 -> local[16] 3.89 ->
+      local[32] 2.69 s   (DuckDB fixed at 0.22 s in-process)
+    — a 3.4x speedup across 8x cores with no plan change, so the
+    single-box asymptote is a parallelism budget: the same plan keeps
+    shrinking with executors where the oracle has already stopped.
+    Plan-shape alternatives were measured and REJECTED at ~sf10
+    (tools/profile_forms_probe.py): per-column union branches with
+    Spark's single-distinct rewrite (3.38 s — pruned scans don't
+    repay 4 exchanges) and flat (non-struct) group keys (2.76 s —
+    a tie); the shipped posexplode single-scan form (2.78 s) stands.
+    Separately, r8's per-column count_distinct jobs for array/struct
+    columns are gone where a canonical injective to_json encoding
+    exists (profile._json_faithful) — those columns ride the shared
+    single-scan long form again."""
     orders = t(spark, sf_dir, "orders", spread=True)
     return PRF.profile(
         orders,
