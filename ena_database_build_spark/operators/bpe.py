@@ -50,12 +50,31 @@ def word_freqs(
 
 
 def chars(word: Column) -> Column:
-    """Initial symbol array: one single-character symbol per char.
-    The split point must be strictly BETWEEN characters: ``(?!^)``
-    alone also matches at end-of-string, and Spark's split keeps
-    trailing empties (Pattern.split with limit -1), which would plant
-    a phantom ``''`` symbol on every word; ``(?=.)`` excludes it."""
-    return F.split(word, r"(?!^)(?=.)")
+    """Initial symbol array: one single-character symbol per CODE
+    POINT.
+
+    NOT a regex split: the former ``split(word, '(?!^)(?=.)')`` put
+    its zero-width split points at Java CODE-UNIT boundaries, so an
+    astral-plane character (emoji, rare CJK — anything above U+FFFF)
+    was torn into two lone-surrogate "symbols" (r9 unicode sweep:
+    '\\U0001f600\\U0001f525' became four broken pieces where every
+    other engine counts two characters).  ``Column.substr`` indexes
+    UTF8String by code point, so the sequence/substr form yields one
+    whole character per symbol at any plane.  Cost is the same
+    map-only shape (words are vocabulary entries, tens of bytes).
+
+    Empty-string and NULL behavior preserved: ``''`` -> ``['']``
+    (callers upstream filter empties anyway), NULL -> NULL."""
+    return (
+        F.when(
+            F.length(word) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.length(word)),
+                lambda i: word.substr(i, F.lit(1)),
+            ),
+        )
+        .when(word.isNotNull(), F.array(F.lit("")))
+    )
 
 
 def sym_pairs(syms: Column) -> Column:

@@ -2281,10 +2281,33 @@ def q_corpus_curation(spark, sf_dir):
     )
     deduped = D.exact_dedup(kept)
     split = SMP.train_test_split(deduped, test_fraction=0.1, seed="cur")
-    return split.groupBy("source", "split").agg(
+    # avg_quality via EXACT integer micro-units (the embedding_meanpool
+    # discipline, extended to the rounding step): per-doc quality is
+    # already 6-dp, so sum(round(q*1e6)) is an exact integer in any
+    # engine regardless of addition order, and the half-up round to
+    # 4 dp happens in INTEGER space — floor((qsum + 50n) / (100n)) —
+    # so no float mean can land within an ulp of a .00005 boundary
+    # and round differently per engine (r9 unicode sweep: the planted
+    # payloads shifted one group's float mean onto exactly that
+    # boundary — 0.7133 vs 0.7134).  Same values as round(avg(q), 4)
+    # everywhere off-boundary (sf0.01 full catalog re-verified).
+    agged = split.groupBy("source", "split").agg(
         F.count("*").alias("n_docs"),
         F.sum(T.regexp_token_count(F.col("text"))).alias("n_tokens"),
-        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum(F.round(F.col("quality") * 1e6).cast("long")).alias("_qs"),
+    )
+    return agged.select(
+        "source",
+        "split",
+        "n_docs",
+        "n_tokens",
+        (
+            F.floor(
+                (F.col("_qs") + 50 * F.col("n_docs"))
+                / (100.0 * F.col("n_docs"))
+            )
+            / 10000.0
+        ).alias("avg_quality"),
     )
 
 
@@ -2325,7 +2348,11 @@ WITH base AS (
 SELECT source, split, count(*) AS n_docs,
        CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]'))) AS BIGINT)
          AS n_tokens,
-       round(avg(quality), 4) AS avg_quality
+       -- exact integer micro-unit mean with integer half-up rounding,
+       -- mirroring the engine (see q_corpus_curation: a float avg can
+       -- land on a .00005 boundary and round differently per engine)
+       floor((sum(CAST(round(quality * 1e6) AS BIGINT)) + 50 * count(*))
+             / (100.0 * count(*))) / 10000.0 AS avg_quality
 FROM sp GROUP BY source, split
 """
 

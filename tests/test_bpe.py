@@ -114,3 +114,25 @@ def test_apply_bpe_roundtrip(spark, docs):
         F.size("pieces") < F.length("word")
     ).count()
     assert compressed > 0
+
+
+def test_chars_codepoint_safe_on_astral_plane(spark):
+    """r9 unicode sweep: the former regex char-split put zero-width
+    split points at Java CODE-UNIT boundaries, tearing astral-plane
+    characters (emoji) into lone-surrogate halves.  chars() must
+    yield one whole character per CODE POINT at any plane, and keep
+    the documented ''/NULL edge behavior."""
+    import pyspark.sql.functions as F
+
+    from ena_database_build_spark.operators.bpe import chars
+
+    df = spark.createDataFrame(
+        [("\U0001f600\U0001f525",), ("ab\U0001f600c",), ("",), (None,)],
+        "word string",
+    )
+    got = {r["word"]: r["ch"] for r in
+           df.select("word", chars(F.col("word")).alias("ch")).collect()}
+    assert got["\U0001f600\U0001f525"] == ["\U0001f600", "\U0001f525"]
+    assert got["ab\U0001f600c"] == ["a", "b", "\U0001f600", "c"]
+    assert got[""] == [""]
+    assert got[None] is None

@@ -58,6 +58,20 @@ Round-9 sweep results (this generator + check_catalog):
   cast '' to BIGINT on a non-matching line, which raises under ANSI
   in BOTH engines — it now nullifs first (the P2/F5 malformed-line
   posture).
+* unicode corpus (this generator's "unicode" mode): **181/181
+  agree** after two genuine r9 fixes the sweep earned its keep with:
+  (1) ENGINE — bpe.chars() was a Java regex split whose zero-width
+  split points sit at CODE-UNIT boundaries, tearing astral-plane
+  characters (emoji) into lone-surrogate symbol halves; now a
+  codepoint-safe sequence/substr form (regression-pinned in
+  tests/test_bpe.py).  (2) BOTH SIDES — corpus_curation's
+  round(avg(quality), 4) float mean landed exactly on a .00005
+  boundary on this corpus, where Spark's BigDecimal half-up and
+  DuckDB's binary-multiply rounding disagree; the mean is now an
+  exact integer micro-unit sum with integer half-up rounding in both
+  engines (boundary-proof, value-identical off-boundary).  The three
+  pinned engine-level divergences (VT \\s, U+0130 lower, final
+  sigma) are excluded from the plant set by construction.
 * Round-8 record, for the history: 152/181 agreed; the 29
   disagreements triaged into three families, none an engine defect:
 
@@ -82,7 +96,7 @@ Round-9 sweep results (this generator + check_catalog):
      the empty corpus).
 
 Usage: python tools/adversarial_corpus.py [src_sf_dir] [out_dir] [mode]
-       mode: "nulls" (default) | "extremes"
+       mode: "nulls" (default) | "extremes" | "unicode"
 """
 
 from __future__ import annotations
@@ -108,11 +122,72 @@ KEYS = {
 }
 
 
+# Exotic-but-cross-engine-AGREEING Unicode payloads for the "unicode"
+# mode (r9): each was probed primitive-by-primitive (lower, length,
+# \\s+ normalize, tokenize, md5) against DuckDB before inclusion.  Two
+# probed divergences are deliberately EXCLUDED from the plant set and
+# pinned by tests/test_unicode_divergences.py instead:
+#   * U+000B vertical tab — Java regex \\s matches it, DuckDB's RE2
+#     \\s is ASCII [\\t\\n\\f\\r ] without VT, so Spark's whitespace
+#     normalization collapses it and DuckDB's does not;
+#   * U+0130 LATIN CAPITAL I WITH DOT ABOVE — Java lower() yields
+#     i + U+0307 (two codepoints), DuckDB's utf8proc yields plain i;
+#   * word-FINAL capital sigma — Java toLowerCase is context-
+#     sensitive ('\u03a3\u039f\u03a6\u039f\u03a3' → ...\u03c2 final sigma) while
+#     utf8proc maps per-codepoint (→ ...\u03c3); capital sigma is planted
+#     word-INITIAL only, where both yield \u03c3.
+UNICODE_PAYLOADS = [
+    "na\u00efve caf\u00e9 \u200bzero\u200bwidth",   # ZWSP inside tokens
+    "\u65e5\u672c\u8a9e\u3000\u30c6\u30ad\u30b9\u30c8",  # CJK + U+3000
+    "emoji \U0001f600\U0001f525 mix",                 # astral plane
+    "\u05e9\u05dc\u05d5\u05dd \u05e2\u05d5\u05dc\u05dd abc",  # RTL
+    "STRA\u1e9eE gro\u00df",                          # capital sharp s
+    "\u03a3\u03bf\u03c6\u03af\u03b1 \u03c3\u03bf\u03c6\u03cc\u03c2",  # word-INITIAL SIGMA only
+    "a\u00a0nbsp\u00a0b",                             # NBSP (not \\s)
+    "cafe\u0301 combining",                            # decomposed accent
+    "\u0490\u0491\u0407\u0457 \u0404\u0454",      # Cyrillic ext
+    "\ufb01ligature \ufb00 mixed",                    # fi / ff ligatures
+]
+
+
 # money/measure columns that only ever feed float arithmetic in the
 # catalog (sum/avg/product/compare) — safe to push to 1e15 magnitudes.
 # l_quantity is EXCLUDED: transit_sweepline/tpch_q18 cast it to INT,
 # where 1e15 overflows and both engines raise per ANSI.
 EXTREME_COLS = {"l_extendedprice", "l_discount", "l_tax", "o_totalprice"}
+
+
+def mutate_unicode(src: str, out_dir: str) -> None:
+    """Exotic Unicode planted at deterministic positions in every
+    non-key STRING column (UNICODE_PAYLOADS rotation, ~10% of rows);
+    everything else byte-identical to the source.  Exact-compare mode:
+    no floats are touched, so the standard 6-dp hash applies."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for t in TABLES:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        n = tbl.num_rows
+        cols = {}
+        planted = 0
+        for i, f in enumerate(tbl.schema):
+            col = tbl.column(i)
+            is_str = pa.types.is_string(f.type) or pa.types.is_large_string(
+                f.type
+            )
+            if f.name in KEYS or not is_str or n == 0:
+                cols[f.name] = col
+                continue
+            vals = col.to_pylist()
+            for j in range(n):
+                r = (j * 31337) % 101
+                if r < 10:
+                    vals[j] = UNICODE_PAYLOADS[
+                        (j + i) % len(UNICODE_PAYLOADS)
+                    ]
+                    planted += 1
+            cols[f.name] = pa.array(vals, type=f.type)
+        pq.write_table(pa.table(cols), out / f"{t}.parquet")
+        print(t, n, "rows;", planted, "unicode payloads planted")
 
 
 def mutate_extremes(src: str, out_dir: str) -> None:
@@ -212,7 +287,11 @@ if __name__ == "__main__":
     mode = sys.argv[3] if len(sys.argv) > 3 else "nulls"
     if mode == "extremes":
         mutate_extremes(src, dest)
+    elif mode == "unicode":
+        mutate_unicode(src, dest)
     elif mode == "nulls":
         mutate(src, dest)
     else:
-        raise SystemExit(f"unknown mode {mode!r}: use 'nulls' or 'extremes'")
+        raise SystemExit(
+            f"unknown mode {mode!r}: use 'nulls', 'extremes' or 'unicode'"
+        )
