@@ -3365,7 +3365,16 @@ def q_approx_distinct(spark, sf_dir):
     check into an exact hash match.  rsd=0.02, not 0.01: halving the
     rsd quadruples the HLL register count and made this the single
     worst ratio in the r6 catalog profile (2.6s vs 0.87s at sf0.1)
-    while the bound check it feeds stays a 4-sigma check either way."""
+    while the bound check it feeds stays a 4-sigma check either way.
+
+    Ratio pricing (r9): the oracle runs the SAME sketch+exact+bound
+    shape (DuckDB approx_count_distinct beside count(DISTINCT)), so
+    the PROFILE ratio prices sketch-vs-sketch rather than grading this
+    pipeline's extra HLL pass against an exact-only aggregate — the
+    same both-sides treatment approx_quantiles got in r9 (r8 verdict
+    #4).  The residual ratio is Spark's two-aggregate Expand +
+    ImperativeAggregate HLL vs DuckDB's fused vectorized pass over a
+    1000-row-per-group corpus; the stage floor dominates at sf0.1."""
     return (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -3385,8 +3394,15 @@ def q_approx_distinct(spark, sf_dir):
 
 
 SQL_APPROX_DISTINCT = """
+-- r9: price BOTH sides (the approx_quantiles treatment, r8 verdict
+-- #4) — the oracle runs the same sketch+exact+bound shape via
+-- DuckDB's own HLL instead of a constant TRUE, so the comparison no
+-- longer grades a two-aggregate pipeline against exact-only work.
+-- Both engines' sketches sit far inside the 8% (4-sigma) band on
+-- every corpus, so the output is value-identical to the old form.
 SELECT event_type, count(DISTINCT user_id) AS exact_users,
-       TRUE AS within_bounds
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+         <= count(DISTINCT user_id) * 0.08 AS within_bounds
 FROM events GROUP BY event_type
 """
 

@@ -99,6 +99,7 @@ Round-9 sweep results (this generator + check_catalog):
 
 Usage: python tools/adversarial_corpus.py [src_sf_dir] [out_dir] [mode]
        mode: "nulls" (default) | "extremes" | "unicode" | "empty"
+             | "scramble" (layout/row-order invariance, r9)
 """
 
 from __future__ import annotations
@@ -233,6 +234,52 @@ def mutate_extremes(src: str, out_dir: str) -> None:
         print(t, n, "rows;", planted, "extremes planted")
 
 
+def mutate_scramble(src: str, out_dir: str) -> None:
+    """Layout-invariance corpus (round 9): SAME values as the source,
+    but every table's rows are deterministically permuted and the
+    table is re-laid-out as a DIRECTORY of unevenly-sized part files
+    (Fibonacci-proportioned, 7 parts), so both the row order Spark
+    observes and the scan-partition boundaries change while the
+    relation itself is identical.
+
+    Differential contract: any catalog query whose VALUES change under
+    this corpus depends on physical row order or file layout — the
+    exact class of bug that hides on a single-file local corpus and
+    bites on a 1000-executor cluster where input split boundaries are
+    arbitrary.  Run it three ways to separate the axes:
+
+      1. scrambled corpus, default confs      (layout sensitivity)
+      2. pristine corpus,  perturbed confs    (partition-count / AQE
+         sensitivity — ``check_catalog.py --spark-conf``)
+      3. scrambled corpus, perturbed confs    (combined)
+
+    DuckDB reads the same scrambled bytes, so Spark-vs-oracle
+    agreement on axis 1/3 proves order-independence of the semantics,
+    not just Spark-internal stability."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    weights = np.array([1, 2, 3, 5, 8, 13, 21], dtype=np.float64)
+    weights /= weights.sum()
+    for t in TABLES:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        n = tbl.num_rows
+        # deterministic permutation seeded from the table name
+        seed = sum(ord(c) * 131 ** i for i, c in enumerate(t)) % (2**32)
+        perm = np.random.Generator(np.random.PCG64(seed)).permutation(n)
+        tbl = tbl.take(pa.array(perm, type=pa.int64())) if n else tbl
+        part_dir = out / f"{t}.parquet"
+        part_dir.mkdir(parents=True, exist_ok=True)
+        cuts = np.floor(np.cumsum(weights) * n).astype(np.int64)
+        lo = 0
+        for k, hi in enumerate(cuts):
+            hi = int(hi) if k < len(cuts) - 1 else n
+            pq.write_table(
+                tbl.slice(lo, hi - lo), part_dir / f"part-{k:02d}.parquet"
+            )
+            lo = hi
+        print(t, n, f"rows permuted (seed {seed}) into {len(cuts)} parts")
+
+
 def mutate(src: str, out_dir: str) -> None:
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -305,9 +352,12 @@ if __name__ == "__main__":
         mutate_unicode(src, dest)
     elif mode == "empty":
         mutate_empty(src, dest)
+    elif mode == "scramble":
+        mutate_scramble(src, dest)
     elif mode == "nulls":
         mutate(src, dest)
     else:
         raise SystemExit(
-            f"unknown mode {mode!r}: use 'nulls', 'extremes', 'unicode' or 'empty'"
+            f"unknown mode {mode!r}: use 'nulls', 'extremes', 'unicode', "
+            f"'empty' or 'scramble'"
         )

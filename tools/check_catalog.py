@@ -5,6 +5,7 @@ column names, and an order-insensitive value hash.
 Usage: python tools/check_catalog.py [sf_dir] [name ...]
        python tools/check_catalog.py [sf_dir] --first N
        python tools/check_catalog.py [sf_dir] --rtol 1e-9 [name ...]
+       python tools/check_catalog.py [sf_dir] --spark-conf k=v ... [name ...]
 
 Unknown names are reported and exit non-zero BEFORE any query runs
 (round-8 verdict "What's wrong" #3 — one typo must not cost a long
@@ -116,6 +117,33 @@ def resolve_names(argv: list[str]) -> list[str]:
     return names
 
 
+def parse_spark_confs(argv: list[str]) -> tuple[dict[str, str], list[str]]:
+    """Strip any number of ``--spark-conf key=value`` pairs (anywhere
+    in the tail); returns ({key: value}, remaining argv).  Confs are
+    applied with ``spark.conf.set`` AFTER session creation, so only
+    runtime-settable SQL confs take effect (shuffle.partitions, AQE
+    toggles — the partition-invariance sweep's levers); a static conf
+    here raises from Spark itself rather than silently no-opping.
+    Validated before any work."""
+    confs: dict[str, str] = {}
+    rest: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--spark-conf":
+            if i + 1 >= len(argv) or "=" not in argv[i + 1]:
+                raise SystemExit(
+                    "--spark-conf takes key=value, e.g. "
+                    "--spark-conf spark.sql.shuffle.partitions=5"
+                )
+            k, _, v = argv[i + 1].partition("=")
+            confs[k] = v
+            i += 2
+        else:
+            rest.append(argv[i])
+            i += 1
+    return confs, rest
+
+
 def parse_rtol(argv: list[str]) -> tuple[float | None, list[str]]:
     """Strip an optional ``--rtol X`` (anywhere in the tail); returns
     (rtol or None, remaining argv).  Validated before any work."""
@@ -133,12 +161,23 @@ def parse_rtol(argv: list[str]) -> tuple[float | None, list[str]]:
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    rtol, rest = parse_rtol(sys.argv[2:])
+    confs, rest = parse_spark_confs(sys.argv[2:])
+    rtol, rest = parse_rtol(rest)
     names = resolve_names(rest)
     spark = get_spark("check-catalog")
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+        print(f"spark-conf {k}={v}")
     con = duckdb.connect()
+    import os
+
     for tab in TABLES:
-        con.sql(f"CREATE VIEW {tab} AS SELECT * FROM '{sf_dir}/{tab}.parquet'")
+        # scramble-mode corpora lay each table out as a DIRECTORY of
+        # part files (Spark reads that natively; DuckDB needs a glob)
+        path = f"{sf_dir}/{tab}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {tab} AS SELECT * FROM '{path}'")
     failures = []
     for name in names:
         qd = CATALOG[name]
