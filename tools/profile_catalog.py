@@ -31,6 +31,13 @@ Measurement discipline (learned the hard way in round 6):
   in absolute terms and high-ratio.
 
 Usage: python tools/profile_catalog.py [sf_dir] [out_json]
+       python tools/profile_catalog.py [sf_dir] [out_json] \
+           [--oracle-cap SECONDS] [name ...]
+
+``--oracle-cap`` (default 300 s) interrupts a runaway DuckDB oracle
+(quadratic all-pairs forms at sf1) and records an explicit TIMEOUT
+row — the Spark timing still lands, and nothing is silently skipped.
+Directory-laid-out tables (bench_scale corpora) are glob-mounted.
 """
 
 from __future__ import annotations
@@ -48,14 +55,48 @@ from ena_database_build_spark.plans.catalog import CATALOG, TABLES  # noqa: E402
 from ena_database_build_spark.session import get_spark  # noqa: E402
 
 
+def timed_oracle(con, sql: str, cap_s: float) -> float | None:
+    """Two warm reps of the oracle, but with a WALL CAP: a timer
+    thread fires ``con.interrupt()`` after ``cap_s`` seconds, so a
+    quadratic DuckDB oracle at sf1 (near_dedup's all-pairs verify was
+    116 s at sf0.1 — hours at 10x) records an honest timeout row
+    instead of stalling the whole profile or being silently skipped.
+    Returns the warm-rep seconds, or None on timeout/error (caller
+    distinguishes via the printed reason)."""
+    import threading
+
+    t = None
+    for _ in range(2):
+        timer = threading.Timer(cap_s, con.interrupt)
+        timer.start()
+        try:
+            t0 = time.perf_counter()
+            con.sql(sql).arrow()
+            t = time.perf_counter() - t0
+        finally:
+            timer.cancel()
+    return t
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/profile_catalog.json"
-    only = set(sys.argv[3:])  # optional query-name subset
+    argv = sys.argv[3:]
+    cap_s = 300.0
+    if argv[:1] == ["--oracle-cap"]:
+        cap_s = float(argv[1])
+        argv = argv[2:]
+    only = set(argv)  # optional query-name subset
     spark = get_spark("profile-catalog")
+    import os
+
     con = duckdb.connect()
     for tab in TABLES:
-        con.sql(f"CREATE VIEW {tab} AS SELECT * FROM '{sf_dir}/{tab}.parquet'")
+        # scale corpora lay tables out as directories of part files
+        path = f"{sf_dir}/{tab}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {tab} AS SELECT * FROM '{path}'")
     rows = []
     for name, qd in CATALOG.items():
         if only and name not in only:
@@ -76,12 +117,14 @@ def main() -> None:
             # own try: one bad oracle SQL must record an ERR row, not
             # abort the remaining queries (round-6 ADVICE)
             try:
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    con.sql(qd.oracle).arrow()
-                    t_oracle = time.perf_counter() - t0
+                t_oracle = timed_oracle(con, qd.oracle, cap_s)
             except Exception as exc:  # noqa: BLE001
-                print(f"ERR   {name} (oracle): {exc}", flush=True)
+                msg = str(exc)
+                kind = "TIMEOUT" if "INTERRUPT" in msg.upper() else "ERR"
+                print(
+                    f"{kind} {name} (oracle, cap {cap_s:g}s): {msg[:120]}",
+                    flush=True,
+                )
                 t_oracle = None
         rows.append(
             {
