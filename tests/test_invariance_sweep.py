@@ -79,3 +79,22 @@ def test_parse_spark_confs_strips_pairs():
 def test_parse_spark_confs_rejects_malformed(argv):
     with pytest.raises(SystemExit):
         parse_spark_confs(argv)
+
+
+def test_skew_mode_collapses_half_onto_one_hot_key(tmp_path):
+    from adversarial_corpus import SKEW_COLS, mutate_skew
+
+    mutate_skew("/root/testdata/sf0.001", str(tmp_path))
+    tbl = pq.read_table(tmp_path / "events.parquet")
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    col = SKEW_COLS["events"]
+    vals = tbl.column(tbl.schema.get_field_index(col)).to_pylist()
+    hot = min(v for v in src.column(col).to_pylist() if v is not None)
+    frac = sum(v == hot for v in vals) / len(vals)
+    assert 0.45 <= frac <= 0.60  # ~50% + the hot key's own rows
+    # every other column byte-identical to the source
+    for f in src.schema:
+        if f.name != col:
+            assert tbl.column(f.name).to_pylist() == src.column(
+                f.name
+            ).to_pylist()

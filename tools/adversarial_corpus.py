@@ -100,6 +100,7 @@ Round-9 sweep results (this generator + check_catalog):
 Usage: python tools/adversarial_corpus.py [src_sf_dir] [out_dir] [mode]
        mode: "nulls" (default) | "extremes" | "unicode" | "empty"
              | "scramble" (layout/row-order invariance, r9)
+             | "skew" (hot-key collapse on FK columns, r9)
 """
 
 from __future__ import annotations
@@ -234,6 +235,56 @@ def mutate_extremes(src: str, out_dir: str) -> None:
         print(t, n, "rows;", planted, "extremes planted")
 
 
+# FK-like columns deliberately skewed by the "skew" mode: ~50% of each
+# table's rows collapse onto ONE hot key (the column's minimum), the
+# hottest realistic shape for a join/group key.  Identity keys
+# (doc_id, event_id, *_orderkey as a PK) stay untouched.
+SKEW_COLS = {
+    "events": "user_id",
+    "lineitem": "l_suppkey",
+    "orders": "o_custkey",
+}
+
+
+def mutate_skew(src: str, out_dir: str) -> None:
+    """Hot-key corpus (round 9): half of events' rows belong to one
+    user, half of lineitem to one supplier, half of orders to one
+    customer — the 100 TB failure shape where one reducer gets half
+    the shuffle.  Both engines read the same bytes, so the sweep
+    checks the SEMANTICS hold under extreme key skew (giant-group
+    aggregates past the objectHashAggregate fallback threshold,
+    single-user sessionization windows, skewed join sides that AQE
+    splits); the salted operator forms are separately parity-pinned
+    in tests/test_skew.py."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    import pyarrow.compute as pc
+
+    for t in TABLES:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        n = tbl.num_rows
+        col = SKEW_COLS.get(t)
+        if col is None or n == 0:
+            pq.write_table(tbl, out / f"{t}.parquet")
+            print(t, n, "rows (copied)")
+            continue
+        i = tbl.schema.get_field_index(col)
+        hot = pc.min(tbl.column(i)).as_py()
+        idx = np.arange(n)
+        mask = (idx * 2654435761 % 100) < 50  # deterministic ~50%
+        vals = tbl.column(i).to_pylist()
+        planted = 0
+        for j in range(n):
+            if mask[j] and vals[j] is not None:
+                vals[j] = hot
+                planted += 1
+        tbl = tbl.set_column(
+            i, col, pa.array(vals, type=tbl.schema.field(i).type)
+        )
+        pq.write_table(tbl, out / f"{t}.parquet")
+        print(t, n, f"rows; {planted} collapsed onto {col}={hot!r}")
+
+
 def mutate_scramble(src: str, out_dir: str) -> None:
     """Layout-invariance corpus (round 9): SAME values as the source,
     but every table's rows are deterministically permuted and the
@@ -354,10 +405,12 @@ if __name__ == "__main__":
         mutate_empty(src, dest)
     elif mode == "scramble":
         mutate_scramble(src, dest)
+    elif mode == "skew":
+        mutate_skew(src, dest)
     elif mode == "nulls":
         mutate(src, dest)
     else:
         raise SystemExit(
             f"unknown mode {mode!r}: use 'nulls', 'extremes', 'unicode', "
-            f"'empty' or 'scramble'"
+            f"'empty', 'scramble' or 'skew'"
         )
