@@ -309,6 +309,14 @@ def _json_faithful(dt: DataType) -> bool:
     * float/double (at any nesting): group-by NORMALIZES -0.0 to 0.0
       inside nested types (NormalizeFloatingNumbers) while to_json
       renders the sign, so [-0.0] and [0.0] would double-count.
+
+    Nested timestamps stay IN, but only because :func:`_exact_two_job`
+    renders them with explicit MICROSECOND formats: Spark's default
+    to_json timestampFormat is millisecond ([.SSS]), which collapses
+    microsecond-distinct values — array(ts'..00.123456') and
+    array(ts'..00.123999') both rendered ["..00.123Z"] and
+    undercounted (r9 review finding, probed on this Spark build;
+    regression-pinned in tests/test_profile.py).
     """
     from pyspark.sql.types import ArrayType, MapType, StructType
 
@@ -351,7 +359,16 @@ def _exact_two_job(df: DataFrame, cols: list[str]) -> DataFrame:
         col = F.col(c)
         dt = df.schema[c].dataType
         if _json_faithful(dt):
-            return F.to_json(col)  # injective canonical rendering
+            # microsecond formats: the defaults truncate to [.SSS],
+            # collapsing microsecond-distinct nested timestamps (see
+            # _json_faithful)
+            return F.to_json(
+                col,
+                {
+                    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+                    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+                },
+            )
         if isinstance(dt, (FloatType, DoubleType)):
             col = col + F.lit(0.0)  # -0.0 -> 0.0; identity otherwise
         return col.cast("string")

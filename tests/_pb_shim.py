@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import importlib
 import os
+import shutil
 import sys
 import tempfile
 
@@ -83,13 +84,17 @@ def install_protobuf_shim(gae_dir: str = GAE_PB_DEFAULT) -> str | None:
 
     # Fresh per-process dir: mkdtemp is 0700 and collision-free, so no
     # other user can have pre-created it or can swap the link later.
+    # Failure paths remove it (r9 review): a host where the bundle is
+    # unimportable would otherwise leak one dir per test process.
     shim = tempfile.mkdtemp(prefix="spark_graft_pb_shim_")
     try:
         os.symlink(target, os.path.join(shim, "google"))
     except OSError:  # pragma: no cover - symlink-less FS
+        shutil.rmtree(shim, ignore_errors=True)
         return None
 
     if not _probe_import(shim):
+        shutil.rmtree(shim, ignore_errors=True)
         return None  # bundle present but unimportable -> visible skip
 
     # Spawned Spark workers inherit the shim via PYTHONPATH.  Within

@@ -66,6 +66,41 @@ def test_parse_rtol_rejects_malformed(argv):
         parse_rtol(argv)
 
 
+def test_values_close_rounding_boundary_straddle():
+    """r9 review repro: a pair agreeing within rtol but straddling
+    the .round(2) grid (0.004999.. vs 0.005000..) used to mis-key and
+    cross-pair against OTHER rows — a spurious FAIL.  The raw-value
+    alignment fallback must accept it; a genuinely different frame
+    must still fail under BOTH alignments."""
+    import pandas as pd
+
+    from check_catalog import values_close
+
+    s = pd.DataFrame({"g": [0.004999999999998, 0.0048]})
+    o = pd.DataFrame({"g": [0.005000000000002, 0.0048]})
+    assert values_close(s, o, rtol=1e-9)
+
+    o_bad = pd.DataFrame({"g": [0.0052, 0.0048]})
+    assert not values_close(s, o_bad, rtol=1e-9)
+
+
+def test_error_class_gates_both_raise():
+    """Both-engines-raise counts as agreement only for MATCHING error
+    classes; two unrelated errors class as 'other' and never match."""
+    from check_catalog import error_class
+
+    spark_overflow = Exception(
+        "[ARITHMETIC_OVERFLOW] long overflow. SQLSTATE: 22003"
+    )
+    duck_overflow = Exception(
+        "Out of Range Error: Overflow in multiplication of INT64"
+    )
+    assert error_class(spark_overflow) == "overflow"
+    assert error_class(duck_overflow) == "overflow"
+    assert error_class(Exception("[ANALYSIS_ERROR] missing column")) == "other"
+    assert error_class(Exception("IO Error: no files found")) == "other"
+
+
 def test_values_close_tolerates_ulp_drift_and_catches_real_diffs():
     """The float-extreme sweep's compare: last-ulp sum-order drift at
     1e15 magnitude passes; a genuinely different value fails; NaN

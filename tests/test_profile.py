@@ -179,6 +179,27 @@ def test_exact_distinct_on_array_columns_is_native(spark):
     assert got["f"] == (4, 1, 2)  # -0.0 and 0.0 are ONE distinct value
 
 
+def test_exact_distinct_nested_timestamp_microseconds(spark):
+    """Nested timestamps ride the to_json shared scan, where Spark's
+    DEFAULT timestampFormat truncates to milliseconds — microsecond-
+    distinct values rendered identically and undercounted (r9 review
+    finding).  The encoding now pins explicit microsecond formats for
+    both timestamp and timestamp_ntz at any nesting depth."""
+    df = spark.sql("""
+        SELECT array(timestamp'2020-01-01 00:00:00.123456') AS a,
+               named_struct('t', timestamp_ntz'2020-01-01 00:00:00.123456') AS s
+        UNION ALL
+        SELECT array(timestamp'2020-01-01 00:00:00.123999'),
+               named_struct('t', timestamp_ntz'2020-01-01 00:00:00.123999')
+    """)
+    got = {
+        r.col_name: r.n_distinct
+        for r in PRF.profile(df, distinct="exact").collect()
+    }
+    assert got["a"] == 2  # default [.SSS] format rendered both .123
+    assert got["s"] == 2
+
+
 def test_exact_distinct_map_column_native(spark):
     """Map columns take the native count_distinct path: counted
     key-order-insensitively ({a:1,b:2} == {b:2,a:1}), NULL min/max

@@ -196,7 +196,11 @@ def mutate_unicode(src: str, out_dir: str) -> None:
             vals = col.to_pylist()
             for j in range(n):
                 r = (j * 31337) % 101
-                if r < 10:
+                # NULL cells stay NULL (r9 review): this mode's
+                # contract is "everything else byte-identical", and
+                # overwriting NULLs would mix NULL-removal effects
+                # into a sweep meant to isolate unicode effects
+                if r < 10 and vals[j] is not None:
                     vals[j] = UNICODE_PAYLOADS[
                         (j + i) % len(UNICODE_PAYLOADS)
                     ]

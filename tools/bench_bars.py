@@ -102,11 +102,34 @@ def main() -> None:
     rows = list(ROWS)
     if "--rows" in argv:
         i = argv.index("--rows")
+        if i + 1 >= len(argv):
+            raise SystemExit("--rows takes a comma-separated name list")
         rows = argv[i + 1].split(",")
         argv = argv[:i] + argv[i + 2:]
         unknown = [r for r in rows if r not in CATALOG]
         if unknown:
             raise SystemExit(f"unknown row(s): {unknown}")
+        # the replicated corpus contains ONLY the KEY_COLS tables, so a
+        # row touching any other table would die mid-run AFTER the
+        # expensive generation; reject upfront by scanning the oracle
+        # for table references (engine and oracle read the same tables
+        # by construction)
+        import re
+
+        from ena_database_build_spark.plans.catalog import TABLES
+
+        for r in rows:
+            sql = CATALOG[r].oracle or ""
+            bad = [
+                t for t in TABLES
+                if t not in KEY_COLS
+                and re.search(rf"\b{t}\b", sql)
+            ]
+            if bad or not sql:
+                raise SystemExit(
+                    f"row {r!r} reads table(s) {bad or '<no oracle>'} — "
+                    f"only {sorted(KEY_COLS)} are replicated by this tool"
+                )
     ns = [int(a) for a in argv] or [1, 10, 30, 100]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(

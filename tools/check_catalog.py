@@ -59,42 +59,48 @@ def value_hash(df: pd.DataFrame) -> str:
 
 def values_close(s: pd.DataFrame, o: pd.DataFrame, rtol: float) -> bool:
     """Order-insensitive comparison with relative tolerance on float
-    columns (exact elsewhere).  Rows align on a shared sort key that
-    ROUNDS floats first (so last-ulp engine differences cannot reorder
-    the frames against each other); NaN == NaN.
+    columns (exact elsewhere); NaN == NaN.
 
-    Caveat (documented, inherent to tolerant comparison): two rows
-    identical in every non-float column and closer than the rounding
-    grain in the floats could cross-align — harmless, since any such
-    pair is within tolerance of either alignment.
+    Alignment: a pairing of rows where every cell agrees (within rtol
+    for floats) is a WITNESS that the frames match, so two candidate
+    alignments are tried and either passing suffices.  (1) sort on a
+    float-ROUNDED key — drift cannot reorder rows, but a value pair
+    straddling a rounding-grid boundary mis-keys (0.00499.. vs
+    0.00500.. round to 0.0 vs 0.01 and cross-pair against OTHER rows
+    — r9 review finding, previously a spurious FAIL); (2) sort on the
+    RAW float values — correct whenever inter-row gaps exceed the
+    drift, i.e. exactly the boundary-straddle case.  A genuinely
+    divergent frame fails under every pairing, so trying both cannot
+    mask a real difference.
     """
     import numpy as np
 
-    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+    def aligned(df: pd.DataFrame, rounded: bool) -> pd.DataFrame:
         key = df.copy()
-        for c in key.columns:
-            if key[c].dtype.kind == "f":
-                # a RELATIVE-grain key: sign * rounded magnitude
-                # exponent bucket keeps 1e15 and 1.0000001e15 together
-                # while separating genuinely different values
-                key[c] = key[c].round(2)
+        if rounded:
+            for c in key.columns:
+                if key[c].dtype.kind == "f":
+                    key[c] = key[c].round(2)
         order = key.sort_values(by=list(key.columns), ignore_index=False)
         return df.loc[order.index].reset_index(drop=True)
 
-    s, o = keyed(s), keyed(o)
-    for c in s.columns:
-        if s[c].dtype.kind == "f" and o[c].dtype.kind == "f":
-            if not np.allclose(
-                s[c].to_numpy(), o[c].to_numpy(),
-                rtol=rtol, atol=1e-12, equal_nan=True,
-            ):
-                return False
-        else:
-            a = s[c].astype(str)
-            b = o[c].astype(str)
-            if not (a == b).all():
-                return False
-    return True
+    def pairing_ok(sa: pd.DataFrame, oa: pd.DataFrame) -> bool:
+        for c in sa.columns:
+            if sa[c].dtype.kind == "f" and oa[c].dtype.kind == "f":
+                if not np.allclose(
+                    sa[c].to_numpy(), oa[c].to_numpy(),
+                    rtol=rtol, atol=1e-12, equal_nan=True,
+                ):
+                    return False
+            else:
+                if not (sa[c].astype(str) == oa[c].astype(str)).all():
+                    return False
+        return True
+
+    return any(
+        pairing_ok(aligned(s, rounded), aligned(o, rounded))
+        for rounded in (True, False)
+    )
 
 
 def resolve_names(argv: list[str]) -> list[str]:
@@ -115,6 +121,25 @@ def resolve_names(argv: list[str]) -> list[str]:
             f"Valid names are the {len(CATALOG)} CATALOG keys."
         )
     return names
+
+
+def error_class(exc: Exception) -> str:
+    """Coarse cross-engine error taxonomy for the both-raise
+    convention: two engines 'agree on the error contract' only when
+    their exceptions fall in the same class.  Classes are derived
+    from the message because the exception TYPES never match across
+    engines (Py4J-wrapped Spark vs duckdb.Error).  Unrecognized
+    errors class as 'other', which never matches — an unknown failure
+    pair is a FAIL to triage, not an agreement."""
+    msg = str(exc).upper()
+    for cls, needles in (
+        ("overflow", ("OVERFLOW", "OUT OF RANGE")),
+        ("cast", ("CAST", "CANNOT BE PARSED", "CONVERSION")),
+        ("divide_by_zero", ("DIVIDE BY ZERO", "DIVISION BY ZERO")),
+    ):
+        if any(n in msg for n in needles):
+            return cls
+    return "other"
 
 
 def parse_spark_confs(argv: list[str]) -> tuple[dict[str, str], list[str]]:
@@ -194,10 +219,23 @@ def main():
                 try:
                     con.sql(qd.oracle).df()
                 except Exception as oexc:  # noqa: BLE001
+                    # r9 review: both-raise counts as agreement ONLY
+                    # when the error CLASSES match — an unrelated
+                    # oracle failure (typo, mount problem) must not
+                    # mask a genuine Spark regression as green.
+                    cs, co = error_class(exc), error_class(oexc)
+                    if cs == co and cs != "other":
+                        print(
+                            f"OK    {name}: both engines raise {cs} "
+                            f"(spark: {str(exc)[:80]} | "
+                            f"oracle: {str(oexc)[:80]})"
+                        )
+                        continue
+                    failures.append(name)
                     print(
-                        f"OK    {name}: both engines raise "
-                        f"(spark: {str(exc)[:80]} | "
-                        f"oracle: {str(oexc)[:80]})"
+                        f"FAIL  {name}: both raise but classes differ "
+                        f"({cs} vs {co}) — spark: {str(exc)[:80]} | "
+                        f"oracle: {str(oexc)[:80]}"
                     )
                     continue
             failures.append(name)

@@ -62,18 +62,34 @@ def timed_oracle(con, sql: str, cap_s: float) -> float | None:
     116 s at sf0.1 — hours at 10x) records an honest timeout row
     instead of stalling the whole profile or being silently skipped.
     Returns the warm-rep seconds, or None on timeout/error (caller
-    distinguishes via the printed reason)."""
+    distinguishes via the printed reason).
+
+    The interrupt is gated per-rep by a flag-under-lock: Timer.cancel
+    cannot stop a callback that is already firing, so an uncaged
+    interrupt racing a just-completed query would land on the SHARED
+    connection and spuriously abort the NEXT rep or the next catalog
+    row's oracle (r9 review finding)."""
     import threading
 
     t = None
     for _ in range(2):
-        timer = threading.Timer(cap_s, con.interrupt)
+        lock = threading.Lock()
+        running = [True]
+
+        def maybe_interrupt():
+            with lock:
+                if running[0]:
+                    con.interrupt()
+
+        timer = threading.Timer(cap_s, maybe_interrupt)
         timer.start()
         try:
             t0 = time.perf_counter()
             con.sql(sql).arrow()
             t = time.perf_counter() - t0
         finally:
+            with lock:
+                running[0] = False
             timer.cancel()
     return t
 
@@ -82,10 +98,27 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/profile_catalog.json"
     argv = sys.argv[3:]
+    # --oracle-cap accepted ANYWHERE in the tail and validated before
+    # work; names validated against CATALOG so a typo'd flag or query
+    # cannot be silently absorbed into a subset that matches nothing
+    # (r9 review finding — the failure class resolve_names closed in
+    # check_catalog)
     cap_s = 300.0
-    if argv[:1] == ["--oracle-cap"]:
-        cap_s = float(argv[1])
-        argv = argv[2:]
+    if "--oracle-cap" in argv:
+        i = argv.index("--oracle-cap")
+        try:
+            cap_s = float(argv[i + 1])
+        except (IndexError, ValueError):
+            raise SystemExit("--oracle-cap takes one number of seconds")
+        if not cap_s > 0:
+            raise SystemExit("--oracle-cap must be positive")
+        argv = argv[:i] + argv[i + 2:]
+    unknown = [n for n in argv if n not in CATALOG]
+    if unknown:
+        raise SystemExit(
+            f"unknown query name(s): {unknown} — nothing was run. "
+            f"Valid names are the {len(CATALOG)} CATALOG keys."
+        )
     only = set(argv)  # optional query-name subset
     spark = get_spark("profile-catalog")
     import os
