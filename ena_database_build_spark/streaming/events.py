@@ -96,6 +96,107 @@ def session_aggregates(
     )
 
 
+def session_aggregates_bucketed(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Straggler-free twin of :func:`session_aggregates` for hot-key
+    corpora — result-identical (parity-pinned in
+    tests/test_streaming.py), different physical shape.
+
+    ``session_window().groupBy(user)`` hash-partitions by user, so a
+    hot user (the skew-corpus shape: one user owning 50% of events)
+    lands its ENTIRE stream in one task — an inherent straggler no
+    AQE setting splits, because the per-user sort-and-merge looks like
+    one aggregation group.  Two phases restore parallelism:
+
+    1. sessionize within ``(user, time-bucket)`` — the group key now
+       includes the bucket, so the hot user's events spread across
+       ``n_buckets`` tasks.  Fragments carry RAW partial aggregates
+       (rounding deferred to the merged session: rounding fragment
+       sums first would change the result).
+    2. merge fragments that touch across bucket boundaries: a session
+       continues into the next bucket iff the next fragment starts at
+       or before the previous fragment's end (session_window ends are
+       ``last_event + gap``, and Spark merges an event EXACTLY gap
+       after the previous one — the same <= contract the
+       events_sessions oracle pins).  Classic gaps-and-islands over a
+       running max of fragment ends, per user over FRAGMENTS — the
+       sequential chain shrinks from one task per hot user's EVENTS
+       to one window over its fragments (<= 1 per bucket for a
+       continuous stream; orders of magnitude smaller by
+       construction).
+
+    Correctness does not depend on ``bucket``; only the parallelism/
+    fragment-count trade-off does.  Pick it >> gap (default 1 h vs
+    10 min) so most sessions never straddle a boundary.
+
+    Measured (tools/bench_sessionize.py, 4 M events, local[32]): with
+    50% of events on ONE user the native form takes 5.75 s (one task
+    owns 2 M events) vs 1.29 s bucketed — **4.5×**, and the gap grows
+    with corpus size since the native straggler is one core.  On
+    UNIFORM data the bucketed form is ~1.7× SLOWER (0.78 vs 1.32 s:
+    the extra shuffle + fragment window buy nothing) — use it like
+    the salted aggregates: the skew escape hatch, not the default.
+    """
+    from pyspark.sql import Window
+
+    frag = (
+        events.withColumn(
+            "_bucket",
+            F.window("ts", bucket).getField("start"),
+        )
+        .groupBy(
+            F.session_window("ts", gap).alias("win"), "user_id", "_bucket"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("_sum_raw"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("_start"),
+            F.col("win.end").alias("_end"),
+            "n_events",
+            "_sum_raw",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("_start", "_end")
+    islands = (
+        frag.withColumn(
+            "_prev_max_end",
+            F.max("_end").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "_new_session",
+            (
+                F.col("_prev_max_end").isNull()
+                | (F.col("_start") > F.col("_prev_max_end"))
+            ).cast("long"),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        islands.groupBy("user_id", "_island")
+        .agg(
+            F.min("_start").alias("session_start"),
+            F.max("_end").alias("session_end"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("_sum_raw"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end",
+            "n_events", "sum_value",
+        )
+    )
+
+
 def purchase_attribution(
     events: DataFrame,
     lookback: str = "10 minutes",

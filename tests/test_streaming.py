@@ -191,6 +191,69 @@ def test_session_stream_matches_batch(spark, event_dir):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def _session_parity(spark, ev, gap="10 minutes", bucket="1 hour"):
+    """Native session_window vs the two-phase bucketed twin: exact on
+    user/boundaries/counts, tolerant on sum_value (fragment partial
+    sums legally reorder float addition before the shared 2-dp
+    round)."""
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    a = _rows(STR.session_aggregates(ev, gap), cols + ["sum_value"])
+    b = _rows(STR.session_aggregates_bucketed(ev, gap, bucket), cols + [
+        "sum_value"])
+    assert [r[:4] for r in a] == [r[:4] for r in b]
+    for ra, rb in zip(a, b):
+        assert abs((ra[4] or 0.0) - (rb[4] or 0.0)) < 1e-6, (ra, rb)
+
+
+def test_bucketed_sessionize_parity_real_corpus(spark, event_dir):
+    _session_parity(spark, _batch_events(spark, event_dir))
+
+
+def test_bucketed_sessionize_parity_hot_user(spark, event_dir):
+    """The skew-corpus shape the bucketed form exists for: one user
+    owning half the events.  Collapse user_id deterministically and
+    re-check parity — and with a bucket barely above the gap, so
+    boundary-merge chains actually occur."""
+    ev = _batch_events(spark, event_dir).withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    _session_parity(spark, ev)
+    _session_parity(spark, ev, bucket="15 minutes")
+
+
+def test_bucketed_sessionize_boundary_merge(spark):
+    """Crafted chain: events 9 minutes apart across three 1-hour
+    buckets form ONE session (gap 10 min), including a pair EXACTLY
+    gap apart (the <= merge contract); a 11-minute hole splits."""
+    rows = []
+    t0 = 3_600_000_000  # 01:00:00 in micros
+    step = 9 * 60 * 1_000_000
+    for i in range(25):  # spans >3 hours of buckets
+        rows.append((i, t0 + i * step, 7, "view", 1.0, None))
+    # exactly-gap pair in its own region, then an 11-min hole
+    t1 = t0 + 40 * 3_600 * 1_000_000
+    rows += [
+        (100, t1, 8, "view", 1.0, None),
+        (101, t1 + 10 * 60 * 1_000_000, 8, "view", 1.0, None),  # == gap
+        (102, t1 + 21 * 60 * 1_000_000 + 1, 8, "view", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        [(i, e // 1_000_000, u, k, v, p) for i, e, u, k, v, p in rows],
+        "event_id long, ts_s long, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+    _session_parity(spark, ev)
+    got = _rows(
+        STR.session_aggregates_bucketed(ev, "10 minutes", "1 hour"),
+        ["user_id", "n_events"],
+    )
+    assert (7, 25) in got          # one merged chain across buckets
+    assert (8, 2) in got and (8, 1) in got  # ==gap merges, >gap splits
+
+
 def test_sliding_stream_matches_batch(spark, event_dir):
     stream = STR.read_event_stream(spark, event_dir, max_files_per_trigger=2)
     got = _run_stream(
