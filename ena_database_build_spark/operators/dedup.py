@@ -278,6 +278,19 @@ def lsh_candidate_pairs(
     bands = num_hashes / band_size; band signature = concat of its
     MinHash values.  The candidate join is an equi-join on
     ``(band_idx, band_sig)`` — one shuffle, no cross product.
+
+    SIZE THE BANDING TO THE CORPUS: candidate volume is sum over band
+    buckets of ``m^2/2``, so growing the corpus without growing band
+    selectivity grows candidates QUADRATICALLY.  The catalog rows use
+    tiny test-scaled params (num_hashes=4, band_size=1) so 50-doc
+    fixtures produce candidates at all; measured at sf1 that
+    parameterization shuffles >100 GB on one query (r9 full-catalog
+    sf1 profile — the same blowup hits the DuckDB oracle, which runs
+    for hours).  Production near-dedup wants e.g. 128 hashes x band 4
+    (32 bands): P(bucket-collide) = sim^4 per band keeps buckets
+    selective as the corpus grows, and the Jaccard verify stays
+    candidate-bounded.  The operator is linear in candidates either
+    way; the parameterization decides what "candidates" means.
     """
     bands = band_rows(df, text_col, id_col, num_hashes, band_size, k)
     left = bands.alias("l")
