@@ -103,7 +103,11 @@ def session_aggregates_bucketed(
 ) -> DataFrame:
     """Straggler-free twin of :func:`session_aggregates` for hot-key
     corpora — result-identical (parity-pinned in
-    tests/test_streaming.py), different physical shape.
+    tests/test_streaming.py), different physical shape.  BATCH-ONLY:
+    phase 2 is a window function, which Structured Streaming does not
+    support — on a stream, use the native form (its state store
+    shards by key anyway, a different straggler profile than a batch
+    sort task).
 
     ``session_window().groupBy(user)`` hash-partitions by user, so a
     hot user (the skew-corpus shape: one user owning 50% of events)
