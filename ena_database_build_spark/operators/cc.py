@@ -310,9 +310,13 @@ def _resolve_incremental(
     ir = inc_ids.select(F.col(id_col).alias("right_id")).withColumn(
         "_ri", F.lit(True)
     )
+    # no broadcast hints (r9): the incoming-batch id list scales with
+    # the batch, and a hint is always honored — AQE broadcasts these
+    # id-only projections whenever the batch is small (every test SF)
+    # and shuffle-joins a genuinely huge batch instead of OOMing
     v = (
-        verified.join(F.broadcast(il), "left_id", "left")
-        .join(F.broadcast(ir), "right_id", "left")
+        verified.join(il, "left_id", "left")
+        .join(ir, "right_id", "left")
         .select(
             "left_id",
             "right_id",

@@ -525,13 +525,18 @@ FROM stats2 t LEFT JOIN picked p ON p.k = t.k
 
 
 def q_j1_lookup_join(spark, sf_dir):
-    """J1: the idmapping lookup join re-shaped as lineitem x part with
-    an explicit broadcast of the small side
-    (mysql_database.py:50-134)."""
+    """J1: the idmapping lookup join re-shaped as lineitem x part
+    (mysql_database.py:50-134).  No broadcast HINT (r9): part is
+    SF-scaled, and a hint is always honored — at production scale it
+    would pin a huge relation into every executor.  AQE broadcasts it
+    anyway at every test SF from runtime sizes (same physical plan),
+    and falls back to a shuffle join when the relation outgrows the
+    threshold — the same posture resolve_uniprot_ids documents for
+    the real idmapping side (plans/ena_pipeline.py)."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.round(
@@ -1299,11 +1304,12 @@ def q_tpch_q3_shipping(spark, sf_dir):
     )
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    # broadcast only the filtered customer dim; orders x lineitem is
-    # fact-fact — AQE picks the physical join from runtime sizes
+    # NO broadcast hints (r9): customer is SF-scaled, so the hint is
+    # left to AQE, which broadcasts the filtered dim at every test SF
+    # from runtime sizes; orders x lineitem is fact-fact either way
     return (
         li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -1367,7 +1373,9 @@ def q_tpch_q5_volume(spark, sf_dir):
         supp.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", "n_nationkey")
     li_agg = (
-        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        # dims is supplier-scaled — no hint (r9); AQE broadcasts it at
+        # test SFs, shuffle-joins it when it outgrows the threshold
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
         .groupBy("l_orderkey", "n_nationkey")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -4813,12 +4821,13 @@ def q_tpch_q7_nation_volume(spark, sf_dir):
     two-nation pair) keeps the query non-vacuous at every test SF —
     sf0.001 has supplier rows in only a handful of nations, so any
     fixed pair risks an empty, unfalsifiable result (round-3 VERDICT
-    item #2).  Plan shape is unchanged: `nation` is a 25-row broadcast
-    applied to supplier and customer BEFORE the fact-fact join, so
-    lineitem joins an already-annotated supplier set (broadcast,
-    map-only) and the only shuffle is lineitem |x| orders on orderkey.
-    The opposite-bloc predicate is a cheap int comparison on the two
-    broadcast-borne parity columns."""
+    item #2).  Plan shape: `nation` is a 25-row broadcast applied to
+    supplier and customer BEFORE the fact-fact join; the annotated
+    supplier/customer sets join WITHOUT hints (r9 — they are
+    SF-scaled, so AQE picks broadcast at test SFs and a shuffle join
+    past the threshold), and the only guaranteed shuffle is lineitem
+    |x| orders on orderkey.  The opposite-bloc predicate is a cheap
+    int comparison on the two nation-borne parity columns."""
     nat = t(spark, sf_dir, "nation").select(
         "n_nationkey",
         "n_name",
@@ -4864,10 +4873,13 @@ def q_tpch_q7_nation_volume(spark, sf_dir):
         ).alias("volume_e4"),
     )
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # supp/cust are supplier/customer-scaled: no broadcast hints (r9)
+    # — the 25-row nation broadcasts above are the only pinned ones;
+    # AQE picks broadcast for these at test SFs from runtime sizes
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .where(F.col("supp_bloc") != F.col("cust_bloc"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
@@ -5793,7 +5805,9 @@ def q_time_to_convert(spark, sf_dir):
     )
     return (
         ev.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(first_view), "user_id")
+        # first_view is user-scaled — no hint (r9); AQE broadcasts the
+        # tiny per-user min at test SFs, shuffles past the threshold
+        .join(first_view, "user_id")
         .where(F.col("us") > F.col("v_us"))
         .groupBy("user_id")
         .agg(
@@ -6257,7 +6271,9 @@ def q_revenue_share(spark, sf_dir):
     )
     r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     agg = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier is SF-scaled — no hint (r9); nation/region stay
+        # pinned broadcasts (fixed 25/5-row relations)
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
