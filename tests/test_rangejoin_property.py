@@ -94,3 +94,37 @@ def test_interval_overlap_join_emit_once(spark, livs, rivs, w):
     # exact list equality doubles as the EMIT-ONCE check: a pair
     # surviving in two buckets would appear twice in `got`
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pts=points, ivs=intervals, w=st.sampled_from([None, 1, 5, 50]))
+def test_coverage_at_points_matches_brute_force(spark, pts, ivs, w):
+    """The count-only sweep (probes as zero-delta boundaries) against
+    per-point brute-force containment counting, across the global-
+    window form (bucket_width=None) and three bucket widths — every
+    variant must read the same coverage, including 0 for uncovered
+    points and duplicate probe positions counted once each."""
+    if not pts:
+        return
+    pdf = spark.createDataFrame(pts, "pid long, p long")
+    idf = spark.createDataFrame(
+        [(i, s, s + ln) for i, s, ln in ivs] or [(None, None, None)],
+        "iid long, s long, e long",
+    )
+    if not ivs:
+        idf = idf.where("iid is not null")
+    got = sorted(
+        (r["pid"], r["p"], r["n_active"])
+        for r in RJ.coverage_at_points(
+            pdf, idf, "p", "s", "e", bucket_width=w
+        ).collect()
+    )
+    want = sorted(
+        (pid, p, sum(1 for _, s, ln in ivs if s <= p <= s + ln))
+        for pid, p in pts
+    )
+    assert got == want
