@@ -38,6 +38,16 @@ Usage: python tools/profile_catalog.py [sf_dir] [out_json]
 (quadratic all-pairs forms at sf1) and records an explicit TIMEOUT
 row — the Spark timing still lands, and nothing is silently skipped.
 Directory-laid-out tables (bench_scale corpora) are glob-mounted.
+
+``--skip a,b,c`` excludes rows ON BOTH SIDES, printing a SKIP line
+per name: the MinHash-family catalog rows use test-scaled LSH params
+(num_hashes=4, band_size=1) whose candidate sets grow QUADRATICALLY
+with corpus size on BOTH engines — at sf1 one such row shuffles
+>100 GB (measured: it OOM-killed the JVM via the tmpfs local dir)
+and its DuckDB oracle runs for hours.  That is a parameterization
+artifact of the tiny-sf fixtures (production banding is e.g. 128
+hashes x band 4, far more selective), not an engine property; skip
+them at sf1 rather than pricing noise.
 """
 
 from __future__ import annotations
@@ -113,13 +123,23 @@ def main() -> None:
         if not cap_s > 0:
             raise SystemExit("--oracle-cap must be positive")
         argv = argv[:i] + argv[i + 2:]
-    unknown = [n for n in argv if n not in CATALOG]
+    skip: set[str] = set()
+    if "--skip" in argv:
+        i = argv.index("--skip")
+        if i + 1 >= len(argv):
+            raise SystemExit("--skip takes a comma-separated name list")
+        skip = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    unknown = [n for n in (set(argv) | skip) if n not in CATALOG]
     if unknown:
         raise SystemExit(
-            f"unknown query name(s): {unknown} — nothing was run. "
+            f"unknown query name(s): {sorted(unknown)} — nothing was run. "
             f"Valid names are the {len(CATALOG)} CATALOG keys."
         )
     only = set(argv)  # optional query-name subset
+    for n in sorted(skip):
+        # loud, per-row: a skipped row must never read as covered
+        print(f"SKIP  {n} (--skip)", flush=True)
     spark = get_spark("profile-catalog")
     import os
 
@@ -132,7 +152,7 @@ def main() -> None:
         con.sql(f"CREATE VIEW {tab} AS SELECT * FROM '{path}'")
     rows = []
     for name, qd in CATALOG.items():
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
         try:
             reps = []
