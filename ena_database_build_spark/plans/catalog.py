@@ -8111,13 +8111,23 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #     first 19 of the r6-window set (daily_spine ..
 #     near_dedup_keep_longest).  31 + 19 = 50; registry stays at 181
 #     entries, zero net-new additions.
-#   round 10: remaining 31 r6-window rows (phash_buckets ..
-#     g1_sessionize) + first 19 of the r7-window set (dsir_weights ..
-#     tpch_q1_pricing).  31 + 19 = 50.
-#   round 11+: remaining 31 r7-window rows + first 19 of the
-#     r8-window set; steady state is a ~3.6-round rotation of 181
-#     queries at 50 checked entries per round — hold net-new
-#     additions near zero so the cycle stays tight.
+#   round 10 (THIS ordering; executed by tools/rotate_catalog_r10.py
+#     after CORRECTNESS_r09 came back 50/50 green): the remaining 31
+#     r6-window rows (phash_buckets .. g1_sessionize) + the first 19
+#     of the r7-window set (dsir_weights .. tpch_q1_pricing).
+#     31 + 19 = 50; registry stays at 181 entries, zero net-new
+#     additions (freeze held through r10 per the r8 verdict).
+#   round 11: lsh_candidate_pairs_prod (the production-banded 128x4
+#     LSH row, prepared in r10 per the r9 verdict — never-checked
+#     outranks banked, so it takes slot 1) + the remaining 31
+#     r7-window rows (tpch_q3_shipping .. json_roundtrip) + the first
+#     18 of the r8-window set (transit_payload .. rolling_fingerprints).
+#     1 + 31 + 18 = 50; registry grows to 182 entries (the one
+#     post-freeze addition).
+#   round 12+: remaining r8-window rows next; steady state is a
+#     ~3.6-round rotation of 182 queries at 50 checked entries per
+#     round — hold net-new additions near zero so the cycle stays
+#     tight.
 #   round-8 adversarial-value sweep (tools/adversarial_corpus.py —
 #     NULLs in every non-key column, empty/control-char strings,
 #     zeros, empty arrays; both engines read the same mutated bytes):
@@ -8192,89 +8202,9 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #       counts the exploded PROBE projection (r7 ADVICE: the left
 #       task is keyed on probe, up to (bits+1)x a raw bucket).
 CATALOG: dict[str, QueryDef] = {
-    # ================== r9 window (positions 1-50) ==================
-    # -- the 31 remaining round-4-window rows (green in round 4;
+    # ================== r10 window (positions 1-50) =================
+    # -- the 31 remaining round-6-window rows (green in round 6;
     # last checked there)
-    "hash_sample_weighted": QueryDef(
-        q_hash_sample_weighted, SQL_HASH_SAMPLE_WEIGHTED
-    ),
-    "near_dedup_incremental": QueryDef(
-        q_near_dedup_incremental, SQL_NEAR_DEDUP_INCREMENTAL
-    ),
-    "tpch_q7_nation_volume": QueryDef(q_tpch_q7_nation_volume, SQL_TPCH_Q7),
-    "tpch_q13_order_distribution": QueryDef(
-        q_tpch_q13_order_distribution, SQL_TPCH_Q13
-    ),
-    "user_retention": QueryDef(q_user_retention, SQL_USER_RETENTION),
-    "compaction_plan": QueryDef(q_compaction_plan, SQL_COMPACTION_PLAN),
-    "funnel_conversion": QueryDef(q_funnel_conversion, SQL_FUNNEL),
-    "replica_diff": QueryDef(q_replica_diff, SQL_REPLICA_DIFF),
-    "line_dedup": QueryDef(q_line_dedup, SQL_LINE_DEDUP),
-    "activity_streaks": QueryDef(q_activity_streaks, SQL_ACTIVITY_STREAKS),
-    "batch_cosine_topk": QueryDef(q_batch_cosine_topk, SQL_BATCH_COSINE),
-    "event_transitions": QueryDef(q_event_transitions, SQL_EVENT_TRANSITIONS),
-    "top_purchases": QueryDef(q_top_purchases, SQL_TOP_PURCHASES),
-    "schema_evolution": QueryDef(q_schema_evolution, SQL_SCHEMA_EVOLUTION),
-    "span_corruption": QueryDef(q_span_corruption, SQL_SPAN_CORRUPTION),
-    "mixture_upsample": QueryDef(q_mixture_upsample, SQL_MIXTURE_UPSAMPLE),
-    "script_composition": QueryDef(
-        q_script_composition, SQL_SCRIPT_COMPOSITION
-    ),
-    "bpe_compression": QueryDef(q_bpe_compression, SQL_BPE_COMPRESSION),
-    "skew_salted_agg": QueryDef(q_skew_salted_agg, SQL_SKEW_SALTED_AGG),
-    "skew_salted_join": QueryDef(q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
-    "weighted_sample_n": QueryDef(q_weighted_sample_n, SQL_WEIGHTED_SAMPLE_N),
-    "rolling_user_value": QueryDef(
-        q_rolling_user_value, SQL_ROLLING_USER_VALUE
-    ),
-    "scd2_enrichment": QueryDef(q_scd2_enrichment, SQL_SCD2_ENRICHMENT),
-    "weighted_sample_by_source": QueryDef(
-        q_weighted_sample_by_source, SQL_WEIGHTED_SAMPLE_BY
-    ),
-    "cube_revenue": QueryDef(q_cube_revenue, SQL_CUBE_REVENUE),
-    "time_to_convert": QueryDef(q_time_to_convert, SQL_TIME_TO_CONVERT),
-    "winsorize_counts": QueryDef(q_winsorize_counts, SQL_WINSORIZE),
-    "contrastive_triples": QueryDef(q_contrastive_triples, SQL_CONTRASTIVE),
-    "supervised_pairs": QueryDef(q_supervised_pairs, SQL_SUPERVISED_PAIRS),
-    "cms_frequencies": QueryDef(q_cms_frequencies, SQL_CMS_FREQUENCIES),
-    "kmv_distinct": QueryDef(q_kmv_distinct, SQL_KMV_DISTINCT),
-    # -- first 19 of the round-6 window (green in round 6)
-    "daily_spine": QueryDef(q_daily_spine, SQL_DAILY_SPINE),
-    "session_bounce": QueryDef(q_session_bounce, SQL_SESSION_BOUNCE),
-    "trending_types": QueryDef(q_trending_types, SQL_TRENDING),
-    "length_histogram": QueryDef(q_length_histogram, SQL_LENGTH_HISTOGRAM),
-    "revenue_share": QueryDef(q_revenue_share, SQL_REVENUE_SHARE),
-    "session_duration_quartiles": QueryDef(
-        q_session_duration_quartiles, SQL_SESSION_DURATION_QUARTILES
-    ),
-    "purchase_gaps": QueryDef(q_purchase_gaps, SQL_PURCHASE_GAPS),
-    "lang_source_matrix": QueryDef(
-        q_lang_source_matrix, SQL_LANG_SOURCE_MATRIX
-    ),
-    "grouping_sets_revenue": QueryDef(
-        q_grouping_sets_revenue, SQL_GROUPING_SETS
-    ),
-    "window_distinct_users": QueryDef(
-        q_window_distinct_users, SQL_WINDOW_DISTINCT_USERS
-    ),
-    "p456_detectors": QueryDef(q_p456_detectors, SQL_P456),
-    "f68_guards": QueryDef(q_f68_guards, SQL_F68),
-    "s67_sinks": QueryDef(q_s67_sinks, SQL_S67),
-    "span_dedup": QueryDef(q_span_dedup, SQL_SPAN_DEDUP),
-    "embedding_standardize": QueryDef(
-        q_embedding_standardize, SQL_EMBEDDING_STANDARDIZE
-    ),
-    "sft_transcripts": QueryDef(q_sft_transcripts, SQL_SFT_TRANSCRIPTS),
-    "psi_drift": QueryDef(q_psi_drift, SQL_PSI_DRIFT),
-    "temperature_sampling": QueryDef(
-        q_temperature_sampling, SQL_TEMPERATURE_SAMPLING
-    ),
-    "near_dedup_keep_longest": QueryDef(
-        q_near_dedup_keep_longest, SQL_NEAR_DEDUP_KEEP_LONGEST
-    ),
-    # ============== below the fold (not checked in r9) ==============
-    # -- remaining round-6 window (rotate back in round 10 with
-    # the first 19 of the round-7 window)
     "phash_buckets": QueryDef(q_phash_buckets, SQL_PHASH_BUCKETS),
     "merge_upserts": QueryDef(q_merge_upserts, SQL_MERGE_UPSERTS),
     "rate_anomalies": QueryDef(q_rate_anomalies, SQL_RATE_ANOMALIES),
@@ -8322,7 +8252,7 @@ CATALOG: dict[str, QueryDef] = {
     "p8_strand_detector": QueryDef(q_p8_strand_detector, SQL_P8),
     "p9_path_components": QueryDef(q_p9_path_components, SQL_P9),
     "g1_sessionize": QueryDef(q_g1_sessionize, SQL_G1),
-    # -- round-7 window (banked green in round 7, CORRECTNESS_r07)
+    # -- first 19 of the round-7 window (green in round 7)
     "dsir_weights": QueryDef(q_dsir_weights, SQL_DSIR_WEIGHTS),
     "g2_nested_sessionize": QueryDef(q_g2_nested_sessionize, SQL_G2),
     "g3_final_flush": QueryDef(q_g3_final_flush, SQL_G3),
@@ -8342,6 +8272,9 @@ CATALOG: dict[str, QueryDef] = {
     "s5_tsv_roundtrip": QueryDef(q_s5_tsv_roundtrip, SQL_S5),
     "ena_context_analog": QueryDef(q_ena_context_analog, SQL_ENA_CONTEXT),
     "tpch_q1_pricing": QueryDef(q_tpch_q1_pricing, SQL_TPCH_Q1),
+    # ============== below the fold (not checked in r10) =============
+    # -- remaining round-7 window (rotate back in round 11 with
+    # the first 19 of the round-8 window)
     "tpch_q3_shipping": QueryDef(q_tpch_q3_shipping, SQL_TPCH_Q3),
     "tpch_q5_volume": QueryDef(q_tpch_q5_volume, SQL_TPCH_Q5),
     "dedup_exact": QueryDef(q_dedup_exact, SQL_DEDUP_EXACT),
@@ -8426,4 +8359,81 @@ CATALOG: dict[str, QueryDef] = {
     "stream_enrichment": QueryDef(q_stream_enrichment, SQL_STREAM_ENRICH),
     "dq_report": QueryDef(q_dq_report, SQL_DQ_REPORT),
     "asof_join_bucketed": QueryDef(q_asof_join_bucketed, SQL_ASOF_BUCKETED),
+    # -- round-9 window (banked green in round 9, CORRECTNESS_r09)
+    "hash_sample_weighted": QueryDef(
+        q_hash_sample_weighted, SQL_HASH_SAMPLE_WEIGHTED
+    ),
+    "near_dedup_incremental": QueryDef(
+        q_near_dedup_incremental, SQL_NEAR_DEDUP_INCREMENTAL
+    ),
+    "tpch_q7_nation_volume": QueryDef(q_tpch_q7_nation_volume, SQL_TPCH_Q7),
+    "tpch_q13_order_distribution": QueryDef(
+        q_tpch_q13_order_distribution, SQL_TPCH_Q13
+    ),
+    "user_retention": QueryDef(q_user_retention, SQL_USER_RETENTION),
+    "compaction_plan": QueryDef(q_compaction_plan, SQL_COMPACTION_PLAN),
+    "funnel_conversion": QueryDef(q_funnel_conversion, SQL_FUNNEL),
+    "replica_diff": QueryDef(q_replica_diff, SQL_REPLICA_DIFF),
+    "line_dedup": QueryDef(q_line_dedup, SQL_LINE_DEDUP),
+    "activity_streaks": QueryDef(q_activity_streaks, SQL_ACTIVITY_STREAKS),
+    "batch_cosine_topk": QueryDef(q_batch_cosine_topk, SQL_BATCH_COSINE),
+    "event_transitions": QueryDef(q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "top_purchases": QueryDef(q_top_purchases, SQL_TOP_PURCHASES),
+    "schema_evolution": QueryDef(q_schema_evolution, SQL_SCHEMA_EVOLUTION),
+    "span_corruption": QueryDef(q_span_corruption, SQL_SPAN_CORRUPTION),
+    "mixture_upsample": QueryDef(q_mixture_upsample, SQL_MIXTURE_UPSAMPLE),
+    "script_composition": QueryDef(
+        q_script_composition, SQL_SCRIPT_COMPOSITION
+    ),
+    "bpe_compression": QueryDef(q_bpe_compression, SQL_BPE_COMPRESSION),
+    "skew_salted_agg": QueryDef(q_skew_salted_agg, SQL_SKEW_SALTED_AGG),
+    "skew_salted_join": QueryDef(q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
+    "weighted_sample_n": QueryDef(q_weighted_sample_n, SQL_WEIGHTED_SAMPLE_N),
+    "rolling_user_value": QueryDef(
+        q_rolling_user_value, SQL_ROLLING_USER_VALUE
+    ),
+    "scd2_enrichment": QueryDef(q_scd2_enrichment, SQL_SCD2_ENRICHMENT),
+    "weighted_sample_by_source": QueryDef(
+        q_weighted_sample_by_source, SQL_WEIGHTED_SAMPLE_BY
+    ),
+    "cube_revenue": QueryDef(q_cube_revenue, SQL_CUBE_REVENUE),
+    "time_to_convert": QueryDef(q_time_to_convert, SQL_TIME_TO_CONVERT),
+    "winsorize_counts": QueryDef(q_winsorize_counts, SQL_WINSORIZE),
+    "contrastive_triples": QueryDef(q_contrastive_triples, SQL_CONTRASTIVE),
+    "supervised_pairs": QueryDef(q_supervised_pairs, SQL_SUPERVISED_PAIRS),
+    "cms_frequencies": QueryDef(q_cms_frequencies, SQL_CMS_FREQUENCIES),
+    "kmv_distinct": QueryDef(q_kmv_distinct, SQL_KMV_DISTINCT),
+    "daily_spine": QueryDef(q_daily_spine, SQL_DAILY_SPINE),
+    "session_bounce": QueryDef(q_session_bounce, SQL_SESSION_BOUNCE),
+    "trending_types": QueryDef(q_trending_types, SQL_TRENDING),
+    "length_histogram": QueryDef(q_length_histogram, SQL_LENGTH_HISTOGRAM),
+    "revenue_share": QueryDef(q_revenue_share, SQL_REVENUE_SHARE),
+    "session_duration_quartiles": QueryDef(
+        q_session_duration_quartiles, SQL_SESSION_DURATION_QUARTILES
+    ),
+    "purchase_gaps": QueryDef(q_purchase_gaps, SQL_PURCHASE_GAPS),
+    "lang_source_matrix": QueryDef(
+        q_lang_source_matrix, SQL_LANG_SOURCE_MATRIX
+    ),
+    "grouping_sets_revenue": QueryDef(
+        q_grouping_sets_revenue, SQL_GROUPING_SETS
+    ),
+    "window_distinct_users": QueryDef(
+        q_window_distinct_users, SQL_WINDOW_DISTINCT_USERS
+    ),
+    "p456_detectors": QueryDef(q_p456_detectors, SQL_P456),
+    "f68_guards": QueryDef(q_f68_guards, SQL_F68),
+    "s67_sinks": QueryDef(q_s67_sinks, SQL_S67),
+    "span_dedup": QueryDef(q_span_dedup, SQL_SPAN_DEDUP),
+    "embedding_standardize": QueryDef(
+        q_embedding_standardize, SQL_EMBEDDING_STANDARDIZE
+    ),
+    "sft_transcripts": QueryDef(q_sft_transcripts, SQL_SFT_TRANSCRIPTS),
+    "psi_drift": QueryDef(q_psi_drift, SQL_PSI_DRIFT),
+    "temperature_sampling": QueryDef(
+        q_temperature_sampling, SQL_TEMPERATURE_SAMPLING
+    ),
+    "near_dedup_keep_longest": QueryDef(
+        q_near_dedup_keep_longest, SQL_NEAR_DEDUP_KEEP_LONGEST
+    ),
 }
