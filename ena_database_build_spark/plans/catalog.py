@@ -1205,7 +1205,31 @@ def q_ena_context_analog(spark, sf_dir):
     """Flagship: the reference's 'chromosome neighborhood context' shape
     on TPC-H — customers as chromosomes, orders as ordered loci
     (G4 ordinal), lineitem suppliers as mapped ids (J1), with the J3
-    fallback and O1-style output grain (dask_tskmgr.py:236-241)."""
+    fallback and O1-style output grain (dask_tskmgr.py:236-241).
+
+    Plan shape (probed at sf0.1, post-r9 hint removal, commit
+    467bd56): THREE keyed exchanges total and nothing else —
+    (1) orders hash-partitioned by o_custkey for the ordinal window,
+    (2) lineitem by l_orderkey, where the `spread` repartition
+    DOUBLES AS the collect_set aggregation exchange (Catalyst reuses
+    it — no second lineitem shuffle), and (3) the ordered->mapped
+    left join on orderkey, which AQE resolves from RUNTIME sizes:
+    BroadcastHashJoin(BuildRight) at test SFs (no hint — the mapped
+    side is fact-scaled, so past the broadcast threshold AQE degrades
+    to a sort-merge join co-partitioned with exchange (2); the
+    orders side then pays one extra orderkey exchange).  Both window
+    and agg state are bounded per key (orders-per-customer,
+    suppliers-per-order), so no skew hatch is needed.
+
+    Measured floor (tools/bench_bars.py --rows ena_context_analog,
+    N-replica sf0.1 corpus, local[32], r10): ratio vs the DuckDB
+    oracle 9.9x / 2.89x / 1.36x / 0.94x at x1/x10/x30/x100 (Spark
+    1.20 -> 4.84 s, oracle 0.12 -> 5.16 s).  The small-SF ratio is
+    ENTIRELY Spark's fixed multi-stage launch floor (~1 s: Spark is
+    flat 1.2 -> 1.1 s from x1 to x10 while the oracle triples); the
+    curves cross near sf3 and Spark is FASTER than the single-node
+    oracle at sf10 — the sf0.1/sf1 profile ratios flagged in r9 are
+    floor amortization, not a plan defect."""
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem", spread=True)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")

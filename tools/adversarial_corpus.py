@@ -274,6 +274,15 @@ def mutate_skew(src: str, out_dir: str) -> None:
             continue
         i = tbl.schema.get_field_index(col)
         hot = pc.min(tbl.column(i)).as_py()
+        if hot is None:
+            # all-NULL column: the collapse below would be a silent
+            # near-no-op (NULL rows are skipped), quietly weakening
+            # the skew sweep — fail loudly instead (r9 review finding)
+            raise SystemExit(
+                f"mutate_skew: {t}.{col} is entirely NULL in {src!r} — "
+                "no hot value exists; fix the source corpus or drop "
+                "the column from SKEW_COLS"
+            )
         idx = np.arange(n)
         mask = (idx * 2654435761 % 100) < 50  # deterministic ~50%
         vals = tbl.column(i).to_pylist()

@@ -12,8 +12,10 @@ over ~a month so sessions are plentiful), and times:
                                    across time buckets; phase 2 merges
                                    boundary fragments per user)
 
-Row parity is asserted on every run before timing is reported —
-a fast wrong answer is not a result.
+Full-row parity (an order-insensitive xxhash64 digest over every
+output column, plus count and event-total) is asserted on every run
+before timing is reported — a fast wrong answer is not a result, and
+aggregate-only totals would admit compensating boundary errors.
 
 Usage: python tools/bench_sessionize.py [n_events] [hot_pct]
 Prints one JSON line {"n": ..., "native_s": ..., "bucketed_s": ...}.
@@ -83,18 +85,26 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
-    # parity first: counts per (user, session_start) must be identical
-    a = (
-        STR.session_aggregates(ev, "10 minutes")
-        .agg(F.count("*"), F.sum("n_events"))
-        .collect()[0]
-    )
-    b = (
-        STR.session_aggregates_bucketed(ev, "10 minutes", "1 hour")
-        .agg(F.count("*"), F.sum("n_events"))
-        .collect()[0]
-    )
-    assert tuple(a) == tuple(b), f"parity broken: {tuple(a)} vs {tuple(b)}"
+    # parity first: FULL-ROW parity, not aggregate parity — an
+    # order-insensitive digest over every output column catches
+    # compensating boundary errors (e.g. a session split at a bucket
+    # edge plus a spurious merge elsewhere) that would preserve both
+    # the session count and the event total (r9 review finding)
+    def digest(df):
+        row = df.select(
+            F.count("*").alias("n"),
+            F.sum("n_events").alias("events"),
+            F.sum(
+                F.xxhash64(
+                    *[F.col(c).cast("string") for c in sorted(df.columns)]
+                ).cast("decimal(38,0)")  # long-sum overflows under ANSI
+            ).alias("h"),
+        ).collect()[0]
+        return tuple(row)
+
+    a = digest(STR.session_aggregates(ev, "10 minutes"))
+    b = digest(STR.session_aggregates_bucketed(ev, "10 minutes", "1 hour"))
+    assert a == b, f"parity broken: {a} vs {b}"
 
     native_s = time_best2(run_native)
     bucketed_s = time_best2(run_bucketed)

@@ -74,33 +74,37 @@ def timed_oracle(con, sql: str, cap_s: float) -> float | None:
     Returns the warm-rep seconds, or None on timeout/error (caller
     distinguishes via the printed reason).
 
-    The interrupt is gated per-rep by a flag-under-lock: Timer.cancel
-    cannot stop a callback that is already firing, so an uncaged
-    interrupt racing a just-completed query would land on the SHARED
-    connection and spuriously abort the NEXT rep or the next catalog
-    row's oracle (r9 review finding)."""
+    Each rep runs on a FRESH cursor of the shared connection (cursors
+    share the catalog, so the registered views resolve): Timer.cancel
+    cannot stop a callback that is already firing, so an interrupt
+    racing a just-completed query can still land AFTER the rep
+    finishes — on a throwaway cursor that lands harmlessly, whereas
+    on the shared connection it would spuriously abort the next rep
+    or the next catalog row's oracle (r9 review finding; the earlier
+    flag-under-lock gate only NARROWED that race — the flag is
+    checked before con.interrupt(), leaving a window between the
+    query returning and the finally block flipping the flag)."""
     import threading
 
     t = None
     for _ in range(2):
-        lock = threading.Lock()
-        running = [True]
+        cur = con.cursor()
 
-        def maybe_interrupt():
-            with lock:
-                if running[0]:
-                    con.interrupt()
+        def maybe_interrupt(c=cur):
+            try:
+                c.interrupt()
+            except duckdb.Error:  # cursor already closed — rep done
+                pass
 
         timer = threading.Timer(cap_s, maybe_interrupt)
         timer.start()
         try:
             t0 = time.perf_counter()
-            con.sql(sql).arrow()
+            cur.sql(sql).arrow()
             t = time.perf_counter() - t0
         finally:
-            with lock:
-                running[0] = False
             timer.cancel()
+            cur.close()
     return t
 
 

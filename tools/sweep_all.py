@@ -31,6 +31,13 @@ from pathlib import Path
 TOOLS = Path(__file__).resolve().parent
 PY = sys.executable
 
+sys.path.insert(0, str(TOOLS.parent))
+from ena_database_build_spark.plans.catalog import CATALOG  # noqa: E402
+
+# derived, not hardcoded: a catalog growth must not silently flip
+# every axis to FAIL against a stale magic count (r9 review finding)
+FULL_PASS = f"{len(CATALOG)}/{len(CATALOG)}"
+
 AXES = [
     # (label, corpus mode or None for pristine, extra check args)
     ("nulls", "nulls", []),
@@ -79,7 +86,7 @@ def main() -> None:
             if ln.strip() and not ln.startswith(("OK", "spark-conf"))
         ]
         summary = tail[-1] if tail else "(no summary)"
-        ok = chk.returncode == 0 and "181/181" in chk.stdout
+        ok = chk.returncode == 0 and FULL_PASS in chk.stdout
         results.append((label, ok, dt, summary))
         print(f"{'ok  ' if ok else 'FAIL'}  {label:15s} {dt:6.0f}s  {summary}")
         if not ok:
