@@ -134,6 +134,39 @@ def merge_pair(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def merge_pairs_disjoint(
+    syms: Column, pairs: list[tuple[str, str]]
+) -> Column:
+    """One-pass fold applying SEVERAL merge pairs simultaneously.
+
+    ONLY valid when the pairs are pairwise SYMBOL-DISJOINT (no
+    symbol — left, right, or merged — shared between any two pairs;
+    :func:`learn_bpe_batched` enforces this): disjoint merges commute
+    and never create/destroy each other's occurrences, so one scan
+    produces exactly what applying the pairs sequentially (in any
+    order) would.  A shared symbol would make the result
+    scan-order-dependent, which is why the batch builder stops at the
+    first conflicting pair instead of skipping it."""
+    def step(acc: Column, s: Column) -> Column:
+        expr = F.concat(acc, F.array(s))
+        for left, right in pairs:
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right))
+            )
+            expr = F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(left + right)),
+                ),
+            ).otherwise(expr)
+        return expr
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
 def learn_bpe(
     df: DataFrame,
     n_merges: int = 10,
@@ -145,7 +178,21 @@ def learn_bpe(
 
     Driver state per iteration is exactly one row (the argmax pair);
     the vocabulary table itself never leaves the executors.  Stops
-    early if no pair remains (fully merged vocabulary)."""
+    early if no pair remains (fully merged vocabulary).
+
+    COST MODEL (production posture, r9 verdict #5): each merge is one
+    Spark job (a pair_counts aggregation + a 1-row collect + a
+    localCheckpoint of the vocabulary table), so learning is
+    O(n_merges) DRIVER ROUND-TRIPS over a vocabulary-sized (never
+    corpus-sized) table.  At catalog scale (n_merges <= 10) that is
+    exactly right; a production 32k-merge vocabulary would mean 32k
+    sequential jobs (~hours of pure scheduling floor even with a
+    millisecond vocabulary).  For that regime use
+    :func:`learn_bpe_batched`, which learns the same kind of merge
+    table in n_merges / batch jobs (e.g. 32k merges in ~256 rounds at
+    batch=128) at the cost of the documented batch-boundary
+    approximation.  This sequential form remains the semantic
+    ground truth the batched form is parity-tested against."""
     spark = df.sparkSession
     words = (
         word_freqs(df, text_col=text_col)
@@ -173,6 +220,89 @@ def learn_bpe(
             merge_pair(F.col("syms"), row["left"], row["right"]).alias(
                 "syms"
             ),
+            "freq",
+        ).localCheckpoint()
+        words.unpersist()
+        words = nxt
+    words.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, "
+        "pair_weight long",
+    )
+
+
+def learn_bpe_batched(
+    df: DataFrame,
+    n_merges: int = 10,
+    batch: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batched BPE learning: up to ``batch`` merges per Spark job —
+    the production form of :func:`learn_bpe` (same return schema).
+
+    Each round ranks pairs once, then takes the maximal PREFIX of the
+    ranked list whose pairs are pairwise symbol-disjoint (stopping at
+    the first pair sharing a left/right/merged symbol with an earlier
+    choice — skipping it instead would apply a stale-ranked pair
+    whose count the conflict would have changed), and applies the
+    whole prefix in ONE :func:`merge_pairs_disjoint` fold pass.
+    Driver round-trips drop from O(n_merges) to O(n_merges / batch):
+    a 32k-merge vocabulary trains in a few hundred jobs instead of
+    32k (see the learn_bpe cost model).
+
+    SEMANTICS vs the sequential ground truth: at ``batch=1`` the
+    output is IDENTICAL to :func:`learn_bpe` (parity-tested).  For
+    ``batch>1`` the recorded pair_weights are exact (disjoint merges
+    cannot change each other's counts), and the single divergence is
+    the batch boundary: a pair CREATED by an earlier merge in the
+    same batch (one involving its merged symbol) only becomes
+    rankable next round, so sequential BPE could interleave it
+    earlier.  That is the standard batched-BPE trade (cf. the
+    max-frequency batching in industrial tokenizer trainers); rank
+    order within a batch and across clean batches is preserved."""
+    spark = df.sparkSession
+    words = (
+        word_freqs(df, text_col=text_col)
+        .select(chars(F.col("word")).alias("syms"), "freq")
+        .localCheckpoint()
+    )
+    merges: list[tuple] = []
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        # oversample the ranking so a conflicting prefix still fills
+        # the batch budget in the common case; the prefix rule below
+        # decides how many actually apply this round
+        top = (
+            pair_counts(words)
+            .orderBy(
+                F.col("pair_weight").desc(), F.col("left"), F.col("right")
+            )
+            .limit(want * 2)
+            .collect()
+        )
+        if not top:
+            break
+        chosen: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for row in top:
+            if len(chosen) == want:
+                break
+            symset = {row["left"], row["right"], row["left"] + row["right"]}
+            if used & symset:
+                break  # prefix rule: stop, don't skip
+            used |= symset
+            chosen.append((row["left"], row["right"]))
+            merges.append(
+                (
+                    len(merges),
+                    row["left"],
+                    row["right"],
+                    row["left"] + row["right"],
+                    int(row["pair_weight"]),
+                )
+            )
+        nxt = words.select(
+            merge_pairs_disjoint(F.col("syms"), chosen).alias("syms"),
             "freq",
         ).localCheckpoint()
         words.unpersist()

@@ -1766,6 +1766,80 @@ FROM sig l JOIN sig r
 """
 
 
+_PROD_HASHES, _PROD_BAND = 128, 4  # 32 bands of 4 — production banding
+
+
+def q_lsh_candidate_pairs_prod(spark, sf_dir):
+    """PRODUCTION-banded LSH near-dup candidates: 128 MinHashes in 32
+    bands of 4 over 3-shingles — the parameterization the 100 TB
+    dedup claim actually rests on (r9 verdict #1: the test-scaled
+    4x1 banding of `lsh_candidate_pairs` is quadratic BY DESIGN and
+    is skipped in sf1 profiles; this row grades the selective
+    banding the scale argument cites, `operators/dedup.py`
+    lsh_candidate_pairs sizing note).
+
+    Corpus: `documents` plus a PLANTED near-duplicate of every 10th
+    doc (id + 1,000,000, one token appended — 3-shingle Jaccard
+    ~n/(n+1) per pair), derived identically on both engines so the
+    row is non-vacuous: random fixture docs share no 4-hash band at
+    any SF, while each planted pair collides on nearly every band.
+    P(band collide) = sim^4, so unrelated docs (sim << 1) stay in
+    singleton buckets as the corpus grows — candidate volume is
+    pairs-per-bucket-bounded, not corpus-quadratic."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    planted = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planted")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    return D.lsh_candidate_pairs(
+        corpus, num_hashes=_PROD_HASHES, band_size=_PROD_BAND, k=3
+    )
+
+
+def _prod_band_sigs_sql() -> str:
+    """32-element list literal: band b's signature = its 4 MinHash hex
+    digests joined by '|' (mirrors dedup.band_rows' concat_ws)."""
+    bands = []
+    for b in range(_PROD_HASHES // _PROD_BAND):
+        mins = " || '|' || ".join(
+            f"list_min(list_transform(sh, s -> md5('{b * _PROD_BAND + j}|' || s)))"
+            for j in range(_PROD_BAND)
+        )
+        bands.append(mins)
+    return "[" + ",\n       ".join(bands) + "]"
+
+
+SQL_LSH_PAIRS_PROD = f"""
+-- NULL-text guard: see SQL_MINHASH (r9 adversarial sweep)
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' planted' FROM documents
+  WHERE text IS NOT NULL AND doc_id % 10 = 0
+), toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM corpus
+), sh AS (
+  SELECT doc_id, {_shingle_sql(3)} AS sh FROM toks
+), sigs AS (
+  SELECT doc_id, {_prod_band_sigs_sql()} AS band_sigs FROM sh
+), sig AS (
+  SELECT doc_id,
+         generate_subscripts(band_sigs, 1) - 1 AS band_idx,
+         unnest(band_sigs) AS band_sig
+  FROM sigs
+)
+SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+FROM sig l JOIN sig r
+  ON l.band_idx = r.band_idx AND l.band_sig = r.band_sig
+ AND l.doc_id < r.doc_id
+"""
+
+
 def q_simhash(spark, sf_dir):
     """16-bit SimHash bit-string per document (explode + hash-agg)."""
     return D.simhash_signatures(t(spark, sf_dir, "documents"))
@@ -4852,35 +4926,9 @@ def q_tpch_q7_nation_volume(spark, sf_dir):
     past the threshold), and the only guaranteed shuffle is lineitem
     |x| orders on orderkey.  The opposite-bloc predicate is a cheap
     int comparison on the two nation-borne parity columns."""
-    nat = t(spark, sf_dir, "nation").select(
-        "n_nationkey",
-        "n_name",
-        (F.col("n_nationkey") % 2).alias("bloc"),
-    )
-    supp = (
-        t(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(nat),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select(
-            "s_suppkey",
-            F.col("n_name").alias("supp_nation"),
-            F.col("bloc").alias("supp_bloc"),
-        )
-    )
-    cust = (
-        t(spark, sf_dir, "customer")
-        .join(
-            F.broadcast(nat),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
-        .select(
-            "c_custkey",
-            F.col("n_name").alias("cust_nation"),
-            F.col("bloc").alias("cust_bloc"),
-        )
-    )
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     # volume is carried as an EXACT integer in ten-thousandths
     # (price-cents x discount-basis-points, both exact ints for
     # 2-decimal inputs) and divided back to currency once, after the
@@ -4899,18 +4947,64 @@ def q_tpch_q7_nation_volume(spark, sf_dir):
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     # supp/cust are supplier/customer-scaled: no broadcast hints (r9)
     # — the 25-row nation broadcasts above are the only pinned ones;
-    # AQE picks broadcast for these at test SFs from runtime sizes
-    return (
+    # AQE picks broadcast for these at test SFs from runtime sizes.
+    #
+    # JOIN ORDER + LATE DIM LOOKUP (r10 floor curve,
+    # tools/bench_bars.py): the naive ((li |x| (supp |x| nation)) |x|
+    # orders) |x| (cust |x| nation) order held an 8.8x ratio flat
+    # through x100 for two reasons the final-plan probe pinned:
+    # (a) Spark's size-only join estimator MULTIPLIES child sizes, so
+    # the supplier-with-nation-names relation was estimated far past
+    # the broadcast threshold and the static plan shuffled the FULL
+    # lineitem on l_suppkey for an SMJ — AQE converted it to
+    # broadcast at runtime, but only after the 686 MiB/x30 exchange
+    # had already materialized; (b) the cust join re-shuffled the
+    # 1 GiB joined fact on o_custkey.  Fixes: (1) annotate with the
+    # RAW integer nationkeys (bloc = key % 2 computed directly) and
+    # look the 25-row nation NAMES up by broadcast AFTER the final
+    # aggregation — the bare supplier scan is statically
+    # broadcast-sized (no estimator inflation), and every fact
+    # shuffle carries an int instead of name+bloc strings; (2) join
+    # orders |x| cust first, moving the custkey exchange to the
+    # ORDERS grain (103 MiB/x30, 10x smaller).  The fact now crosses
+    # the wire exactly once (l_orderkey).  Measured (x1/x10/x30/x100
+    # sf0.1 replicas, local[32], tools/bench_bars.py):
+    # 10.5x/6.4x/8.6x/8.8x naive -> 7.5x/3.9x/5.2x/4.9x final
+    # (Spark 11.7 s -> 5.4 s at x100, a 2.2x wall win).  The
+    # residual ~5x vs the single-node oracle is FLOOR, not plan: the
+    # one fact exchange must materialize+sort ~700 MiB that DuckDB's
+    # in-process hash joins pipeline without touching storage, and
+    # an A/B probe at x100 confirmed sort-merge beats shuffled-hash
+    # here (6.3 s vs 7.3 s), so no cheaper join physical exists for
+    # this shape.  At 100 TB every relation here is SF-scaled: AQE
+    # degrades the supp/cust sides to shuffle joins past the
+    # broadcast threshold and the plan stays 3 keyed fact/dim
+    # exchanges (orderkey fact, custkey orders, final agg); the only
+    # pinned broadcasts are the two 25-row nation lookups on the
+    # AGGREGATED (nation x nation x year) result — no hints that can
+    # OOM.
+    ordc = o.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    agg = (
         li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .where(F.col("supp_bloc") != F.col("cust_bloc"))
-        .groupBy("supp_nation", "cust_nation", "l_year")
+        .join(ordc, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("s_nationkey") % 2 != F.col("c_nationkey") % 2)
+        .groupBy("s_nationkey", "c_nationkey", "l_year")
         .agg(
             (F.sum("volume_e4").cast("double") / F.lit(10000.0)).alias(
                 "revenue"
             )
         )
+    )
+    n1 = nat.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        agg.join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .select("supp_nation", "cust_nation", "l_year", "revenue")
     )
 
 
@@ -6681,7 +6775,19 @@ def q_supplier_triangles(spark, sf_dir):
     the unfiltered fixture graph is ~91% COMPLETE (every supplier
     pair eventually co-supplies), the worst case for any triangle
     algorithm and a density real co-occurrence graphs don't have —
-    the filtered graph is sparse and non-vacuous at every SF."""
+    the filtered graph is sparse and non-vacuous at every SF.
+
+    Measured floor (tools/bench_bars.py --rows supplier_triangles,
+    N-replica sf0.1 corpus — replicas are disjoint key subgraphs, so
+    edges and triangles scale linearly — local[32], r10): ratio vs
+    the DuckDB oracle 14.2x / 3.9x / 1.4x / 0.95x at
+    x1/x10/x30/x100.  The small-SF ratio (4.2x at sf1 in the r9
+    profile) is the fixed floor of the two-path + closure stages'
+    keyed exchanges; the curves CROSS near sf10 and Spark beats the
+    single-node oracle at x100 — not a plan defect (the canonical
+    a<b<c orientation and per-order fan-out bound hold at every N,
+    and the closure join is an equi-join on the full edge pair, no
+    cross product)."""
     from ena_database_build_spark.operators.pagerank import (
         triangle_count,
     )
@@ -7800,7 +7906,25 @@ def q_span_dedup(spark, sf_dir):
     >=2 distinct documents has its covering tokens stripped from every
     document; text is rebuilt from the survivors.  See
     operators/curation.span_dedup for the one-explode + hash-keyed
-    count + semi-join + RANGE-window-cover scale shape."""
+    count + semi-join + RANGE-window-cover scale shape.
+
+    Measured floor (tools/bench_bars.py --rows span_dedup, N-replica
+    sf0.1 documents corpus — exact copies, so dup density saturates
+    at ~100%, the operator's worst case — local[32], r10): ratio vs
+    the DuckDB oracle 7.5x / 3.87x / 3.85x at x1/x10/x30.  The curve
+    FLATTENS: past the launch floor both engines scale linearly and
+    the residual ~3.9x (sf1 profile: 4.6x, consistent) is the
+    constant price of the two keyed exchanges of the token relation
+    (by gram for the dup verdict join, by doc for the cover window)
+    that DuckDB replaces with in-process hash tables.  That constant
+    buys the shape that scales out: no gram's occurrences ever need
+    to co-locate in one task (a boilerplate gram in millions of docs
+    is the workload), so the plan is straggler-free and
+    partition-parallel at 100 TB where a single-node engine simply
+    stops — a floor argument, not an avoidable exchange (plan
+    audited: explode happens once, the dup map is
+    distinct-gram-sized, the rebuild reuses the window's doc
+    partitioning)."""
     from ena_database_build_spark.operators.curation import span_dedup
 
     docs = t(spark, sf_dir, "documents")

@@ -136,3 +136,65 @@ def test_chars_codepoint_safe_on_astral_plane(spark):
     assert got["ab\U0001f600c"] == ["a", "b", "\U0001f600", "c"]
     assert got[""] == [""]
     assert got[None] is None
+
+
+def test_batched_batch1_parity_with_sequential(spark, docs):
+    """batch=1 must be EXACTLY learn_bpe (the documented ground-truth
+    parity gate for the batched production form)."""
+    seq = [
+        (r.rank, r.left, r.right, r.merged, r.pair_weight)
+        for r in B.learn_bpe(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    bat = [
+        (r.rank, r.left, r.right, r.merged, r.pair_weight)
+        for r in B.learn_bpe_batched(docs, n_merges=6, batch=1)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert seq == bat
+
+
+def test_batched_disjoint_corpus_matches_sequential(spark):
+    """On a corpus whose top pairs are symbol-disjoint (distinct
+    letters per word), a whole batch equals the sequential result —
+    the commutation argument merge_pairs_disjoint relies on."""
+    rows = [(0, "aa aa aa bb bb cc"), (1, "aa bb bb cc dd dd")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    seq = [
+        (r.left, r.right, r.pair_weight)
+        for r in B.learn_bpe(d, n_merges=4).orderBy("rank").collect()
+    ]
+    bat = [
+        (r.left, r.right, r.pair_weight)
+        for r in B.learn_bpe_batched(d, n_merges=4, batch=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert seq == bat
+
+
+def test_batched_prefix_rule_stops_at_conflict(spark):
+    """A batch must stop at the first pair sharing a symbol with an
+    earlier choice: in this corpus the rank-1 and rank-2 pairs share
+    the symbol 'a'/'b', so a batch=2 round applies ONLY rank-1 and
+    rank-2 is re-ranked with fresh counts the next round — which is
+    exactly what sequential BPE produces on this corpus."""
+    rows = [(0, "aba aba aba ab ab")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    seq = [
+        (r.left, r.right)
+        for r in B.learn_bpe(d, n_merges=3).orderBy("rank").collect()
+    ]
+    bat = [
+        (r.left, r.right)
+        for r in B.learn_bpe_batched(d, n_merges=3, batch=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert seq == bat
+
+
+def test_batched_partition_independent(spark, docs):
+    a = B.learn_bpe_batched(docs.repartition(1), n_merges=5, batch=3).collect()
+    b = B.learn_bpe_batched(docs.repartition(7), n_merges=5, batch=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

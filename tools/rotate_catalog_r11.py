@@ -1,0 +1,188 @@
+"""One-shot (ROUND-11 START): rewrite the CATALOG registry in the
+round-11 rotation order AND register the one post-freeze addition.
+
+Written at round 10, following the schedule the registry header pins
+(plans/catalog.py "round 11:" note):
+
+  window (positions 1-50) = lsh_candidate_pairs_prod (the
+  production-banded 128x4 LSH row prepared in r10 per the r9 verdict
+  #3 — its QueryDef function/SQL already exist in catalog.py but are
+  deliberately UNREGISTERED through r10 to honor the
+  zero-net-new-additions freeze; never-checked outranks banked, so it
+  takes slot 1) + the remaining 31 round-7-window rows
+  (tpch_q3_shipping .. json_roundtrip, green r7) + the first 18 of
+  the round-8-window set (transit_payload .. rolling_fingerprints,
+  green r8).  1 + 31 + 18 = 50; registry grows 181 -> 182.
+
+PRECONDITION — verify before running: CORRECTNESS_r10.json exists and
+is 50/50 green (phash_buckets .. tpch_q1_pricing).  If any r10-window
+row came back red, FIX IT FIRST and keep it in the r11 window instead
+of rotating it out — a red row must never be banked.
+
+After running, finish by hand (same list as the r10 script):
+  1. re-tally the rotation header comment (round-12 window =
+     remaining 32 r8-window rows + first 18 of the r9-window set);
+  2. python tools/check_catalog.py /root/testdata/sf0.01 --first 50;
+  3. pytest tests/ (update test_check_window_ordering_pinned's
+     expected head).
+"""
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+PATH = Path(__file__).resolve().parent.parent / (
+    "ena_database_build_spark/plans/catalog.py"
+)
+
+NEW_ENTRY = "lsh_candidate_pairs_prod"  # registered by THIS script
+NEW_ENTRY_TEXT = (
+    f'    "{NEW_ENTRY}": QueryDef(\n'
+    "        q_lsh_candidate_pairs_prod, SQL_LSH_PAIRS_PROD\n"
+    "    ),\n"
+)
+
+R7_REMAINDER = [  # 31 rows, banked green in round 7 -> the r11 window
+    "tpch_q3_shipping",
+    "tpch_q5_volume", "dedup_exact", "minhash_signatures",
+    "lsh_candidate_pairs", "simhash", "jaccard_pairs", "dedup_clusters",
+    "asof_join", "range_join_transit", "transit_sweepline",
+    "rollup_revenue", "order_analytics", "quantiles_exact",
+    "approx_quantiles", "kmeans_clusters", "embedding_quantize",
+    "corpus_curation", "repetition_stats", "pii_scrub", "tfidf_top_terms",
+    "bm25_top_terms", "inverted_index", "phrase_search", "decontaminate",
+    "unigram_logprob", "pack_sequences", "mixture_rebalance", "doc_chunks",
+    "corpus_shuffle", "json_roundtrip",
+]
+R8_FIRST18 = [  # first 18 of the round-8 window (green r8)
+    "transit_payload",
+    "tpch_q4_priority", "tpch_q18_large_orders", "dedup_incremental",
+    "purchase_attribution", "quality_gate", "hash_sample",
+    "train_test_split", "stratified_sample", "cosine_topk", "srp_buckets",
+    "dedup_embedding", "ivf_topk", "lang_id", "quality_scores",
+    "token_counts", "doc_fingerprints", "rolling_fingerprints",
+]
+R8_REMAINDER = [  # rotate back in round 12 (with the first 18 of r9)
+    "boilerplate_kgrams", "top_ngrams", "events_tumbling",
+    "events_sliding", "events_sessions", "approx_distinct",
+    "exact_distinct", "multimodal_decode", "multimodal_frames",
+    "events_pivot", "props_extract", "stream_totals", "stream_dedup",
+    "heavy_hitters", "semantic_dedup", "scd2_user_state",
+    "pagerank_suppliers", "zorder_values", "embedding_project",
+    "embedding_meanpool", "table_profile", "source_cap", "snapshot_diff",
+    "cdc_latest_state", "bloom_decontaminate", "bpe_pair_counts",
+    "bpe_merges", "incremental_stats", "orc_roundtrip",
+    "stream_enrichment", "dq_report", "asof_join_bucketed",
+]
+R9_WINDOW = [  # banked green in round 9 (CORRECTNESS_r09)
+    "hash_sample_weighted", "near_dedup_incremental",
+    "tpch_q7_nation_volume", "tpch_q13_order_distribution",
+    "user_retention", "compaction_plan", "funnel_conversion",
+    "replica_diff", "line_dedup", "activity_streaks", "batch_cosine_topk",
+    "event_transitions", "top_purchases", "schema_evolution",
+    "span_corruption", "mixture_upsample", "script_composition",
+    "bpe_compression", "skew_salted_agg", "skew_salted_join",
+    "weighted_sample_n", "rolling_user_value", "scd2_enrichment",
+    "weighted_sample_by_source", "cube_revenue", "time_to_convert",
+    "winsorize_counts", "contrastive_triples", "supervised_pairs",
+    "cms_frequencies", "kmv_distinct",
+]
+R10_WINDOW = [  # banked green in round 10 (CORRECTNESS_r10; freshest)
+    "phash_buckets", "merge_upserts", "rate_anomalies",
+    "stream_rate_flags", "grouped_split", "tokenizer_fertility",
+    "bigram_logprob", "quantile_normalize", "simhash_candidates",
+    "edit1_pairs", "funnel_conversion_bounded", "quality_ensemble",
+    "plan_batches", "supplier_triangles", "session_paths",
+    "mixture_card", "customer_set_ops", "s3_scan_projection",
+    "f1_division_filter", "f2_prefix_filter", "f3_fungi_gate",
+    "f4_whitelist_deadletter", "f5_malformed_id_drop",
+    "f7_unparseable_cds_drop", "p1_regex_extract",
+    "p2_alternation_extract", "p3_range_extract",
+    "p7_location_normalizer", "p8_strand_detector", "p9_path_components",
+    "g1_sessionize", "dsir_weights", "g2_nested_sessionize",
+    "g3_final_flush", "g4_ordinals", "a1_collect_set",
+    "a2_record_set_union", "a3_flat_minmax", "a4_circular_resolution",
+    "j1_lookup_join", "j2_anti_join", "j3_fallback_coalesce",
+    "o1_explode", "o2_seven_col_projection", "o3_union", "o4_topk",
+    "o5_stable_range_sort", "s5_tsv_roundtrip", "ena_context_analog",
+    "tpch_q1_pricing",
+]
+
+NEW_ORDER = (
+    [NEW_ENTRY] + R7_REMAINDER + R8_FIRST18   # r11 window (50)
+    + R8_REMAINDER + R9_WINDOW + R10_WINDOW
+)
+
+COMMENTS = {
+    NEW_ENTRY: (
+        "    # ================== r11 window (positions 1-50) =============="
+        "====\n"
+        "    # -- the one post-freeze addition (prepared+greened in r10,\n"
+        "    # registered here; never-driver-checked outranks banked)\n"
+    ),
+    R7_REMAINDER[0]: (
+        "    # -- the 31 remaining round-7-window rows (green in round 7;\n"
+        "    # last checked there)\n"
+    ),
+    R8_FIRST18[0]: (
+        "    # -- first 18 of the round-8 window (green in round 8)\n"
+    ),
+    R8_REMAINDER[0]: (
+        "    # ============== below the fold (not checked in r11) ========="
+        "====\n"
+        "    # -- remaining round-8 window (rotate back in round 12 with\n"
+        "    # the first 18 of the round-9 window)\n"
+    ),
+    R9_WINDOW[0]: (
+        "    # -- round-9 window (banked green in round 9, "
+        "CORRECTNESS_r09)\n"
+    ),
+    R10_WINDOW[0]: (
+        "    # -- round-10 window (banked green in round 10, "
+        "CORRECTNESS_r10)\n"
+    ),
+}
+
+src = PATH.read_text()
+lines = src.splitlines(keepends=True)
+start = next(i for i, l in enumerate(lines)
+             if l.startswith("CATALOG: dict[str, QueryDef] = {"))
+end = next(i for i in range(start + 1, len(lines)) if lines[i] == "}\n")
+
+entry_re = re.compile(r'^    "([a-z0-9_]+)": QueryDef\(')
+entries: dict[str, str] = {}
+i = start + 1
+while i < end:
+    line = lines[i]
+    m = entry_re.match(line)
+    if not m:
+        i += 1  # drop old comments
+        continue
+    name = m.group(1)
+    block = [line]
+    while not block[-1].rstrip().endswith("),"):
+        i += 1
+        block.append(lines[i])
+    entries[name] = "".join(block)
+    i += 1
+
+assert NEW_ENTRY not in entries, "already registered — rerun?"
+entries[NEW_ENTRY] = NEW_ENTRY_TEXT
+assert set(entries) == set(NEW_ORDER), (
+    sorted(set(entries) ^ set(NEW_ORDER)))
+assert len(entries) == 182 and len(NEW_ORDER) == 182, len(entries)
+assert len([NEW_ENTRY] + R7_REMAINDER + R8_FIRST18) == 50
+
+out = [lines[start]]
+for name in NEW_ORDER:
+    if name in COMMENTS:
+        out.append(COMMENTS[name])
+    out.append(entries[name])
+out.append("}\n")
+
+PATH.write_text("".join(lines[:start]) + "".join(out)
+                + "".join(lines[end + 1:]))
+print("rotated to the round-11 order (182 entries, +1 registration)")
+print("first 50:", NEW_ORDER[:50])
+print("NOW: re-tally the header, run tools/check_catalog.py on the "
+      "window, pytest.")
