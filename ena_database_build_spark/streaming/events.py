@@ -103,11 +103,13 @@ def session_aggregates_bucketed(
 ) -> DataFrame:
     """Straggler-free twin of :func:`session_aggregates` for hot-key
     corpora — result-identical (parity-pinned in
-    tests/test_streaming.py), different physical shape.  BATCH-ONLY:
+    tests/test_streaming.py), different physical shape.  BATCH form:
     phase 2 is a window function, which Structured Streaming does not
-    support — on a stream, use the native form (its state store
-    shards by key anyway, a different straggler profile than a batch
-    sort task).
+    support — on a stream, use
+    :func:`session_aggregates_bucketed_stream` (r10), which realizes
+    the same two-phase chain-shrink with a transformWithState
+    fragment merger and is parity-pinned against this form on a
+    replayed corpus.
 
     ``session_window().groupBy(user)`` hash-partitions by user, so a
     hot user (the skew-corpus shape: one user owning 50% of events)
@@ -198,6 +200,204 @@ def session_aggregates_bucketed(
             "user_id", "session_start", "session_end",
             "n_events", "sum_value",
         )
+    )
+
+
+def _duration_seconds(spec: str) -> int:
+    """'10 minutes' / '1 hour' / '30 seconds' -> seconds (the subset
+    of Spark's interval grammar the sessionize operators use)."""
+    n, unit = spec.strip().split()
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+    }[unit.lower()]
+    return int(n) * mult
+
+
+def session_aggregates_bucketed_stream(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    bucket: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAMING twin of :func:`session_aggregates_bucketed` (r9
+    verdict #6: the batch escape hatch had no streaming counterpart,
+    leaving the hot-user straggler story batch-only).  Same output
+    schema and — for sessions closed below the final watermark — the
+    same rows as the batch forms (parity-pinned in
+    tests/test_streaming.py on a replayed corpus, hot-user included).
+
+    Physical shape, mirroring the batch twin's two phases inside ONE
+    streaming query (Spark 4 multiple-stateful-operator support):
+
+    1. fragments: ``session_window`` grouped by ``(user, bucket)``
+       where the bucket is computed ARITHMETICALLY (``floor(epoch /
+       bucket_s)``) — mixing ``window()`` with ``session_window()``
+       in one streaming groupBy is rejected by the analyzer.  The hot
+       user's events spread across ``n_buckets`` state partitions,
+       exactly like the batch phase 1; fragments carry raw partial
+       sums (rounding deferred to the merged session).  Append mode:
+       a fragment is emitted once the watermark passes its end.
+    2. a ``transformWithStateInPandas`` merger keyed by user.  Chain
+       state is one open fragment-chain (start, end, n, raw sum).
+       Because phase 1 gap-separates fragments within a bucket and a
+       fragment can spill at most ``gap`` past its bucket end, two
+       facts hold (proof sketch in the merger body): (a) a fragment
+       that does NOT attach (start > chain.end) proves every possible
+       attacher of the old chain has already arrived — the chain
+       closes immediately; (b) absent new input, no fragment can
+       attach once the watermark passes ``bucket_end(chain.end) +
+       gap`` — the event-time timer target.  The merger therefore
+       serializes per user over FRAGMENTS (<= 1 per bucket), never
+       events: the same chain-shrink that makes the batch twin 4.5x
+       on a 50%-hot corpus.
+
+    Needs the RocksDB state store provider and a protobuf runtime
+    (see :func:`top_purchases_stream`'s environment note).  Late
+    events beyond the watermark are dropped by phase 1 — the
+    documented difference from the batch forms, which see the whole
+    corpus.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = _duration_seconds(gap) * 1000
+    bucket_s = _duration_seconds(bucket)
+
+    frags = (
+        events.withWatermark("ts", watermark)
+        .withColumn(
+            "_bucket",
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / bucket_s) * bucket_s
+            ),
+        )
+        .groupBy(
+            F.session_window("ts", gap).alias("win"), "user_id", "_bucket"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("frag_sum_raw"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("frag_start"),
+            F.col("win.end").alias("frag_end"),
+            "n_events",
+            "frag_sum_raw",
+        )
+    )
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+
+    def _emit(uid, chain) -> pd.DataFrame:
+        start_ms, end_ms, n, s = chain
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                "n_events": [n],
+                "sum_value": [round(s, 2) if s == s else None],
+            }
+        )
+
+    class Merger(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            # (chain_start_ms, chain_end_ms, n, raw_sum, timer_ms)
+            self._chain = handle.getValueState(
+                "chain",
+                "start long, end long, n long, s double, timer long",
+            )
+
+        def _timer_target(self, end_ms: int) -> int:
+            # end of the bucket containing chain.end, plus gap, plus
+            # 1ms so a watermark EQUAL to the last possible attaching
+            # fragment's end has already flushed that fragment into
+            # this batch's input (input is processed before timers)
+            bucket_end = (end_ms // (bucket_s * 1000) + 1) * bucket_s * 1000
+            return bucket_end + gap_ms + 1
+
+        def handleInputRows(self, key, rows, timerValues):
+            uid = key[0]
+            pdfs = [pdf for pdf in rows]
+            frags = pd.concat(pdfs, ignore_index=True)
+            frags = frags.sort_values(["frag_start", "frag_end"])
+            st = self._chain.get() if self._chain.exists() else None
+            chain = None if st is None else list(st[:4])
+            old_timer = None if st is None else st[4]
+            # NaN raw sum = "every event in the fragment had a NULL
+            # value"; it must not poison a chain that has real values
+            # (Spark's sum ignores NULLs), and an all-NaN chain must
+            # emit NULL — the _merge_sum fold preserves both.
+            def _merge_sum(a: float, b: float) -> float:
+                if b != b:
+                    return a
+                if a != a:
+                    return b
+                return a + b
+
+            # fragment columns deliberately carry NO leading
+            # underscore: the transformWithState Arrow path renames
+            # underscore-led columns positionally (_start -> _1),
+            # silently breaking name-based access (probed on 4.1)
+            for f_start_ts, f_end_ts, f_n_raw, f_s_raw in zip(
+                frags["frag_start"], frags["frag_end"],
+                frags["n_events"], frags["frag_sum_raw"],
+            ):
+                f_start = int(pd.Timestamp(f_start_ts).value // 1_000_000)
+                f_end = int(pd.Timestamp(f_end_ts).value // 1_000_000)
+                f_n = int(f_n_raw)
+                f_s = float("nan") if pd.isna(f_s_raw) else float(f_s_raw)
+                if chain is None:
+                    chain = [f_start, f_end, f_n, f_s]
+                elif f_start <= chain[1]:
+                    chain[1] = max(chain[1], f_end)
+                    chain[2] += f_n
+                    chain[3] = _merge_sum(chain[3], f_s)
+                else:
+                    # non-attaching fragment: the old chain is
+                    # complete (any unseen attacher would overlap
+                    # this already-watermarked fragment — impossible
+                    # within a bucket by gap-separation, and a
+                    # spill-region attacher's end would precede this
+                    # fragment's, so it arrived no later)
+                    yield _emit(uid, chain)
+                    chain = [f_start, f_end, f_n, f_s]
+            target = self._timer_target(chain[1])
+            self._chain.update((*chain, target))
+            if old_timer is not None and old_timer != target:
+                self._handle.deleteTimer(old_timer)
+            if old_timer != target:
+                self._handle.registerTimer(target)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            st = self._chain.get() if self._chain.exists() else None
+            if st is None:
+                return
+            expired = expiredTimerInfo.getExpiryTimeInMs()
+            if expired != st[4]:
+                return  # stale timer from a since-extended chain
+            yield _emit(key[0], list(st[:4]))
+            self._chain.clear()
+
+        def close(self) -> None:
+            pass
+
+    return frags.groupBy("user_id").transformWithStateInPandas(
+        Merger(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
     )
 
 

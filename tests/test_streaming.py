@@ -597,3 +597,113 @@ def test_ingest_stream_resumes_from_checkpoint(spark, tmp_path):
     got = spark.read.parquet(corpus)
     assert got.count() == 20
     assert got.select("doc_id").distinct().count() == 20
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs the protobuf package "
+    "(Spark's Python state-server protocol), not installed in this "
+    "environment; the batch bucketed twin is fully parity-tested",
+)
+def test_bucketed_sessionize_stream_matches_batch(spark, tmp_path):
+    """Streaming twin of the hot-user sessionize escape hatch (r9
+    verdict #6): session_aggregates_bucketed_stream on a replayed
+    time-ordered corpus must emit EXACTLY the batch bucketed form's
+    sessions, restricted to sessions closed below the final watermark
+    (streaming can never finalize the open tail).  The corpus plants
+    a 50%-hot user, NULL values, and sessions straddling the bucket
+    boundary; a far-future sentinel advances the final watermark so
+    every planted session closes."""
+    import glob
+    import os
+    import shutil
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    d = str(tmp_path)
+    os.makedirs(d + "/in")
+    ev = spark.range(1600).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 2 == 0, 0)
+        .otherwise(F.col("id") % 5)
+        .cast("long")
+        .alias("user_id"),
+        F.timestamp_seconds(
+            F.col("id") * 67
+            + (F.col("id") % 13) * 17
+            + F.floor(F.col("id") / 97) * 1300
+        ).alias("ts"),
+        F.lit("click").alias("event_type"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise((F.col("id") % 10).cast("double"))
+        .alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+
+    def dump(df, name):
+        stage = d + "/stage_" + name
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.move(
+            glob.glob(stage + "/part-*.parquet")[0],
+            d + "/in/" + name + ".parquet",
+        )
+        shutil.rmtree(stage)
+
+    # sequential id ranges -> files replay in event-time order, so the
+    # watermark never drops what batch sees
+    for i in range(4):
+        dump(
+            ev.where(
+                (F.col("event_id") >= i * 400)
+                & (F.col("event_id") < (i + 1) * 400)
+            ),
+            f"e{i:02d}",
+        )
+    sentinel = spark.createDataFrame(
+        [(99999, 999, "click", 0.0, None)],
+        "event_id long, user_id long, event_type string, value double,"
+        " props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.lit(10_000_000)).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    dump(sentinel, "e99")
+
+    try:
+        stream = STR.read_event_stream(spark, d + "/in", max_files_per_trigger=1)
+        got = _run_stream(
+            spark,
+            STR.session_aggregates_bucketed_stream(
+                stream, "10 minutes", "1 hour", "1 minute"
+            ),
+            "bsess_stream",
+            mode="append",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    batch = spark.read.parquet(d + "/in")
+    closed = F.col("session_end") < F.timestamp_seconds(F.lit(9_000_000))
+    cols = [
+        "user_id", "session_start", "session_end", "n_events", "sum_value",
+    ]
+    want = STR.session_aggregates_bucketed(
+        batch, "10 minutes", "1 hour"
+    ).where(closed)
+    native = STR.session_aggregates(batch, "10 minutes").where(closed)
+    got_rows = _rows(got, cols)
+    assert len(got_rows) > 100  # non-vacuous: the corpus plants many
+    assert got_rows == _rows(want, cols)
+    # and the bucketed twins both agree with the native form
+    assert got_rows == _rows(native, cols)
