@@ -145,6 +145,43 @@ class QueryDef:
     doc: str = ""
 
 
+# Money aggregates accumulate in EXACT integer ten-thousandths
+# (price-cents x discount-basis-points, both exact ints for 2-decimal
+# inputs) and divide back to currency once, after the sum:
+# round(sum(double), 2) is summation-ORDER-sensitive at half
+# boundaries — the r10 scramble sweep caught a row-permuted layout
+# flipping a q3 top-20 value .51 <-> .52 against the oracle — while
+# bigint-sum / 1e4 is the same IEEE double in both engines under
+# every partitioning and row order.  Same pattern as q7's volume_e4.
+#
+# Scope rule (why the events.value sums are NOT converted): the flip
+# requires the sum's TRUE value grid to be finer than the rounding
+# grid.  price x (1 - discount) is a 4-decimal quantity rounded to 2
+# decimals — its true value can sit EXACTLY on a .xx5 boundary, where
+# the ~1e-10 summation drift decides the rounded digit.  A sum of
+# 2-decimal values rounded to >= 2 decimals has its true value ON the
+# rounding grid, >= 0.005 from every boundary — six orders of
+# magnitude beyond any drift — so those rounds are order-safe as
+# written.  Accumulator headroom: the long-sum e4 forms overflow
+# (loudly, under ANSI) around sf1500; q1's e6 charge term would
+# overflow near sf15 and therefore accumulates in decimal(38,0),
+# the pattern to copy past those bounds.
+
+
+def _rev_e4():
+    """(l_extendedprice x (1 - l_discount)) in exact 1e-4 units."""
+    return (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round(100 - F.col("l_discount") * 100).cast("long")
+    )
+
+
+_REV_E4_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * CAST(round(100 - l_discount * 100) AS BIGINT)"
+)
+
+
 # --------------------------------------------------------------------------
 # Reference-surface operators (SURVEY.md §2.1-§2.7) over the TPC-H tables
 # --------------------------------------------------------------------------
@@ -432,8 +469,15 @@ def q_a1_collect_set(spark, sf_dir):
 
 
 SQL_A1 = """
+-- coalesce mirrors the engine's NULL-dropping collect_set: a group
+-- whose every priority is NULL folds to an EMPTY set -> concat_ws ''
+-- on the engine, while DuckDB's list(DISTINCT) yields NULL ->
+-- array_to_string NULL (r10 NULL-sweep, one all-NULL group planted
+-- by the corpus mutator).  No-op on driver corpora (never all-NULL).
 SELECT o_custkey,
-       array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
+       coalesce(
+         array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|'),
+         '') AS priorities,
        count(*) AS n_orders
 FROM orders GROUP BY o_custkey
 """
@@ -538,18 +582,19 @@ def q_j1_lookup_join(spark, sf_dir):
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
+        # exact-e4 revenue: see the _rev_e4 note (r10 scramble sweep)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            (F.sum(_rev_e4()).cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            ),
             F.count("*").alias("n_items"),
         )
     )
 
 
-SQL_J1 = """
+SQL_J1 = f"""
 SELECT p_brand,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum({_REV_E4_SQL}) AS DOUBLE) / 10000.0 AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
@@ -1281,38 +1326,61 @@ def q_tpch_q1_pricing(spark, sf_dir):
     """TPC-H Q1 shape: big scan + wide aggregation, fully map-side
     combinable."""
     li = t(spark, sf_dir, "lineitem")
+    # exact-integer money sums (see the _rev_e4 note): quantity is
+    # integral (double-sum exact), base price accumulates in cents
+    # (e2), disc price in e4, and charge — cents x bp x bp = e6, whose
+    # per-row magnitude (~1e11) would overflow a bigint accumulator
+    # around sf15 — in decimal(38,0), which Spark sums exactly and
+    # DuckDB matches with its int128 sum.  The long-accumulated e4
+    # forms elsewhere have headroom to ~sf1500; past that, cast the
+    # term to decimal(38,0) the same way.
+    charge_e6 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round(100 - F.col("l_discount") * 100).cast("long")
+        * F.round(100 + F.col("l_tax") * 100).cast("long")
+    ).cast("decimal(38,0)")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                .cast("double") / F.lit(100.0)
+            ).alias("sum_base_price"),
+            (F.sum(_rev_e4()).cast("double") / F.lit(10000.0)).alias(
+                "sum_disc_price"
+            ),
+            (F.sum(charge_e6).cast("double") / F.lit(1000000.0)).alias(
+                "sum_charge"
+            ),
+            # avg_qty: quantity is integral, its double-sum is exact,
+            # so avg is already order-independent; avg_disc goes
+            # through exact basis points for the same reason as the
+            # money sums
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(
+                F.sum(F.round(F.col("l_discount") * 100).cast("long"))
+                .cast("double") / F.count("*") / F.lit(100.0),
+                6,
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
 
 
-SQL_TPCH_Q1 = """
+SQL_TPCH_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS sum_base_price,
+       CAST(sum({_REV_E4_SQL}) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(sum({_REV_E4_SQL}
+                * CAST(round(100 + l_tax * 100) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS sum_charge,
        round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_discount), 6) AS avg_disc,
+       round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / count(*) / 100.0, 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1337,9 +1405,19 @@ def q_tpch_q3_shipping(spark, sf_dir):
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
+        # revenue via EXACT integer ten-thousandths (the q7 pattern):
+        # round(sum(double), 2) is summation-order-sensitive at half
+        # boundaries, and the r10 scramble sweep caught a row-permuted
+        # layout flipping one top-20 value .51 <-> .52 vs the oracle;
+        # bigint-sum / 1e4 is the same IEEE double in both engines
+        # under every partitioning
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * F.round(100 - F.col("l_discount") * 100).cast("long")
+                ).cast("double")
+                / F.lit(10000.0)
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -1355,7 +1433,9 @@ def q_tpch_q3_shipping(spark, sf_dir):
 SQL_TPCH_Q3 = """
 SELECT l_orderkey,
        CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(100 - l_discount * 100) AS BIGINT))
+            AS DOUBLE) / 10000.0 AS revenue
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'
   AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -1401,11 +1481,9 @@ def q_tpch_q5_volume(spark, sf_dir):
         # test SFs, shuffle-joins it when it outgrows the threshold
         li.join(dims, li.l_suppkey == dims.s_suppkey)
         .groupBy("l_orderkey", "n_nationkey")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "rev"
-            )
-        )
+        # exact-e4 revenue carried as a LONG through the intermediate
+        # agg so the final sum is order-independent (_rev_e4 note)
+        .agg(F.sum(_rev_e4()).alias("rev_e4"))
     )
     cust_asia = cust.join(
         F.broadcast(asia_nations.select("n_nationkey")),
@@ -1424,16 +1502,20 @@ def q_tpch_q5_volume(spark, sf_dir):
             & (F.col("c_nationkey") == li_agg.n_nationkey),
         )
         .groupBy(li_agg.n_nationkey)
-        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+        .agg(
+            (F.sum("rev_e4").cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            )
+        )
     )
     return per_nation.join(F.broadcast(asia_nations), "n_nationkey").select(
         "n_name", "revenue"
     )
 
 
-SQL_TPCH_Q5 = """
+SQL_TPCH_Q5 = f"""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum({_REV_E4_SQL}) AS DOUBLE) / 10000.0 AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -1459,16 +1541,17 @@ def q_rollup_revenue(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
+        # exact-e4 revenue: see the _rev_e4 note (r10 scramble sweep)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            (F.sum(_rev_e4()).cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            ),
             F.count("*").alias("n_items"),
         )
     )
 
 
-SQL_ROLLUP = """
+SQL_ROLLUP = f"""
 -- HAVING mirrors Spark's empty-input posture: Spark's ROLLUP emits NO
 -- grand-total row over an empty table where ANSI/DuckDB emit one with
 -- count 0 (probed on both the DataFrame and SQL forms, r8).  Every
@@ -1476,7 +1559,7 @@ SQL_ROLLUP = """
 -- removes exactly that row and nothing else (r9: closes the last
 -- zero-row-sweep residuals).
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum({_REV_E4_SQL}) AS DOUBLE) / 10000.0 AS revenue,
        count(*) AS n_items
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 HAVING count(*) > 0
@@ -5636,12 +5719,19 @@ def q_skew_salted_agg(spark, sf_dir):
     result, visible only in the plan (pinned separately by the
     hot-key parity test in tests/test_skew.py)."""
     ev = t(spark, sf_dir, "events", spread=True)
+    # value accumulates in exact cents through BOTH salted phases
+    # (corpus values are 2-decimal): the partial-then-combine sums
+    # reorder float addition by construction, the very thing the
+    # _rev_e4 note bans for money columns
+    ev = ev.withColumn(
+        "value_c", F.round(F.col("value") * 100).cast("long")
+    )
     out = SKW.salted_aggregate(
         ev.where(F.col("event_type").isNotNull()),
         ["event_type"],
         {
             "n_events": "count(*)",
-            "total_value": "sum(value)",
+            "total_c": "sum(value_c)",
             "max_value": "max(value)",
         },
         n_salts=16,
@@ -5649,14 +5739,17 @@ def q_skew_salted_agg(spark, sf_dir):
     return out.select(
         "event_type",
         "n_events",
-        F.round("total_value", 2).alias("total_value"),
+        (F.col("total_c").cast("double") / F.lit(100.0)).alias(
+            "total_value"
+        ),
         F.round("max_value", 6).alias("max_value"),
     )
 
 
 SQL_SKEW_SALTED_AGG = """
 SELECT event_type, count(*) AS n_events,
-       round(sum(value), 2) AS total_value,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total_value,
        round(max(value), 6) AS max_value
 FROM events WHERE event_type IS NOT NULL
 GROUP BY event_type
@@ -5678,17 +5771,18 @@ def q_skew_salted_join(spark, sf_dir):
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
     joined = SKW.salted_join(li, o, ["l_orderkey"], n_salts=4)
+    # exact-e4 revenue: see the _rev_e4 note (r10 scramble sweep)
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        (F.sum(_rev_e4()).cast("double") / F.lit(10000.0)).alias(
+            "revenue"
+        ),
     )
 
 
-SQL_SKEW_SALTED_JOIN = """
+SQL_SKEW_SALTED_JOIN = f"""
 SELECT o_orderpriority, count(*) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum({_REV_E4_SQL}) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
@@ -5880,9 +5974,13 @@ def q_cube_revenue(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem", spread=True)
     return (
         li.cube("l_returnflag", "l_linestatus")
+        # exact-cents revenue: see the _rev_e4 note (r10 scramble)
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                .cast("double") / F.lit(100.0)
+            ).alias("revenue"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -5898,7 +5996,8 @@ SQL_CUBE_REVENUE = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        count(*) AS n_items,
-       round(sum(l_extendedprice), 2) AS revenue
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 HAVING count(*) > 0
 """
@@ -6379,9 +6478,7 @@ def q_revenue_share(spark, sf_dir):
     path identical in both engines."""
     li = t(spark, sf_dir, "lineitem", spread=True).select(
         "l_suppkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "rev"
-        ),
+        _rev_e4().alias("rev_e4"),  # exact units: see the _rev_e4 note
     )
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = t(spark, sf_dir, "nation").select(
@@ -6395,7 +6492,11 @@ def q_revenue_share(spark, sf_dir):
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+        .agg(
+            (F.sum("rev_e4").cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            )
+        )
     )
     w = Window.partitionBy("r_name")
     return agg.select(
@@ -6408,10 +6509,10 @@ def q_revenue_share(spark, sf_dir):
     )
 
 
-SQL_REVENUE_SHARE = """
+SQL_REVENUE_SHARE = f"""
 WITH agg AS (
   SELECT r_name AS region, n_name AS nation,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         CAST(sum({_REV_E4_SQL}) AS DOUBLE) / 10000.0 AS revenue
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
@@ -6577,12 +6678,17 @@ def q_grouping_sets_revenue(spark, sf_dir):
     (shipyear) alone, a non-hierarchical pair neither rollup nor cube
     expresses, still ONE pass/one shuffle via the grouping-set
     expansion.  NULL set keys render 'ALL'."""
+    # rev in EXACT integer ten-thousandths (the q7 pattern):
+    # round(sum(double), 2) flipped at a half boundary under the r10
+    # scramble sweep's row-permuted layout; bigint-sum / 1e4 is the
+    # same IEEE double in both engines under every partitioning
     li = t(spark, sf_dir, "lineitem", spread=True).select(
         "l_returnflag",
         F.year("l_shipdate").alias("shipyear"),
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "rev"
-        ),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * F.round(100 - F.col("l_discount") * 100).cast("long")
+        ).alias("rev_e4"),
     )
     out = li.groupingSets(
         [["l_returnflag", "shipyear"], ["shipyear"]],
@@ -6590,7 +6696,7 @@ def q_grouping_sets_revenue(spark, sf_dir):
         "shipyear",
     ).agg(
         F.count("*").alias("n_items"),
-        F.round(F.sum("rev"), 2).alias("revenue"),
+        (F.sum("rev_e4").cast("double") / F.lit(10000.0)).alias("revenue"),
     )
     return out.select(
         F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -6604,7 +6710,9 @@ SQL_GROUPING_SETS = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        year(l_shipdate) AS shipyear,
        count(*) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(100 - l_discount * 100) AS BIGINT))
+            AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, year(l_shipdate)),
                         (year(l_shipdate)))
