@@ -8410,6 +8410,17 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #     count(*) > 0 guards, no-ops on non-empty input): the zero-row
 #     sweep is now 181/181, as are the NULL/empty, float-extreme
 #     (--rtol 1e-9) and unicode sweeps.
+#   round-10 robustness battery (tools/sweep_all.py, run AFTER the
+#     exact-money conversion below): 8/8 axes green at 181/181 each —
+#     nulls, extremes (both-engines-overflow adjudicated as agreement
+#     on the planted 1e15 money values), unicode, empty, scramble,
+#     skew, conf-perturbation, scramble+conf.  The first r10 sweep
+#     caught tpch_q3_shipping (deterministically) and
+#     grouping_sets_revenue (intermittently) flipping a rounded
+#     revenue at a .xx5 boundary under the row-permuted layout, plus
+#     a1_collect_set's oracle NULLing where the engine empty-strings
+#     an all-NULL group; all three fixed (see the _rev_e4 note at the
+#     top of this module) and the battery re-run green end-to-end.
 #   round-8 closing verification: FULL 181-query catalog re-verified
 #     against the oracle on the final tree (AFTER the robustness-
 #     sweep fixes) at BOTH sf0.01 and sf0.1 (181/181 each),
