@@ -8410,6 +8410,14 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #     count(*) > 0 guards, no-ops on non-empty input): the zero-row
 #     sweep is now 181/181, as are the NULL/empty, float-extreme
 #     (--rtol 1e-9) and unicode sweeps.
+#   round-10 closing verification (final tree): FULL 181-query
+#     catalog re-verified against the oracle at BOTH sf0.01 and
+#     sf0.1 (181/181 each), plan_audit 181/181 clean, pytest 373
+#     passed / 1 env-gated skip (MySQL wire — no server or container
+#     runtime exists in the sandbox, re-probed r10), reference
+#     differential byte-identical at 192x1000 (Spark 2.26x faster),
+#     sf1 profile 175 rows at 1.22x aggregate with
+#     tpch_q7_nation_volume down to 3.78x after the join-order fix.
 #   round-10 robustness battery (tools/sweep_all.py, run AFTER the
 #     exact-money conversion below): 8/8 axes green at 181/181 each —
 #     nulls, extremes (both-engines-overflow adjudicated as agreement
