@@ -1274,7 +1274,13 @@ def q_ena_context_analog(spark, sf_dir):
     flat 1.2 -> 1.1 s from x1 to x10 while the oracle triples); the
     curves cross near sf3 and Spark is FASTER than the single-node
     oracle at sf10 — the sf0.1/sf1 profile ratios flagged in r9 are
-    floor amortization, not a plan defect."""
+    floor amortization, not a plan defect.
+
+    Core scaling (tools/bench_parallel.py, same x100 corpus, fresh
+    JVM per point): 25.1 / 14.6 / 7.2 / 5.3 s at local[4/8/16/32]
+    vs the oracle's fixed 5.1 s — near-linear to 16 cores, so the
+    plan's wall is a parallelism budget that keeps shrinking on a
+    real cluster where the in-process engine has already stopped."""
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem", spread=True)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
