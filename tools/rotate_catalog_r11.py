@@ -86,6 +86,12 @@ R9_WINDOW = [  # banked green in round 9 (CORRECTNESS_r09)
     "weighted_sample_by_source", "cube_revenue", "time_to_convert",
     "winsorize_counts", "contrastive_triples", "supervised_pairs",
     "cms_frequencies", "kmv_distinct",
+    "daily_spine", "session_bounce", "trending_types", "length_histogram",
+    "revenue_share", "session_duration_quartiles", "purchase_gaps",
+    "lang_source_matrix", "grouping_sets_revenue", "window_distinct_users",
+    "p456_detectors", "f68_guards", "s67_sinks",
+    "span_dedup", "embedding_standardize", "sft_transcripts", "psi_drift",
+    "temperature_sampling", "near_dedup_keep_longest",
 ]
 R10_WINDOW = [  # banked green in round 10 (CORRECTNESS_r10; freshest)
     "phash_buckets", "merge_upserts", "rate_anomalies",
