@@ -1075,7 +1075,13 @@ FROM agg GROUP BY user_id
 def q_a2_record_set_union(spark, sf_dir):
     """A2: record-grain union of per-locus sets — collect per-session
     event-type sets, then flatten-distinct to user grain
-    (parse_embl.py:156-177's record-level roll-up)."""
+    (parse_embl.py:156-177's record-level roll-up).
+
+    Measured floor (tools/bench_bars.py, N-replica sf0.1 events —
+    disjoint user spaces, r10): ratio 15.5x / 8.6x / 8.7x at
+    x1/x10/x30, Spark wall 0.9 -> 2.4 s on 30x data — sub-linear
+    wall, falling-then-flat ratio: launch floor plus the collect_set
+    exchange, both amortizing with scale."""
     ev = t(spark, sf_dir, "events", spread=True).select(
         "user_id", F.col("ts").cast("long").alias("ts_s"), "event_id", "event_type"
     )
@@ -2471,7 +2477,11 @@ def q_corpus_curation(spark, sf_dir):
     winner) -> deterministic train/test split -> per-(source, split)
     corpus stats.  One scan feeds everything; the only shuffles are the
     dedup groupBy/semi-join and the final aggregation.  The DuckDB
-    oracle replays the whole flow from the same reused SQL pieces."""
+    oracle replays the whole flow from the same reused SQL pieces.
+
+    Measured floor (tools/bench_bars.py, N-replica sf0.1 documents,
+    r10): ratio 1.5x / 1.4x / 1.2x at x1/x10/x30 — near-parity with
+    the single-node oracle and still falling."""
     docs = t(spark, sf_dir, "documents", spread=True)
     scored = docs.select(
         "doc_id",
@@ -3366,7 +3376,20 @@ def q_heavy_hitters(spark, sf_dir):
     counts only the candidates — shuffle volume bounded by
     partitions x k, independent of vocabulary size.  The oracle is the
     naive global HAVING form the two-pass plan is exactly equivalent
-    to."""
+    to.
+
+    Measured posture (tools/bench_bars.py, N-replica sf0.1 documents,
+    local[32], r10): ratio 7.8x / 10.1x / 13.7x at x1/x10/x30 —
+    GROWING, and honestly so: a replicated corpus keeps the
+    vocabulary CONSTANT while rows grow, the exact worst case for
+    this operator (the sketch pass re-scans Nx rows for the same
+    candidate set, while the naive oracle's map-side combine already
+    collapses to a constant-size shuffle).  The two-pass form's
+    payoff condition is a vocabulary that SCALES with the corpus —
+    shuffle stays partitions x k where the naive form's shuffle is
+    vocabulary-sized (the 100 TB web-text regime: 1e9+ distinct
+    tokens would be the naive shuffle).  On small-vocabulary data the
+    naive aggregation is the right plan, and the oracle measures it."""
     docs = t(spark, sf_dir, "documents", spread=True)
     terms = docs.select(
         F.explode(D.tokens(F.col("text"))).alias("term")
@@ -4006,7 +4029,14 @@ def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: train docs sharing any 5-gram with
     the deterministic 10% eval split.  broadcast_eval pins the eval
     shingles broadcast (bench fixtures model a bounded benchmark
-    suite): the train shingle stream never shuffles."""
+    suite): the train shingle stream never shuffles.
+
+    Measured floor (tools/bench_bars.py, N-replica sf0.1 documents,
+    r10): ratio 1.1x / 1.2x / 2.1x at x1/x10/x30.  NOTE the corpus
+    caveat: exact-copy replicas saturate k-gram contamination (every
+    gram collides with every replica), the same worst-case geometry
+    as span_dedup's curve — the x30 uptick prices the densest
+    possible contamination join, not typical decontamination."""
     return CUR.decontaminate(
         t(spark, sf_dir, "documents", spread=True),
         k=5,
@@ -4370,7 +4400,13 @@ def q_quality_gate(spark, sf_dir):
     threshold over the balanced id-hash exchange,
     ReusedExchange-pinned), so the text-scoring map pass runs exactly
     once — previously the lazy lineage scored every document twice
-    (threshold pass + filter pass)."""
+    (threshold pass + filter pass).
+
+    Measured floor (tools/bench_bars.py, N-replica sf0.1 documents,
+    local[32], r10): ratio 7.2x / 4.5x / 4.0x at x1/x10/x30 with the
+    Spark wall FLAT (~1.1 s) across the 30x data growth — the ratio
+    is the fixed multi-stage floor of the shared-exchange two-phase
+    shape amortizing, not per-row cost."""
     docs = t(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", F.round(T.quality_score(F.col("text")), 6).alias("quality")
@@ -4743,7 +4779,17 @@ def q_dq_report(spark, sf_dir):
     orderkey.  Thresholds alternate between strict (1.0 — the planted
     defect fails the check) and tolerant (0.999 — one defect in 15k
     rows passes), so the report exercises BOTH verdict directions with
-    the identical fractions, digit-for-digit."""
+    the identical fractions, digit-for-digit.
+
+    Measured floor (tools/bench_bars.py, N-replica sf0.1
+    lineitem/orders/customer, local[32], r10): ratio ~12x / 10x / 11x
+    at x1/x10/x30 — FLAT: both engines scale linearly and the
+    constant is the price of the report's many independent checks
+    each being a full-plan pass (nullness, ranges, referential
+    orphans), where the in-process oracle fuses them into one scan's
+    vectorized expressions.  The checks are map-side-combinable
+    aggregates, so the constant is stage-count floor, not shuffle
+    volume."""
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
 
@@ -4884,7 +4930,14 @@ def q_asof_join_bucketed(spark, sf_dir):
     hour bucket) instead of whole users, so one hot key spreads over
     span/bucket tasks.  Times as epoch micros (the op needs a
     long-castable axis); the oracle is DuckDB's native ASOF JOIN over
-    the identical integers, the same oracle shape as `asof_join`."""
+    the identical integers, the same oracle shape as `asof_join`.
+
+    Measured floor (tools/bench_bars.py, N-replica sf0.1 events,
+    r10): ratio 15.2x / 12.2x / 10.1x at x1/x10/x30, Spark wall
+    0.70 -> 1.17 s on 30x data — the (key, bucket) window shape's
+    fixed stages amortize; the falling curve is the floor thinning,
+    and the hot-key bound (O(densest bucket) per task) is what the
+    flat-window native form cannot offer at scale."""
     ev = t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -7112,7 +7165,13 @@ def q_funnel_conversion_bounded(spark, sf_dir):
     (funnel.funnel_stages_bounded — one conditional min-aggregation
     per step, no per-user collect_list, the bot-proof path): same
     k-self-join oracle as funnel_conversion, so the driver row proves
-    the bounded formulation equals the relational semantics too."""
+    the bounded formulation equals the relational semantics too.
+
+    Measured floor (tools/bench_bars.py, N-replica sf0.1 events,
+    r10): ratio 26.5x / 20.0x / 13.9x at x1/x10/x30 with the Spark
+    wall near-flat (0.77 -> 1.17 s on 30x data) — the tiny oracle
+    wall (29 ms at x1) makes the ratio look dramatic, but it is
+    almost entirely fixed stage floor amortizing as data grows."""
     ev = t(spark, sf_dir, "events")
     return FUN.funnel_counts(
         ev, ["view", "click", "purchase"], bounded=True

@@ -77,6 +77,11 @@ KEY_COLS = {
     "supplier": ["s_suppkey"],
     "customer": ["c_custkey"],
     "documents": ["doc_id"],
+    # ts is deliberately NOT offset: replicas are disjoint user/event
+    # key spaces over the SAME time range, so per-user operators scale
+    # linearly and window densities grow N-fold — both valid floor
+    # axes, stated in the curve docstrings
+    "events": ["event_id", "user_id"],
 }
 # Fixed-cardinality dims: copied VERBATIM exactly once (replicating a
 # 25-row nation would duplicate dim rows and corrupt every FK join).
