@@ -78,31 +78,31 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_check_window_ordering_pinned():
     """The driver grades the FIRST 50 registry entries; this pins the
-    round-10 check window (the 31 remaining r6-window rows + first 19
-    of the r7-window set — see the registry header) so a refactor
+    round-11 check window (the one post-freeze addition
+    lsh_candidate_pairs_prod + the 31 remaining r7-window rows + first
+    18 of the r8-window set — see the registry header) so a refactor
     cannot silently reorder the dict and destroy the graded window.
     UPDATE THIS LIST ONLY when a rotation is deliberately applied
-    (tools/rotate_catalog_r10.py)."""
+    (tools/rotate_catalog_r11.py --apply)."""
     from ena_database_build_spark.plans.catalog import CATALOG
 
     expected = [
-        "phash_buckets", "merge_upserts", "rate_anomalies",
-        "stream_rate_flags", "grouped_split", "tokenizer_fertility",
-        "bigram_logprob", "quantile_normalize", "simhash_candidates",
-        "edit1_pairs", "funnel_conversion_bounded", "quality_ensemble",
-        "plan_batches", "supplier_triangles", "session_paths",
-        "mixture_card", "customer_set_ops", "s3_scan_projection",
-        "f1_division_filter", "f2_prefix_filter", "f3_fungi_gate",
-        "f4_whitelist_deadletter", "f5_malformed_id_drop",
-        "f7_unparseable_cds_drop", "p1_regex_extract",
-        "p2_alternation_extract", "p3_range_extract",
-        "p7_location_normalizer", "p8_strand_detector",
-        "p9_path_components", "g1_sessionize", "dsir_weights",
-        "g2_nested_sessionize", "g3_final_flush", "g4_ordinals",
-        "a1_collect_set", "a2_record_set_union", "a3_flat_minmax",
-        "a4_circular_resolution", "j1_lookup_join", "j2_anti_join",
-        "j3_fallback_coalesce", "o1_explode", "o2_seven_col_projection",
-        "o3_union", "o4_topk", "o5_stable_range_sort",
-        "s5_tsv_roundtrip", "ena_context_analog", "tpch_q1_pricing",
+        "lsh_candidate_pairs_prod", "tpch_q3_shipping",
+        "tpch_q5_volume", "dedup_exact", "minhash_signatures",
+        "lsh_candidate_pairs", "simhash", "jaccard_pairs",
+        "dedup_clusters", "asof_join", "range_join_transit",
+        "transit_sweepline", "rollup_revenue", "order_analytics",
+        "quantiles_exact", "approx_quantiles", "kmeans_clusters",
+        "embedding_quantize", "corpus_curation", "repetition_stats",
+        "pii_scrub", "tfidf_top_terms", "bm25_top_terms",
+        "inverted_index", "phrase_search", "decontaminate",
+        "unigram_logprob", "pack_sequences", "mixture_rebalance",
+        "doc_chunks", "corpus_shuffle", "json_roundtrip",
+        "transit_payload", "tpch_q4_priority", "tpch_q18_large_orders",
+        "dedup_incremental", "purchase_attribution", "quality_gate",
+        "hash_sample", "train_test_split", "stratified_sample",
+        "cosine_topk", "srp_buckets", "dedup_embedding", "ivf_topk",
+        "lang_id", "quality_scores", "token_counts",
+        "doc_fingerprints", "rolling_fingerprints",
     ]
     assert list(CATALOG)[:50] == expected

@@ -28,6 +28,7 @@ After running, finish by hand (same list as the r10 script):
 """
 from __future__ import annotations
 
+import argparse
 import re
 from pathlib import Path
 
@@ -149,6 +150,16 @@ COMMENTS = {
     ),
 }
 
+parser = argparse.ArgumentParser(
+    description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+)
+parser.add_argument(
+    "--apply", action="store_true",
+    help="actually rewrite plans/catalog.py (default: dry-run — "
+         "validate the rotation and print the new window, write nothing)",
+)
+args = parser.parse_args()
+
 src = PATH.read_text()
 lines = src.splitlines(keepends=True)
 start = next(i for i, l in enumerate(lines)
@@ -185,6 +196,13 @@ for name in NEW_ORDER:
         out.append(COMMENTS[name])
     out.append(entries[name])
 out.append("}\n")
+
+if not args.apply:
+    print("DRY-RUN (pass --apply to rewrite plans/catalog.py)")
+    print("would rotate to the round-11 order (182 entries, "
+          "+1 registration)")
+    print("first 50:", NEW_ORDER[:50])
+    raise SystemExit(0)
 
 PATH.write_text("".join(lines[:start]) + "".join(out)
                 + "".join(lines[end + 1:]))
