@@ -23,6 +23,8 @@
 # The standalone form is kept because it is the like-for-like analog of
 # the reference's self-managed Dask cluster inside one SLURM allocation.
 
+set -u
+
 date
 source env_setup.sh
 
@@ -32,6 +34,21 @@ source "$CONDA_HOME/etc/profile.d/conda.sh" && conda activate "$CONDA_ENV"
 spark_pids=""
 MASTER_HOST=$(hostname -f)
 MASTER_URL="spark://${MASTER_HOST}:${MASTER_PORT}"
+
+# Teardown runs on EVERY exit path (normal, failed spin-up, scancel)
+# so a failure cannot leave the master/workers holding the allocation;
+# the trap preserves the triggering exit code.
+teardown() {
+    rc=$?
+    echo "Tearing down (rc=$rc)"
+    "$SPARK_HOME/sbin/stop-master.sh" || true
+    for pid in $spark_pids; do
+        kill "$pid" 2>/dev/null || true
+    done
+    date
+    exit "$rc"
+}
+trap teardown EXIT
 
 echo "Spinning up the Master"
 "$SPARK_HOME/sbin/start-master.sh" \
@@ -58,7 +75,8 @@ import ena_database_build_spark as pkg
 
 print(pathlib.Path(pkg.__file__).parent / "__main__.py")
 PY
-)
+) || exit 1
+# the build's exit status IS the job's exit status (via the EXIT trap)
 "$SPARK_HOME/bin/spark-submit" \
     --master "$MASTER_URL" \
     --driver-memory "$DRIVER_MEM" \
@@ -76,11 +94,4 @@ PY
         --output-dir "$OUTPUT_DIR" \
         --master "$MASTER_URL" \
         --shuffle-partitions "$SHUFFLE_PARTITIONS"
-
-echo "Tearing down"
-"$SPARK_HOME/sbin/stop-master.sh"
-for pid in $spark_pids; do
-    kill "$pid"
-done
-
-date
+exit $?   # teardown + final exit code via the EXIT trap

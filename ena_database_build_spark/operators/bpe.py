@@ -269,15 +269,15 @@ def learn_bpe_batched(
     merges: list[tuple] = []
     while len(merges) < n_merges:
         want = min(batch, n_merges - len(merges))
-        # oversample the ranking so a conflicting prefix still fills
-        # the batch budget in the common case; the prefix rule below
-        # decides how many actually apply this round
+        # the prefix rule below STOPS at the first conflict (it never
+        # skips past one), so rows beyond the first `want` can never
+        # be chosen — limit(want) is exact, not a truncation
         top = (
             pair_counts(words)
             .orderBy(
                 F.col("pair_weight").desc(), F.col("left"), F.col("right")
             )
-            .limit(want * 2)
+            .limit(want)
             .collect()
         )
         if not top:

@@ -1369,11 +1369,13 @@ def q_tpch_q1_pricing(spark, sf_dir):
             # avg_qty: quantity is integral, its double-sum is exact,
             # so avg is already order-independent; avg_disc goes
             # through exact basis points for the same reason as the
-            # money sums
+            # money sums — divided by count(l_discount), not count(*),
+            # to keep avg()'s NULL semantics (TPC-H Q1 means "average
+            # discount over rows that have one")
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(
                 F.sum(F.round(F.col("l_discount") * 100).cast("long"))
-                .cast("double") / F.count("*") / F.lit(100.0),
+                .cast("double") / F.count("l_discount") / F.lit(100.0),
                 6,
             ).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -1392,7 +1394,7 @@ SELECT l_returnflag, l_linestatus,
          / 1000000.0 AS sum_charge,
        round(avg(l_quantity), 6) AS avg_qty,
        round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
-             / count(*) / 100.0, 6) AS avg_disc,
+             / count(l_discount) / 100.0, 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

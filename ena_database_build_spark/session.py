@@ -39,6 +39,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Pin the session timezone: event-time streaming state
+        # (transformWithState timers vs the watermark) and the
+        # unix_timestamp()-based bucket arithmetic both assume epoch
+        # math in UTC, and the DuckDB oracles compare tz-naive values.
+        # A JVM-local default west of UTC would fire event timers
+        # early by the offset (splitting sessions) — see
+        # streaming/events.py session_aggregates_bucketed_stream.
+        .config("spark.sql.session.timeZone", "UTC")
         # read TIMESTAMP(NANOS) parquet (unsupported natively) as long
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # near Spark's stock 10 MB default, NOT higher: the broadcast

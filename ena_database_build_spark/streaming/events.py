@@ -268,6 +268,16 @@ def session_aggregates_bucketed_stream(
 
     gap_ms = _duration_seconds(gap) * 1000
     bucket_s = _duration_seconds(bucket)
+    # Arrow delivers the fragment timestamps tz-NAIVE in the SESSION
+    # timezone, while the watermark (which event-time timers compare
+    # against) ticks in true UTC epoch ms.  get_spark pins the session
+    # tz to UTC, but a caller-built session may not — capture the tz at
+    # plan time and localize before taking .value so timer targets and
+    # watermark share the same epoch (naive .value would fire timers
+    # early by the UTC offset, splitting sessions mid-chain).
+    session_tz = (
+        events.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+    )
 
     frags = (
         events.withWatermark("ts", watermark)
@@ -298,13 +308,29 @@ def session_aggregates_bucketed_stream(
         "n_events long, sum_value double"
     )
 
+    def _utc_ms(ts) -> int:
+        """Naive session-local timestamp -> true UTC epoch ms."""
+        t = pd.Timestamp(ts)
+        if t.tz is None:
+            t = t.tz_localize(session_tz)
+        return int(t.value // 1_000_000)
+
     def _emit(uid, chain) -> pd.DataFrame:
         start_ms, end_ms, n, s = chain
+        # inverse of _utc_ms: emit naive session-local values so Spark
+        # round-trips them unchanged under any session timezone
+        def _naive(ms: int) -> pd.Timestamp:
+            return (
+                pd.Timestamp(ms, unit="ms", tz="UTC")
+                .tz_convert(session_tz)
+                .tz_localize(None)
+            )
+
         return pd.DataFrame(
             {
                 "user_id": [uid],
-                "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                "session_start": [_naive(start_ms)],
+                "session_end": [_naive(end_ms)],
                 "n_events": [n],
                 "sum_value": [round(s, 2) if s == s else None],
             }
@@ -354,8 +380,8 @@ def session_aggregates_bucketed_stream(
                 frags["frag_start"], frags["frag_end"],
                 frags["n_events"], frags["frag_sum_raw"],
             ):
-                f_start = int(pd.Timestamp(f_start_ts).value // 1_000_000)
-                f_end = int(pd.Timestamp(f_end_ts).value // 1_000_000)
+                f_start = _utc_ms(f_start_ts)
+                f_end = _utc_ms(f_end_ts)
                 f_n = int(f_n_raw)
                 f_s = float("nan") if pd.isna(f_s_raw) else float(f_s_raw)
                 if chain is None:
