@@ -166,19 +166,66 @@ class QueryDef:
 # (loudly, under ANSI) around sf1500; q1's e6 charge term would
 # overflow near sf15 and therefore accumulates in decimal(38,0),
 # the pattern to copy past those bounds.
+#
+# FORM (r11): the double->exact-integer step is floor(x + 0.5), NOT
+# round(x).  Spark codegens round(double) as a per-row
+# BigDecimal.setScale allocation AND its generated code is ~4x the
+# size (the r10 conversion's +74% on q1/j1 under bench.py's
+# replan-per-run noop protocol was codegen compilation, not
+# execution — steady-state was measured identical).  floor(x + 0.5)
+# is a bare Math.floor returning long.  The two forms agree except at
+# exact negative .5 fractions — unreachable from 2-decimal inputs
+# (x*100 sits within ~1e-9 of an integer, never at .5) — and BOTH
+# engines run the same floor form, so oracle parity is form-exact on
+# any planted value.  Measured (sf0.1, bench protocol): q1
+# 434 -> 271 ms vs 240 ms for the order-UNSAFE r9 plain-double form.
+
+
+def _exact_long(x):
+    """Half-up double -> exact long, codegen-cheap (see FORM note)."""
+    return F.floor(x + F.lit(0.5))
+
+
+def _exact_long_sql(expr: str) -> str:
+    return f"CAST(floor({expr} + 0.5) AS BIGINT)"
 
 
 def _rev_e4():
     """(l_extendedprice x (1 - l_discount)) in exact 1e-4 units."""
-    return (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * F.round(100 - F.col("l_discount") * 100).cast("long")
+    return _exact_long(F.col("l_extendedprice") * 100) * _exact_long(
+        100 - F.col("l_discount") * 100
     )
 
 
 _REV_E4_SQL = (
-    "CAST(round(l_extendedprice * 100) AS BIGINT)"
-    " * CAST(round(100 - l_discount * 100) AS BIGINT)"
+    _exact_long_sql("l_extendedprice * 100")
+    + " * "
+    + _exact_long_sql("100 - l_discount * 100")
+)
+
+
+# Overflow-proof twin for plans that compute revenue BELOW a selective
+# join (q5's orderkey pre-aggregation, q7's pre-projected volume_e4):
+# there the engine evaluates the product on rows the oracle's
+# filter-first plan never touches, so a planted-extreme overflow would
+# raise on ONE engine only (the r11 extremes sweep caught exactly
+# this on q5).  decimal(38,0) x HUGEINT hold the worst planted product
+# (1e17 x 1e17 = 1e34) exactly on both sides; contract data is
+# unchanged (identical integers, ~16-vs-8-byte shuffle rows).  Plans
+# whose filters precede the product on both engines (q1's pushed scan
+# predicate, j1/revenue_share's referential joins, filterless
+# rollup/cube/grouping-sets) keep the cheaper long form: any overflow
+# there is evaluated by BOTH engines and the both-raise-same-class
+# contract adjudicates it.
+def _rev_e4_dec():
+    return _exact_long(F.col("l_extendedprice") * 100).cast(
+        "decimal(19,0)"
+    ) * _exact_long(100 - F.col("l_discount") * 100).cast("decimal(19,0)")
+
+
+_REV_E4_HUGE_SQL = (
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)"
+    " * CAST(floor(100 - l_discount * 100 + 0.5) AS HUGEINT)"
 )
 
 
@@ -1347,9 +1394,9 @@ def q_tpch_q1_pricing(spark, sf_dir):
     # forms elsewhere have headroom to ~sf1500; past that, cast the
     # term to decimal(38,0) the same way.
     charge_e6 = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * F.round(100 - F.col("l_discount") * 100).cast("long")
-        * F.round(100 + F.col("l_tax") * 100).cast("long")
+        _exact_long(F.col("l_extendedprice") * 100)
+        * _exact_long(100 - F.col("l_discount") * 100)
+        * _exact_long(100 + F.col("l_tax") * 100)
     ).cast("decimal(38,0)")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -1357,7 +1404,7 @@ def q_tpch_q1_pricing(spark, sf_dir):
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             (
-                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                F.sum(_exact_long(F.col("l_extendedprice") * 100))
                 .cast("double") / F.lit(100.0)
             ).alias("sum_base_price"),
             (F.sum(_rev_e4()).cast("double") / F.lit(10000.0)).alias(
@@ -1374,7 +1421,7 @@ def q_tpch_q1_pricing(spark, sf_dir):
             # discount over rows that have one")
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(
-                F.sum(F.round(F.col("l_discount") * 100).cast("long"))
+                F.sum(_exact_long(F.col("l_discount") * 100))
                 .cast("double") / F.count("l_discount") / F.lit(100.0),
                 6,
             ).alias("avg_disc"),
@@ -1386,14 +1433,14 @@ def q_tpch_q1_pricing(spark, sf_dir):
 SQL_TPCH_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+       CAST(sum({_exact_long_sql("l_extendedprice * 100")}) AS DOUBLE)
          / 100.0 AS sum_base_price,
        CAST(sum({_REV_E4_SQL}) AS DOUBLE) / 10000.0 AS sum_disc_price,
        CAST(sum({_REV_E4_SQL}
-                * CAST(round(100 + l_tax * 100) AS BIGINT)) AS DOUBLE)
+                * {_exact_long_sql("100 + l_tax * 100")}) AS DOUBLE)
          / 1000000.0 AS sum_charge,
        round(avg(l_quantity), 6) AS avg_qty,
-       round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+       round(CAST(sum({_exact_long_sql("l_discount * 100")}) AS DOUBLE)
              / count(l_discount) / 100.0, 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
@@ -1426,13 +1473,9 @@ def q_tpch_q3_shipping(spark, sf_dir):
         # bigint-sum / 1e4 is the same IEEE double in both engines
         # under every partitioning
         .agg(
-            (
-                F.sum(
-                    F.round(F.col("l_extendedprice") * 100).cast("long")
-                    * F.round(100 - F.col("l_discount") * 100).cast("long")
-                ).cast("double")
-                / F.lit(10000.0)
-            ).alias("revenue")
+            (F.sum(_rev_e4()).cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            )
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(20)
@@ -1444,12 +1487,10 @@ def q_tpch_q3_shipping(spark, sf_dir):
     )
 
 
-SQL_TPCH_Q3 = """
+SQL_TPCH_Q3 = f"""
 SELECT l_orderkey,
        CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
-       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                * CAST(round(100 - l_discount * 100) AS BIGINT))
-            AS DOUBLE) / 10000.0 AS revenue
+       CAST(sum({_REV_E4_SQL}) AS DOUBLE) / 10000.0 AS revenue
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'
   AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -1495,9 +1536,11 @@ def q_tpch_q5_volume(spark, sf_dir):
         # test SFs, shuffle-joins it when it outgrows the threshold
         li.join(dims, li.l_suppkey == dims.s_suppkey)
         .groupBy("l_orderkey", "n_nationkey")
-        # exact-e4 revenue carried as a LONG through the intermediate
-        # agg so the final sum is order-independent (_rev_e4 note)
-        .agg(F.sum(_rev_e4()).alias("rev_e4"))
+        # exact-e4 revenue carried as an exact INTEGER through the
+        # intermediate agg so the final sum is order-independent; the
+        # decimal twin because this agg runs BELOW the orders-side
+        # join filter (see the _rev_e4_dec note)
+        .agg(F.sum(_rev_e4_dec()).alias("rev_e4"))
     )
     cust_asia = cust.join(
         F.broadcast(asia_nations.select("n_nationkey")),
@@ -1529,7 +1572,7 @@ def q_tpch_q5_volume(spark, sf_dir):
 
 SQL_TPCH_Q5 = f"""
 SELECT n_name,
-       CAST(sum({_REV_E4_SQL}) AS DOUBLE) / 10000.0 AS revenue
+       CAST(sum({_REV_E4_HUGE_SQL}) AS DOUBLE) / 10000.0 AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -2510,7 +2553,7 @@ def q_corpus_curation(spark, sf_dir):
     agged = split.groupBy("source", "split").agg(
         F.count("*").alias("n_docs"),
         F.sum(T.regexp_token_count(F.col("text"))).alias("n_tokens"),
-        F.sum(F.round(F.col("quality") * 1e6).cast("long")).alias("_qs"),
+        F.sum(_exact_long(F.col("quality") * 1e6)).alias("_qs"),
     )
     return agged.select(
         "source",
@@ -2567,7 +2610,7 @@ SELECT source, split, count(*) AS n_docs,
        -- exact integer micro-unit mean with integer half-up rounding,
        -- mirroring the engine (see q_corpus_curation: a float avg can
        -- land on a .00005 boundary and round differently per engine)
-       floor((sum(CAST(round(quality * 1e6) AS BIGINT)) + 50 * count(*))
+       floor((sum({_exact_long_sql("quality * 1e6")}) + 50 * count(*))
              / (100.0 * count(*))) / 10000.0 AS avg_quality
 FROM sp GROUP BY source, split
 """
@@ -5083,10 +5126,9 @@ def q_tpch_q7_nation_volume(spark, sf_dir):
         "l_orderkey",
         "l_suppkey",
         F.year("l_shipdate").alias("l_year"),
-        (
-            F.round(F.col("l_extendedprice") * 100).cast("long")
-            * F.round(100 - F.col("l_discount") * 100).cast("long")
-        ).alias("volume_e4"),
+        # decimal twin: this projection runs BELOW the bloc-filtering
+        # joins (see the _rev_e4_dec note)
+        _rev_e4_dec().alias("volume_e4"),
     )
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     # supp/cust are supplier/customer-scaled: no broadcast hints (r9)
@@ -5152,14 +5194,13 @@ def q_tpch_q7_nation_volume(spark, sf_dir):
     )
 
 
-SQL_TPCH_Q7 = """
+SQL_TPCH_Q7 = f"""
 SELECT supp_nation, cust_nation, l_year,
        CAST(sum(volume_e4) AS DOUBLE) / 10000.0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
-         CAST(round(l_extendedprice * 100) AS BIGINT)
-           * CAST(round(100 - l_discount * 100) AS BIGINT) AS volume_e4
+         {_REV_E4_HUGE_SQL} AS volume_e4
   FROM supplier, lineitem, orders, customer, nation n1, nation n2
   WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
     AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
@@ -5784,9 +5825,7 @@ def q_skew_salted_agg(spark, sf_dir):
     # (corpus values are 2-decimal): the partial-then-combine sums
     # reorder float addition by construction, the very thing the
     # _rev_e4 note bans for money columns
-    ev = ev.withColumn(
-        "value_c", F.round(F.col("value") * 100).cast("long")
-    )
+    ev = ev.withColumn("value_c", _exact_long(F.col("value") * 100))
     out = SKW.salted_aggregate(
         ev.where(F.col("event_type").isNotNull()),
         ["event_type"],
@@ -5807,9 +5846,9 @@ def q_skew_salted_agg(spark, sf_dir):
     )
 
 
-SQL_SKEW_SALTED_AGG = """
+SQL_SKEW_SALTED_AGG = f"""
 SELECT event_type, count(*) AS n_events,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+       CAST(sum({_exact_long_sql("value * 100")}) AS DOUBLE)
          / 100.0 AS total_value,
        round(max(value), 6) AS max_value
 FROM events WHERE event_type IS NOT NULL
@@ -6039,7 +6078,7 @@ def q_cube_revenue(spark, sf_dir):
         .agg(
             F.count("*").alias("n_items"),
             (
-                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                F.sum(_exact_long(F.col("l_extendedprice") * 100))
                 .cast("double") / F.lit(100.0)
             ).alias("revenue"),
         )
@@ -6052,12 +6091,12 @@ def q_cube_revenue(spark, sf_dir):
     )
 
 
-SQL_CUBE_REVENUE = """
+SQL_CUBE_REVENUE = f"""
 -- HAVING mirrors Spark's empty-input posture (see SQL_ROLLUP)
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        count(*) AS n_items,
-       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+       CAST(sum({_exact_long_sql("l_extendedprice * 100")}) AS DOUBLE)
          / 100.0 AS revenue
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 HAVING count(*) > 0
@@ -6746,10 +6785,7 @@ def q_grouping_sets_revenue(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem", spread=True).select(
         "l_returnflag",
         F.year("l_shipdate").alias("shipyear"),
-        (
-            F.round(F.col("l_extendedprice") * 100).cast("long")
-            * F.round(100 - F.col("l_discount") * 100).cast("long")
-        ).alias("rev_e4"),
+        _rev_e4().alias("rev_e4"),
     )
     out = li.groupingSets(
         [["l_returnflag", "shipyear"], ["shipyear"]],
@@ -6767,13 +6803,11 @@ def q_grouping_sets_revenue(spark, sf_dir):
     )
 
 
-SQL_GROUPING_SETS = """
+SQL_GROUPING_SETS = f"""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        year(l_shipdate) AS shipyear,
        count(*) AS n_items,
-       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                * CAST(round(100 - l_discount * 100) AS BIGINT))
-            AS DOUBLE) / 10000.0 AS revenue
+       CAST(sum({_REV_E4_SQL}) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, year(l_shipdate)),
                         (year(l_shipdate)))
