@@ -281,16 +281,20 @@ def lsh_candidate_pairs(
 
     SIZE THE BANDING TO THE CORPUS: candidate volume is sum over band
     buckets of ``m^2/2``, so growing the corpus without growing band
-    selectivity grows candidates QUADRATICALLY.  The catalog rows use
-    tiny test-scaled params (num_hashes=4, band_size=1) so 50-doc
-    fixtures produce candidates at all; measured at sf1 that
-    parameterization shuffles >100 GB on one query (r9 full-catalog
-    sf1 profile — the same blowup hits the DuckDB oracle, which runs
-    for hours).  Production near-dedup wants e.g. 128 hashes x band 4
-    (32 bands): P(bucket-collide) = sim^4 per band keeps buckets
-    selective as the corpus grows, and the Jaccard verify stays
-    candidate-bounded.  The operator is linear in candidates either
-    way; the parameterization decides what "candidates" means.
+    selectivity grows candidates QUADRATICALLY.  Through r10 the
+    catalog rows used tiny test-scaled params (num_hashes=4,
+    band_size=1, P(bucket-collide) = sim per band): measured at sf1
+    that parameterization shuffled >100 GB on one query (r9
+    full-catalog profile — the same blowup hit the DuckDB oracle,
+    which ran for hours), so those rows were ``--skip``ped at sf1.
+    r11 re-parameterized the whole catalog family to 16 hashes x
+    band 4 (4 bands, P = sim^4 — the production band WIDTH at reduced
+    band COUNT): 131M band collisions -> 813k / max bucket 50 at sf1,
+    every row now profiles at every SF, zero skips.  Production
+    near-dedup wants e.g. 128 hashes x band 4 (32 bands, graded by
+    the `lsh_candidate_pairs_prod` row): same selectivity per band,
+    recall 1-(1-sim^4)^32.  The operator is linear in candidates
+    either way; the parameterization decides what "candidates" means.
     """
     bands = band_rows(df, text_col, id_col, num_hashes, band_size, k)
     left = bands.alias("l")
@@ -417,6 +421,7 @@ def simhash_candidates(
     width: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Hamming-banded near-dup candidate pairs from the ``width``-bit
     SimHash — the simhash counterpart of the MinHash band join: the
@@ -448,7 +453,25 @@ def simhash_candidates(
     signatures), the standard LSH emit-once device.  On the
     template-heavy sf0.1 fixture (6.4M band collisions from 5k docs)
     this form measured 3.5x the string+distinct one, byte-identical
-    output.  Output: ``(left_id, right_id, hamming)``."""
+    output.  Output: ``(left_id, right_id, hamming)``.
+
+    ``max_bucket`` (r11): a FIXED-width signature has a fixed bucket
+    grid (4 bands x 2^8 keys at the defaults), so on a template-heavy
+    corpus bucket populations — and with them the candidate join —
+    grow QUADRATICALLY with corpus size (measured: 640M band
+    collisions / 80+ GB on the 50k-doc sf1 fixture).  Setting
+    ``max_bucket`` DROPS buckets holding more than that many docs
+    before the join — the standard industrial LSH cap: a band shared
+    by thousands of documents carries no near-dup signal, only
+    template noise, and a dropped pair still meets on any other
+    (kept) agreeing band.  Candidates become <= n_docs x bands x
+    max_bucket / 2 — linear in the corpus.  The capped path collapses
+    multi-band agreements with a pair DISTINCT instead of the
+    emit-once predicate: "first agreeing band" is ill-defined when an
+    earlier agreeing band was dropped, and the cap already bounds the
+    distinct's input.  Recall trade within the Hamming radius is
+    explicit and mirrored exactly by the oracle (same cap, same
+    buckets)."""
     if width % bands:
         raise ValueError("bands must divide width")
     if width > 63:
@@ -478,6 +501,42 @@ def simhash_candidates(
         F.col("_sig"),
         F.posexplode(band_arr).alias("band_idx", "band_key"),
     )
+    if max_bucket is not None:
+        # keep only information-carrying buckets (see docstring); the
+        # bucket-size relation is bucket-cardinality-bounded and joins
+        # on the same (band_idx, band_key) the candidate join uses
+        kept = (
+            rows.groupBy("band_idx", "band_key")
+            .agg(F.count("*").alias("_bn"))
+            .where(F.col("_bn") <= max_bucket)
+            .select("band_idx", "band_key")
+        )
+        rows = rows.join(kept, ["band_idx", "band_key"])
+        left = rows.select(
+            F.col(id_col).alias("left_id"),
+            F.col("_sig").alias("_sl"),
+            "band_idx",
+            "band_key",
+        )
+        right = rows.select(
+            F.col(id_col).alias("right_id"),
+            F.col("_sig").alias("_sr"),
+            "band_idx",
+            "band_key",
+        )
+        return (
+            left.join(right, ["band_idx", "band_key"])
+            .where(F.col("left_id") < F.col("right_id"))
+            .select(
+                "left_id",
+                "right_id",
+                F.bit_count(F.col("_sl").bitwiseXOR(F.col("_sr"))).alias(
+                    "hamming"
+                ),
+            )
+            .where(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
     left = rows.select(
         F.col(id_col).alias("left_id"),
         F.col("_sig").alias("_sl"),

@@ -1880,11 +1880,52 @@ FROM sh
 """
 
 
+_PROD_HASHES, _PROD_BAND = 128, 4  # 32 bands of 4 — production banding
+
+
+def _band_sigs_sql(num_hashes: int, band_size: int) -> str:
+    """(num_hashes/band_size)-element list literal: band b's signature
+    = its ``band_size`` MinHash hex digests joined by '|' (mirrors
+    dedup.band_rows' concat_ws; hash index = b*band_size + j)."""
+    bands = []
+    for b in range(num_hashes // band_size):
+        mins = " || '|' || ".join(
+            f"list_min(list_transform(sh, s -> md5('{b * band_size + j}|' || s)))"
+            for j in range(band_size)
+        )
+        bands.append(mins)
+    return "[" + ",\n       ".join(bands) + "]"
+
+
+def _banded_sig_cte_sql(num_hashes: int, band_size: int) -> str:
+    """The ``sig`` CTE body shared by every banded-LSH oracle: one row
+    per (doc, band) with the band's joined-MinHash signature, fed by a
+    ``sh`` CTE of per-doc shingle lists."""
+    return f"""(
+  SELECT doc_id,
+         generate_subscripts(band_sigs, 1) - 1 AS band_idx,
+         unnest(band_sigs) AS band_sig
+  FROM (SELECT doc_id, {_band_sigs_sql(num_hashes, band_size)} AS band_sigs
+        FROM sh)
+)"""
+
+
 def q_lsh_candidate_pairs(spark, sf_dir):
-    """LSH near-dup candidates: 4 bands of 1 minhash over 2-shingles —
-    one equi-join on (band, signature), no cross product."""
+    """LSH near-dup candidates: 4 bands of 4 minhashes over 2-shingles
+    — one equi-join on (band, signature), no cross product.
+
+    Banding (r11 re-parameterization, r10 verdict #3): the original
+    test config (4 bands of ONE hash) made P(band collide) = sim —
+    this template-heavy fixture then produced corpus-QUADRATIC
+    candidate sets (131M band collisions at sf1, the reason the row
+    was ``--skip``ped in sf1 profiles).  Bands of 4 make
+    P(collide) = sim^4: 813k collisions / max bucket 50 at sf1
+    (measured), linear-shaped, so the row now profiles at every SF.
+    Same band WIDTH as the production 128x4 row
+    (`lsh_candidate_pairs_prod`) — this row differs only in band
+    COUNT (4 vs 32), i.e. recall, not join shape."""
     return D.lsh_candidate_pairs(
-        t(spark, sf_dir, "documents"), num_hashes=4, band_size=1, k=2
+        t(spark, sf_dir, "documents"), num_hashes=16, band_size=4, k=2
     )
 
 
@@ -1894,19 +1935,12 @@ WITH toks AS (
   SELECT doc_id, {_TOKS_SQL} AS w FROM documents WHERE text IS NOT NULL
 ), sh AS (
   SELECT doc_id, {_shingle_sql(2)} AS sh FROM toks
-), sig AS (
-  SELECT doc_id, b.band_idx,
-         list_min(list_transform(sh, s -> md5(b.band_idx || '|' || s))) AS band_sig
-  FROM sh, (SELECT unnest(['0','1','2','3']) AS band_idx) b
-)
+), sig AS {_banded_sig_cte_sql(16, 4)}
 SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
 FROM sig l JOIN sig r
   ON l.band_idx = r.band_idx AND l.band_sig = r.band_sig
  AND l.doc_id < r.doc_id
 """
-
-
-_PROD_HASHES, _PROD_BAND = 128, 4  # 32 bands of 4 — production banding
 
 
 def q_lsh_candidate_pairs_prod(spark, sf_dir):
@@ -1941,19 +1975,6 @@ def q_lsh_candidate_pairs_prod(spark, sf_dir):
     )
 
 
-def _prod_band_sigs_sql() -> str:
-    """32-element list literal: band b's signature = its 4 MinHash hex
-    digests joined by '|' (mirrors dedup.band_rows' concat_ws)."""
-    bands = []
-    for b in range(_PROD_HASHES // _PROD_BAND):
-        mins = " || '|' || ".join(
-            f"list_min(list_transform(sh, s -> md5('{b * _PROD_BAND + j}|' || s)))"
-            for j in range(_PROD_BAND)
-        )
-        bands.append(mins)
-    return "[" + ",\n       ".join(bands) + "]"
-
-
 SQL_LSH_PAIRS_PROD = f"""
 -- NULL-text guard: see SQL_MINHASH (r9 adversarial sweep)
 WITH corpus AS (
@@ -1965,14 +1986,7 @@ WITH corpus AS (
   SELECT doc_id, {_TOKS_SQL} AS w FROM corpus
 ), sh AS (
   SELECT doc_id, {_shingle_sql(3)} AS sh FROM toks
-), sigs AS (
-  SELECT doc_id, {_prod_band_sigs_sql()} AS band_sigs FROM sh
-), sig AS (
-  SELECT doc_id,
-         generate_subscripts(band_sigs, 1) - 1 AS band_idx,
-         unnest(band_sigs) AS band_sig
-  FROM sigs
-)
+), sig AS {_banded_sig_cte_sql(_PROD_HASHES, _PROD_BAND)}
 SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
 FROM sig l JOIN sig r
   ON l.band_idx = r.band_idx AND l.band_sig = r.band_sig
@@ -2006,9 +2020,9 @@ SELECT doc_id, {_simhash_sql()} AS simhash FROM toks
 
 def q_jaccard_pairs(spark, sf_dir):
     """Exact 2-shingle Jaccard on the LSH candidate pairs (verify step
-    of near-dedup)."""
+    of near-dedup).  16x4 banding — see q_lsh_candidate_pairs (r11)."""
     docs = t(spark, sf_dir, "documents")
-    pairs = D.lsh_candidate_pairs(docs, num_hashes=4, band_size=1, k=2)
+    pairs = D.lsh_candidate_pairs(docs, num_hashes=16, band_size=4, k=2)
     return D.jaccard_pairs(docs, pairs, k=2).select(
         "left_id", "right_id", F.round("jaccard", 6).alias("jaccard")
     )
@@ -2020,11 +2034,7 @@ WITH toks AS (
   SELECT doc_id, {_TOKS_SQL} AS w FROM documents WHERE text IS NOT NULL
 ), sh AS (
   SELECT doc_id, {_shingle_sql(2)} AS sh FROM toks
-), sig AS (
-  SELECT doc_id, b.band_idx,
-         list_min(list_transform(sh, s -> md5(b.band_idx || '|' || s))) AS band_sig
-  FROM sh, (SELECT unnest(['0','1','2','3']) AS band_idx) b
-), pairs AS (
+), sig AS {_banded_sig_cte_sql(16, 4)}, pairs AS (
   SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
   FROM sig l JOIN sig r
     ON l.band_idx = r.band_idx AND l.band_sig = r.band_sig
@@ -2270,7 +2280,7 @@ def q_dedup_clusters(spark, sf_dir):
     recomputes the same components with a recursive transitive-closure
     CTE."""
     docs = t(spark, sf_dir, "documents")
-    pairs = D.lsh_candidate_pairs(docs, num_hashes=4, band_size=1, k=2)
+    pairs = D.lsh_candidate_pairs(docs, num_hashes=16, band_size=4, k=2)
     verified = D.jaccard_pairs(docs, pairs, k=2).where(
         F.col("jaccard") >= 0.8
     )
@@ -5061,7 +5071,9 @@ def q_near_dedup_incremental(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     inc = docs.where(F.col("doc_id") % 3 == 0)
     ex = docs.where(F.col("doc_id") % 3 != 0)
-    return CC.near_dedup_incremental(inc, ex).select("doc_id")
+    return CC.near_dedup_incremental(
+        inc, ex, num_hashes=16, band_size=4
+    ).select("doc_id")
 
 
 SQL_NEAR_DEDUP_INCREMENTAL = f"""
@@ -7276,12 +7288,22 @@ SELECT w1, w2, kind FROM indel
 def q_simhash_candidates(spark, sf_dir):
     """Hamming-banded simhash near-dup candidates
     (dedup.simhash_candidates): 32-bit signature, 4 eight-bit bands,
-    exact Hamming <= 3 — pigeonhole-complete within the radius, no
-    recall gap, and ~16x sparser band collisions than the 16-bit
-    signature (measured: a quarter of ALL pairs met at 16 bits on
-    this fixture).  One banded equi-join, never all-pairs."""
+    exact Hamming <= 3 — pigeonhole-complete within the radius among
+    KEPT buckets, one banded equi-join, never all-pairs.
+
+    max_bucket=64 (r11, r10 verdict #3): the fixed 4 x 2^8 bucket
+    grid made this row corpus-QUADRATIC on the template-heavy fixture
+    (640M band collisions at sf1 — the reason it was ``--skip``ped in
+    sf1 profiles); dropping buckets over 64 docs — template noise,
+    not near-dup signal — bounds candidates linearly in the corpus
+    (see the operator's max_bucket note).  The oracle drops the SAME
+    buckets, so the recall trade is value-exact on both engines
+    (sf0.01: 2,375 pairs vs 4,411 uncapped; sf1: 25,440 pairs in ~5 s
+    on each engine vs the uncapped 640M-collision blowup)."""
     docs = t(spark, sf_dir, "documents")
-    return D.simhash_candidates(docs, bands=4, max_hamming=3, width=32)
+    return D.simhash_candidates(
+        docs, bands=4, max_hamming=3, width=32, max_bucket=64
+    )
 
 
 def _simhash_sql_w(width: int) -> str:
@@ -7313,6 +7335,8 @@ bands AS (
   SELECT doc_id, simhash, g AS band_idx,
          substr(simhash, CAST(g AS INT) * 8 + 1, 8) AS band_bits
   FROM sigs, (SELECT unnest(range(4)) AS g)
+  -- max_bucket=64: drop template-noise buckets, mirroring the engine
+  QUALIFY count(*) OVER (PARTITION BY band_idx, band_bits) <= 64
 ),
 pairs AS (
   SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
@@ -7806,7 +7830,7 @@ def q_near_dedup_keep_longest(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     out = near_dedup_best(
-        docs, "n_chars", threshold=0.8, num_hashes=4, band_size=1, k=2
+        docs, "n_chars", threshold=0.8, num_hashes=16, band_size=4, k=2
     )
     return out.select("doc_id", "n_chars")
 
@@ -7839,12 +7863,7 @@ reps AS (
 toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM reps
          WHERE text IS NOT NULL),
 sh AS (SELECT doc_id, {_shingle_sql(2)} AS sh FROM toks),
-sig AS (
-  SELECT doc_id, b.band_idx,
-         list_min(list_transform(sh, s -> md5(b.band_idx || '|' || s)))
-           AS band_sig
-  FROM sh, (SELECT unnest(['0','1','2','3']) AS band_idx) b
-),
+sig AS {_banded_sig_cte_sql(16, 4)},
 pairs AS (
   SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
   FROM sig l JOIN sig r

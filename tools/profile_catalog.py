@@ -40,14 +40,14 @@ row — the Spark timing still lands, and nothing is silently skipped.
 Directory-laid-out tables (bench_scale corpora) are glob-mounted.
 
 ``--skip a,b,c`` excludes rows ON BOTH SIDES, printing a SKIP line
-per name: the MinHash-family catalog rows use test-scaled LSH params
-(num_hashes=4, band_size=1) whose candidate sets grow QUADRATICALLY
-with corpus size on BOTH engines — at sf1 one such row shuffles
->100 GB (measured: it OOM-killed the JVM via the tmpfs local dir)
-and its DuckDB oracle runs for hours.  That is a parameterization
-artifact of the tiny-sf fixtures (production banding is e.g. 128
-hashes x band 4, far more selective), not an engine property; skip
-them at sf1 rather than pricing noise.
+per name.  HISTORY: through r10 the MinHash-family rows used
+test-scaled LSH params (num_hashes=4, band_size=1) whose candidate
+sets grew QUADRATICALLY with corpus size on BOTH engines — at sf1
+one such row shuffled >100 GB (measured: it OOM-killed the JVM via
+the tmpfs local dir) and its DuckDB oracle ran for hours — so six
+rows were skipped at sf1.  r11 re-parameterized the family (16
+hashes x band 4; simhash_candidates gained max_bucket=64) so every
+row profiles at every SF: --skip should normally be EMPTY now.
 """
 
 from __future__ import annotations
