@@ -20,6 +20,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# transformWithState (session_aggregates_bucketed_stream) needs a
+# protobuf runtime in the JVM-spawned Python workers; the shim must be
+# on PYTHONPATH before the driver's SparkSession launches its JVM, and
+# imports of this module happen exactly then.  No-op with pip protobuf.
+from ena_database_build_spark.pbshim import install_protobuf_shim  # noqa: E402
+
+install_protobuf_shim()
+
 from ena_database_build_spark.plans.catalog import CATALOG  # noqa: E402
 
 

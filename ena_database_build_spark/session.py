@@ -18,6 +18,14 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    # transformWithState spawns Python workers FROM THE JVM, which
+    # captures os.environ at launch — so the pip-less protobuf shim
+    # (PYTHONPATH drop, see pbshim.py) must be installed BEFORE the
+    # session exists; mutating the env afterwards never reaches the
+    # spawned workers.  No-op when a pip protobuf is installed.
+    from .pbshim import install_protobuf_shim
+
+    install_protobuf_shim()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
     if master is None:
         master = f"local[{cpus}]"

@@ -8,7 +8,7 @@ import os
 import stat
 import sys
 
-from _pb_shim import install_protobuf_shim
+from ena_database_build_spark.pbshim import install_protobuf_shim
 
 
 def _snapshot():
@@ -90,9 +90,9 @@ def test_importable_fake_bundle_installs_owner_only_fresh_dir(
 def test_shim_never_uses_fixed_tmp_path(tmp_path):
     """Regression pin for the ADVICE finding: no fixed
     /tmp/spark_graft_pb_shim path anywhere in the shim source."""
-    import _pb_shim
+    from ena_database_build_spark import pbshim
 
-    src = open(_pb_shim.__file__).read()
+    src = open(pbshim.__file__).read()
     assert 'os.path.join(tempfile.gettempdir(), "spark_graft_pb_shim")' \
         not in src
     assert "mkdtemp" in src

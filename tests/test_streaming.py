@@ -707,3 +707,34 @@ def test_bucketed_sessionize_stream_matches_batch(spark, tmp_path):
     assert got_rows == _rows(want, cols)
     # and the bucketed twins both agree with the native form
     assert got_rows == _rows(native, cols)
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs the protobuf package "
+    "(Spark's Python state-server protocol), not installed in this "
+    "environment; the batch bucketed twin is fully parity-tested",
+)
+def test_replay_harness_matches_batch_and_is_deterministic(spark, event_dir):
+    """The r11 catalog-row harness
+    (replay_session_aggregates_bucketed) must (a) equal the batch
+    bucketed form on the ts-non-NULL corpus — the sentinel closes
+    every real session, so no 'closed-only' filter is needed — and
+    (b) be replay-deterministic: a second run over a row-SHUFFLED
+    copy of the same corpus emits identical sessions (the time-range
+    file split, not input order, decides the replay)."""
+    batch = _batch_events(spark, event_dir)
+    cols = [
+        "user_id", "session_start", "session_end", "n_events", "sum_value",
+    ]
+    got = STR.replay_session_aggregates_bucketed(spark, batch)
+    want = STR.session_aggregates_bucketed(
+        batch.where(F.col("ts").isNotNull()), "10 minutes", "1 hour"
+    )
+    got_rows = _rows(got, cols)
+    assert len(got_rows) > 10
+    assert got_rows == _rows(want, cols)
+    again = STR.replay_session_aggregates_bucketed(
+        spark, batch.orderBy(F.md5(F.col("event_id").cast("string")))
+    )
+    assert _rows(again, cols) == got_rows
