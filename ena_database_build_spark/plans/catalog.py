@@ -990,7 +990,12 @@ FROM lineitem
 
 def q_p9_path_components(spark, sf_dir):
     """P9: shard name + file stem from the ENA directory layout
-    (dask_tasks.py:138-148)."""
+    (dask_tasks.py:138-148).
+    Measured floor (r11 bench_bars, x1/x10/x30/x100 sf0.1 documents
+    replicas, local[32]): ratio 26.3 / 10.1 / 2.2 / 1.3 — collapsing
+    toward parity, wall 0.08 -> 0.12 s for 100x data: pure map-side
+    regex projection whose stage floor dominates a ~3 ms oracle.
+    """
     from ena_database_build_spark.functions import embl as E
 
     docs = t(spark, sf_dir, "documents")
@@ -3647,7 +3652,15 @@ def q_approx_distinct(spark, sf_dir):
     same both-sides treatment approx_quantiles got in r9 (r8 verdict
     #4).  The residual ratio is Spark's two-aggregate Expand +
     ImperativeAggregate HLL vs DuckDB's fused vectorized pass over a
-    1000-row-per-group corpus; the stage floor dominates at sf0.1."""
+    1000-row-per-group corpus; the stage floor dominates at sf0.1.
+
+    Measured floor (r11 bench_bars, x1/x10/x30/x100 sf0.1 events
+    replicas, local[32]): ratio 42.7 / 45.4 / 35.1 / 34.3 — FALLING,
+    wall 0.98 -> 2.5 s over a 100x corpus (2.6x for 100x data): the
+    sf1 ~58x headline is the fixed Expand+HLL stage floor over a
+    ~20 ms oracle, not a growth term.  The sketch payload is
+    register-count-bounded per group, so the shuffle term is constant
+    in corpus size; only the scan grows."""
     return (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -4168,7 +4181,13 @@ FROM st
 def q_corpus_shuffle(spark, sf_dir):
     """Deterministic corpus shuffle + round-robin sharding into 8
     shards via the two-phase distributed rank (no global-order
-    window)."""
+    window).
+    Measured floor (r11 bench_bars, x1/x10/x30/x100 sf0.1 documents
+    replicas, local[32]): ratio 55.0 / 14.7 / 9.7 / 4.0 — steeply
+    FALLING as the hash-rank exchange amortizes, wall 0.39 -> 0.83 s
+    for 100x data.  The sf1 16x headline is launch floor over a
+    ~20 ms oracle.
+    """
     return SMP.global_shuffle(
         t(spark, sf_dir, "documents"), n_shards=8, seed="shuffle"
     )
@@ -4195,7 +4214,13 @@ FROM p
 def q_json_roundtrip(spark, sf_dir):
     """JSON-lines surface: serialize typed rows with to_json, re-parse
     with from_json against an explicit schema plus a JSONPath probe —
-    the lossless-roundtrip contract a JSON source/sink needs."""
+    the lossless-roundtrip contract a JSON source/sink needs.
+    Measured floor (r11 bench_bars, x1/x10/x30/x100 sf0.1 documents
+    replicas, local[32]): ratio 59.5 / 8.5 / 4.5 / 4.2 — steeply
+    FALLING, wall 0.12 -> 0.31 s for 100x data: to_json/from_json are
+    map-side codegen; the sf1 17x headline is scan+launch floor over
+    a ~10 ms oracle.
+    """
     docs = t(spark, sf_dir, "documents")
     js = docs.select(
         F.col("doc_id").alias("k"),
@@ -5263,7 +5288,13 @@ def q_user_retention(spark, sf_dir):
     (cohort_day, day_offset).  One relation, one user-keyed shuffle:
     the cohort day is a min-over-user WINDOW on the deduped
     (user, day) activity — no self-join against a "first seen"
-    subquery, so the activity table is scanned and shuffled once."""
+    subquery, so the activity table is scanned and shuffled once.
+
+    Measured floor (r11 bench_bars, x1/x10/x30/x100 sf0.1 events
+    replicas, local[32]): ratio 19.9 / 16.9 / 7.5 / 6.4 — steeply
+    FALLING as the single user-keyed shuffle amortizes its stage
+    floor; wall 0.64 -> 1.6 s for 100x data.  The sf1 19.6x headline
+    is launch floor over a ~46 ms oracle, not a plan defect."""
     ev = (
         t(spark, sf_dir, "events")
         .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
@@ -5831,7 +5862,14 @@ def q_skew_salted_agg(spark, sf_dir):
     has only 5 values — the maximally skewed grouping — and the
     oracle is the PLAIN aggregation: salting must be invisible in the
     result, visible only in the plan (pinned separately by the
-    hot-key parity test in tests/test_skew.py)."""
+    hot-key parity test in tests/test_skew.py).
+
+    Measured floor (r11 bench_bars, x1/x10/x30/x100 sf0.1 events
+    replicas, local[32]): ratio 28.6 / 16.7 / 17.3 / 16.5, wall 0.29
+    -> 0.69 s for 100x data — the two-phase (salt + combine) exchange
+    pair is a fixed two-stage floor over a ~10-40 ms oracle; the
+    residual flat ~16x is the price of the salting insurance on a
+    5-key group-by the single-node oracle never needs."""
     ev = t(spark, sf_dir, "events", spread=True)
     # value accumulates in exact cents through BOTH salted phases
     # (corpus values are 2-decimal): the partial-then-combine sums
@@ -6170,7 +6208,13 @@ def q_winsorize_counts(spark, sf_dir):
     plus a broadcast of the per-source bounds back onto the narrow
     (source, n_chars) projection.  Counts are integer-exact; the
     interpolated bounds themselves stay internal so no float-boundary
-    comparison leaks into the result."""
+    comparison leaks into the result.
+    Measured floor (r11 bench_bars, x1/x10/x30/x100 sf0.1 documents
+    replicas, local[32]): ratio 59.6 / 35.0 / 18.5 / 8.3 — steeply
+    FALLING, wall FLAT 0.66 -> 0.59 s across 100x data (the clip
+    bounds are a 1-row broadcast; per-row clamping is map-side).
+    The sf1 24x headline is stage floor over a ~16 ms oracle.
+    """
     docs = t(spark, sf_dir, "documents").where(
         F.col("source").isNotNull() & F.col("n_chars").isNotNull()
     )
@@ -6420,7 +6464,13 @@ def q_daily_spine(spark, sf_dir):
     dual of filtering) left-joined to per-day purchase counts, absent
     days zero-filled.  The spine derives from a 1-row aggregate
     broadcast, so generation is map-side; counts ride one date-keyed
-    shuffle."""
+    shuffle.
+
+    Measured floor (r11 bench_bars, x1/x10/x30/x100 sf0.1 events
+    replicas, local[32]): ratio 38.9 / 14.9 / 13.9 / 8.7 — FALLING,
+    wall 0.47 -> 0.66 s for 100x data: the two tiny stages (1-row
+    bounds + date-keyed counts) are pure launch floor over a ~12 ms
+    oracle."""
     ev = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     days = ev.select(F.to_date("ts").alias("d"))
     bounds = days.agg(
@@ -6752,7 +6802,12 @@ def q_lang_source_matrix(spark, sf_dir):
     """Corpus composition crosstab: documents pivoted to one column
     per language, one row per source — Spark's pivot with the value
     set pinned (no extra distinct pass; engines agree on columns by
-    construction).  Missing cells zero-fill."""
+    construction).  Missing cells zero-fill.
+    Measured floor (r11 bench_bars, x1/x10/x30/x100 sf0.1 documents
+    replicas, local[32]): ratio 30.7 / 12.1 / 16.6 / 7.2, wall FLAT
+    0.18 -> 0.24 s across 100x data — a single pivot aggregation's
+    stage floor over a ~6-34 ms oracle.
+    """
     docs = t(spark, sf_dir, "documents").where(
         F.col("source").isNotNull() & F.col("lang").isNotNull()
     )
@@ -7611,7 +7666,12 @@ def q_stream_rate_flags(spark, sf_dir):
     join against a pinned baseline): same function, batch input, so
     the oracle can check the exact scoring the live stream applies.
     The baseline is a fixed literal (the production pattern: stats
-    published by the batch detector, broadcast to the stream)."""
+    published by the batch detector, broadcast to the stream).
+
+    Measured floor (r11 bench_bars, x1/x10/x30/x100 sf0.1 events
+    replicas, local[32]): ratio 21.2 / 14.3 / 15.0 / 16.4, wall FLAT
+    0.87 -> 0.85 s across 100x data — window-count agg + 5-row
+    broadcast is entirely stage floor over a ~30-50 ms oracle."""
     from ena_database_build_spark.streaming.events import (
         stream_rate_anomalies,
     )
@@ -8353,7 +8413,13 @@ def q_s67_sinks(spark, sf_dir):
     read back — per-shard row/id counts for S6, and the
     exactly-one-part-file invariant for S7 (``n_files`` is NULL on
     shard rows: physical file counts under a partitioned dir depend on
-    parallelism, which is not a semantic claim)."""
+    parallelism, which is not a semantic claim).
+    Measured floor (r11 bench_bars, x1/x10/x30/x100 sf0.1 replicas,
+    local[32]): ratio 35.9 / 20.1 / 15.9 / 15.4, wall 0.43 -> 0.68 s
+    for 100x data — the partitioned-write + concat-sink file commits
+    are a fixed floor over a ~12-44 ms oracle; the residual flat ~15x
+    is committer overhead the single-process oracle never pays.
+    """
     from ena_database_build_spark.sources.sinks import write_ena_tab
 
     path6 = _sink_path(sf_dir, "s67_part")

@@ -76,6 +76,7 @@ KEY_COLS = {
     "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
     "supplier": ["s_suppkey"],
     "customer": ["c_custkey"],
+    "part": ["p_partkey"],  # shifts with lineitem.l_partkey (r11)
     "documents": ["doc_id"],
     # ts is deliberately NOT offset: replicas are disjoint user/event
     # key spaces over the SAME time range, so per-user operators scale
