@@ -204,29 +204,20 @@ _REV_E4_SQL = (
 )
 
 
-# Overflow-proof twin for plans that compute revenue BELOW a selective
-# join (q5's orderkey pre-aggregation, q7's pre-projected volume_e4):
-# there the engine evaluates the product on rows the oracle's
-# filter-first plan never touches, so a planted-extreme overflow would
-# raise on ONE engine only (the r11 extremes sweep caught exactly
-# this on q5).  decimal(38,0) x HUGEINT hold the worst planted product
-# (1e17 x 1e17 = 1e34) exactly on both sides; contract data is
-# unchanged (identical integers, ~16-vs-8-byte shuffle rows).  Plans
-# whose filters precede the product on both engines (q1's pushed scan
-# predicate, j1/revenue_share's referential joins, filterless
-# rollup/cube/grouping-sets) keep the cheaper long form: any overflow
-# there is evaluated by BOTH engines and the both-raise-same-class
-# contract adjudicates it.
-def _rev_e4_dec():
-    return _exact_long(F.col("l_extendedprice") * 100).cast(
-        "decimal(19,0)"
-    ) * _exact_long(100 - F.col("l_discount") * 100).cast("decimal(19,0)")
-
-
-_REV_E4_HUGE_SQL = (
-    "CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)"
-    " * CAST(floor(100 - l_discount * 100 + 0.5) AS HUGEINT)"
-)
+# Asymmetric-overflow rule for plans that compute revenue BELOW a
+# selective join (q5's orderkey pre-aggregation, q7's pre-projected
+# volume_e4): there the engine evaluates the product on rows a
+# naive filter-first oracle never touches, so a planted-extreme
+# overflow would raise on ONE engine only (the r11 extremes sweep
+# caught exactly this on q5).  The fix is in the ORACLE, not the
+# engine: those two oracles mirror the engine's phase structure with
+# an AS MATERIALIZED pre-join CTE, so both engines evaluate the
+# product on the SAME row set and planted overflow raises on both
+# (the established both-raise-same-class contract, like q1's charge).
+# The engine keeps the cheap long product — a decimal(38,0) twin was
+# measured 1.9x slower per row on the sf1 pre-agg (0.59 -> 1.10 s),
+# the wrong trade on the scale axis for garbage-input tolerance the
+# error contract already covers.
 
 
 # --------------------------------------------------------------------------
@@ -1541,11 +1532,12 @@ def q_tpch_q5_volume(spark, sf_dir):
         # test SFs, shuffle-joins it when it outgrows the threshold
         li.join(dims, li.l_suppkey == dims.s_suppkey)
         .groupBy("l_orderkey", "n_nationkey")
-        # exact-e4 revenue carried as an exact INTEGER through the
-        # intermediate agg so the final sum is order-independent; the
-        # decimal twin because this agg runs BELOW the orders-side
-        # join filter (see the _rev_e4_dec note)
-        .agg(F.sum(_rev_e4_dec()).alias("rev_e4"))
+        # exact-e4 revenue carried as a LONG through the intermediate
+        # agg so the final sum is order-independent; this agg runs
+        # BELOW the orders-side join, so the oracle mirrors the phase
+        # with a materialized pre-agg (see the asymmetric-overflow
+        # note at _rev_e4)
+        .agg(F.sum(_rev_e4()).alias("rev_e4"))
     )
     cust_asia = cust.join(
         F.broadcast(asia_nations.select("n_nationkey")),
@@ -1576,13 +1568,24 @@ def q_tpch_q5_volume(spark, sf_dir):
 
 
 SQL_TPCH_Q5 = f"""
+-- li_agg mirrors the engine's pre-join aggregation phase, MATERIALIZED
+-- so the revenue product is evaluated on the same row set the engine
+-- evaluates it on (asymmetric-overflow note at _rev_e4): every
+-- ASIA-supplier lineitem row, including ones whose order/customer the
+-- later joins discard
+WITH li_agg AS MATERIALIZED (
+  SELECT l_orderkey, s_nationkey,
+         sum({_REV_E4_SQL}) AS rev_e4
+  FROM lineitem, supplier, nation, region
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+  GROUP BY l_orderkey, s_nationkey
+)
 SELECT n_name,
-       CAST(sum({_REV_E4_HUGE_SQL}) AS DOUBLE) / 10000.0 AS revenue
-FROM customer, orders, lineitem, supplier, nation, region
-WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-  AND r_name = 'ASIA'
+       CAST(sum(rev_e4) AS DOUBLE) / 10000.0 AS revenue
+FROM li_agg, orders, customer, nation
+WHERE l_orderkey = o_orderkey AND c_custkey = o_custkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
 GROUP BY n_name
 """
 
@@ -5163,9 +5166,10 @@ def q_tpch_q7_nation_volume(spark, sf_dir):
         "l_orderkey",
         "l_suppkey",
         F.year("l_shipdate").alias("l_year"),
-        # decimal twin: this projection runs BELOW the bloc-filtering
-        # joins (see the _rev_e4_dec note)
-        _rev_e4_dec().alias("volume_e4"),
+        # this projection runs BELOW the bloc-filtering joins, so the
+        # oracle materializes the same pre-projection (see the
+        # asymmetric-overflow note at _rev_e4)
+        _rev_e4().alias("volume_e4"),
     )
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     # supp/cust are supplier/customer-scaled: no broadcast hints (r9)
@@ -5232,13 +5236,21 @@ def q_tpch_q7_nation_volume(spark, sf_dir):
 
 
 SQL_TPCH_Q7 = f"""
+-- li mirrors the engine's pre-join volume projection, MATERIALIZED so
+-- the product is evaluated on EVERY lineitem row, as the engine does,
+-- not only on rows surviving the bloc filter (asymmetric-overflow
+-- note at _rev_e4)
+WITH li AS MATERIALIZED (
+  SELECT l_orderkey, l_suppkey, year(l_shipdate) AS l_year,
+         {_REV_E4_SQL} AS volume_e4
+  FROM lineitem
+)
 SELECT supp_nation, cust_nation, l_year,
        CAST(sum(volume_e4) AS DOUBLE) / 10000.0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-         year(l_shipdate) AS l_year,
-         {_REV_E4_HUGE_SQL} AS volume_e4
-  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         l_year, volume_e4
+  FROM supplier, li, orders, customer, nation n1, nation n2
   WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
     AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
     AND c_nationkey = n2.n_nationkey
