@@ -1,7 +1,7 @@
 """Adversarial-value corpus generator + the round-8 triage record.
 
 Builds a mutated copy of the sf0.001 corpus for differential
-robustness sweeps (``tools/check_catalog.py <out_dir>`` runs all 181
+robustness sweeps (``tools/check_catalog.py <out_dir>`` runs every catalog
 queries on Spark AND DuckDB over the same mutated files — any
 disagreement is a semantics finding, since both engines read identical
 bytes):

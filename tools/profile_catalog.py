@@ -144,8 +144,16 @@ def main() -> None:
     for n in sorted(skip):
         # loud, per-row: a skipped row must never read as covered
         print(f"SKIP  {n} (--skip)", flush=True)
-    spark = get_spark("profile-catalog")
     import os
+
+    # default to the full 32-thread harness get_spark's bare default
+    # is local[4] — an unexported SPARK_GRAFT_CPUS silently quartered
+    # every Spark wall in an r11 profile run (caught by the drift
+    # check against the prior round's record)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        "profile-catalog", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
 
     con = duckdb.connect()
     for tab in TABLES:

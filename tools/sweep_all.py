@@ -7,7 +7,8 @@ on the pristine corpus.  Prints one summary line per axis and exits
 non-zero if ANY axis fails — the round-close robustness gate as a
 single command instead of eight hand-typed ones.
 
-Axes (all 181 queries each):
+Axes (every catalog query each; the pass bar derives from
+len(CATALOG)):
 
   1. nulls      — ~10% NULLs + empty/tab/newline/quote strings, zeros
   2. extremes   — ±1e15 in money columns, --rtol 1e-9 tolerant compare
