@@ -312,10 +312,24 @@ def session_aggregates_bucketed_stream(
         """Naive session-local timestamp -> true UTC epoch MICROseconds
         (Spark timestamps are us-precision; an epoch-ms chain state
         would truncate sub-millisecond session bounds — caught by the
-        r11 replay-harness test on a us-precision corpus)."""
+        r11 replay-harness test on a us-precision corpus).
+
+        DST zones (r11 ADVICE): for a caller-built session pinned to a
+        zone with transitions, ``tz_localize`` would raise on a
+        spring-forward gap / fall-back repeat; handle both instead of
+        crashing the worker (gap -> shift forward, repeat -> first/DST
+        occurrence).  Residual caveat: the naive->UTC map is
+        non-injective across the repeated hour, so a chain whose
+        bounds fall inside it can map one DST offset early and close
+        prematurely (a split session).  Use a fixed-offset session
+        timezone (get_spark pins UTC) for exact semantics; this
+        handling only downgrades a worker crash to a bounded
+        repeated-hour inaccuracy."""
         t = pd.Timestamp(ts)
         if t.tz is None:
-            t = t.tz_localize(session_tz)
+            t = t.tz_localize(
+                session_tz, ambiguous=True, nonexistent="shift_forward"
+            )
         return int(t.value // 1_000)
 
     def _emit(uid, chain) -> pd.DataFrame:
@@ -813,15 +827,22 @@ def replay_session_aggregates_bucketed(
       watermark can never process them, the one documented difference
       from the batch twins;
     * events are split into ``n_files`` NON-OVERLAPPING time-range
-      parquet files named in range order.  The file source replays
-      them one per micro-batch in name order, so the watermark (which
-      only advances after a batch) can never drop an in-order event —
-      ties share a file, making the replay row-order- and
-      layout-invariant (scramble sweep);
-    * one far-future SENTINEL event (user -1, max ts + 30 days)
-      advances the final watermark past every real chain's timer
-      target, closing all sessions; the sentinel's own chain can
-      never close, so it is absent from the output by construction.
+      parquet files.  Spark's file source orders files by MODIFICATION
+      TIME (ms granularity), not name, so the writer pins strictly
+      increasing ``os.utime`` stamps in range order (r11 ADVICE: an
+      mtime tie between adjacent range files could otherwise replay a
+      later range first and watermark-drop the earlier file).  One
+      file per micro-batch means the watermark (which only advances
+      after a batch) can never drop an in-order event — ties share a
+      file, making the replay row-order- and layout-invariant
+      (scramble sweep);
+    * one far-future SENTINEL event (key ``min(-1, min(user_id) - 1)``
+      — derived below the real key domain so a corpus containing a
+      genuine user -1 cannot be merged into it (r11 ADVICE), ts =
+      max ts + 30 days) advances the final watermark past every real
+      chain's timer target, closing all sessions; the sentinel's own
+      chain can never close, so it is absent from the output by
+      construction.
 
     Needs the RocksDB state store (set for the query, restored after)
     and a protobuf runtime (pbshim).  Output matches
@@ -843,18 +864,28 @@ def replay_session_aggregates_bucketed(
     bounds = ev.agg(
         F.min(F.unix_timestamp("ts")).alias("lo"),
         F.max(F.unix_timestamp("ts")).alias("hi"),
+        F.min("user_id").alias("min_uid"),
     ).collect()[0]
 
     d = tempfile.mkdtemp(prefix="spark_graft_replay_")
     in_dir = os.path.join(d, "in")
     os.makedirs(in_dir)
 
+    mtime_seq = [0]
+
     def dump(df, name):
         stage = os.path.join(d, "stage_" + name)
         df.coalesce(1).write.mode("overwrite").parquet(stage)
         parts = glob.glob(stage + "/part-*.parquet")
         if parts:  # an empty time slice writes no part file
-            shutil.move(parts[0], os.path.join(in_dir, name + ".parquet"))
+            dest = os.path.join(in_dir, name + ".parquet")
+            shutil.move(parts[0], dest)
+            # FileStreamSource orders by mtime, not name — pin strictly
+            # increasing stamps (1s apart, far above ms granularity) so
+            # replay order IS range order (see docstring)
+            mtime_seq[0] += 1
+            t = 1_000_000_000 + mtime_seq[0]
+            os.utime(dest, (t, t))
         shutil.rmtree(stage)
 
     if bounds["lo"] is not None:
@@ -869,9 +900,14 @@ def replay_session_aggregates_bucketed(
         sentinel_ts = hi + 30 * 86400
     else:
         sentinel_ts = 10_000_000  # empty corpus: any epoch works
+    # sentinel key strictly below the real key domain (a real user -1
+    # would otherwise merge into the never-closing sentinel chain and
+    # vanish from the output)
+    min_uid = bounds["min_uid"]
+    sentinel_uid = -1 if min_uid is None else min(-1, int(min_uid) - 1)
     dump(
         spark.createDataFrame(
-            [(-1, -1, "sentinel", None, None)],
+            [(-1, sentinel_uid, "sentinel", None, None)],
             "event_id long, user_id long, event_type string, "
             "value double, props string",
         ).select(

@@ -738,3 +738,26 @@ def test_replay_harness_matches_batch_and_is_deterministic(spark, event_dir):
         spark, batch.orderBy(F.md5(F.col("event_id").cast("string")))
     )
     assert _rows(again, cols) == got_rows
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs the protobuf package "
+    "(Spark's Python state-server protocol), not installed in this "
+    "environment; the batch bucketed twin is fully parity-tested",
+)
+def test_replay_harness_survives_real_user_minus_one(spark, event_dir):
+    """r11 ADVICE: a genuine user -1 in the corpus must NOT merge into
+    the replay sentinel's never-closing chain (the sentinel key is now
+    derived below the real key domain), so its sessions appear in the
+    output exactly like the batch twin's."""
+    batch = _batch_events(spark, event_dir).where(F.col("ts").isNotNull())
+    neg = batch.limit(7).withColumn("user_id", F.lit(-1).cast("long"))
+    corpus = batch.unionByName(neg)
+    cols = [
+        "user_id", "session_start", "session_end", "n_events", "sum_value",
+    ]
+    got = STR.replay_session_aggregates_bucketed(spark, corpus)
+    want = STR.session_aggregates_bucketed(corpus, "10 minutes", "1 hour")
+    got_rows = _rows(got, cols)
+    assert any(r[0] == -1 for r in got_rows)  # the planted user survives
+    assert got_rows == _rows(want, cols)
