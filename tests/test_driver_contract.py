@@ -78,31 +78,33 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_check_window_ordering_pinned():
     """The driver grades the FIRST 50 registry entries; this pins the
-    round-11 check window (the one post-freeze addition
-    lsh_candidate_pairs_prod + the 31 remaining r7-window rows + first
-    18 of the r8-window set — see the registry header) so a refactor
-    cannot silently reorder the dict and destroy the graded window.
-    UPDATE THIS LIST ONLY when a rotation is deliberately applied
-    (tools/rotate_catalog_r11.py --apply)."""
+    round-12 check window (the never-driver-checked streaming replay
+    row session_aggregates_bucketed_stream in slot 1 + the 32
+    remaining r8-window rows + the first 17 r9-window rows — see the
+    registry header ledger) so a refactor cannot silently reorder the
+    dict and destroy the graded window.  UPDATE THIS LIST ONLY when a
+    rotation is deliberately applied
+    (tools/rotate_catalog_r12.py --apply)."""
     from ena_database_build_spark.plans.catalog import CATALOG
 
     expected = [
-        "lsh_candidate_pairs_prod", "tpch_q3_shipping",
-        "tpch_q5_volume", "dedup_exact", "minhash_signatures",
-        "lsh_candidate_pairs", "simhash", "jaccard_pairs",
-        "dedup_clusters", "asof_join", "range_join_transit",
-        "transit_sweepline", "rollup_revenue", "order_analytics",
-        "quantiles_exact", "approx_quantiles", "kmeans_clusters",
-        "embedding_quantize", "corpus_curation", "repetition_stats",
-        "pii_scrub", "tfidf_top_terms", "bm25_top_terms",
-        "inverted_index", "phrase_search", "decontaminate",
-        "unigram_logprob", "pack_sequences", "mixture_rebalance",
-        "doc_chunks", "corpus_shuffle", "json_roundtrip",
-        "transit_payload", "tpch_q4_priority", "tpch_q18_large_orders",
-        "dedup_incremental", "purchase_attribution", "quality_gate",
-        "hash_sample", "train_test_split", "stratified_sample",
-        "cosine_topk", "srp_buckets", "dedup_embedding", "ivf_topk",
-        "lang_id", "quality_scores", "token_counts",
-        "doc_fingerprints", "rolling_fingerprints",
+        "session_aggregates_bucketed_stream", "boilerplate_kgrams",
+        "top_ngrams", "events_tumbling", "events_sliding",
+        "events_sessions", "approx_distinct", "exact_distinct",
+        "multimodal_decode", "multimodal_frames", "events_pivot",
+        "props_extract", "stream_totals", "stream_dedup",
+        "heavy_hitters", "semantic_dedup", "scd2_user_state",
+        "pagerank_suppliers", "zorder_values", "embedding_project",
+        "embedding_meanpool", "table_profile", "source_cap",
+        "snapshot_diff", "cdc_latest_state", "bloom_decontaminate",
+        "bpe_pair_counts", "bpe_merges", "incremental_stats",
+        "orc_roundtrip", "stream_enrichment", "dq_report",
+        "asof_join_bucketed", "hash_sample_weighted",
+        "near_dedup_incremental", "tpch_q7_nation_volume",
+        "tpch_q13_order_distribution", "user_retention",
+        "compaction_plan", "funnel_conversion", "replica_diff",
+        "line_dedup", "activity_streaks", "batch_cosine_topk",
+        "event_transitions", "top_purchases", "schema_evolution",
+        "span_corruption", "mixture_upsample", "script_composition",
     ]
     assert list(CATALOG)[:50] == expected

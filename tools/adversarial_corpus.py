@@ -20,8 +20,11 @@ Float-MAGNITUDE extremes (1e15) are NOT planted in the default mode:
 they make every multi-term float SUM order-sensitive, which the exact
 6-dp value hash reports as engine-noise, not semantics (measured: 16
 spurious failures from that alone).  The ``extremes`` mode (r8 verdict
-#5) plants them anyway — ±1e15 next to cent-sized values in the money
-columns (EXTREME_COLS) — and is adjudicated with the tolerant compare
+#5) plants them anyway — ±1e15 next to cent-sized values in the
+float-only money columns (EXTREME_COLS), ±1e4 in the exact-integer
+money columns (EXTREME_MONEY_EXACT_COLS — bounded below int64
+products so those rows VALUE-compare instead of both-raising; see the
+constants) — and is adjudicated with the tolerant compare
 (``tools/check_catalog.py <dir> --rtol 1e-9``), under which
 addition-order ulp drift passes while real semantic divergence fails.
 Extremes go ONLY into columns no catalog query casts to a narrower
@@ -33,11 +36,14 @@ effects.
 
 Round-9 extremes result: **181/181 adjudicated** — 180 rows value-
 agree under ``--rtol 1e-9`` (zero spurious sum-order failures; the 16
-r8 false alarms are gone), and ``tpch_q7_nation_volume`` adjudicates
+r8 false alarms are gone), and ``tpch_q7_nation_volume`` adjudicated
 as BOTH-ENGINES-RAISE: its exact-cents bigint device (price-cents x
-discount-basis-points, the cross-engine rounding fix) overflows int64
-at 1e15-magnitude prices, and Spark (ARITHMETIC_OVERFLOW) and DuckDB
-(INT64 out of range) agree on the error contract — check_catalog
+discount-basis-points, the cross-engine rounding fix) overflowed
+int64 at the then-planted 1e15 prices, with Spark
+(ARITHMETIC_OVERFLOW) and DuckDB (INT64 out of range) agreeing on the
+error contract.  Since r12 the exact-money columns plant at ±1e4
+(below every int64 product), so the whole catalog value-compares and
+the both-raise path stays only as a backstop — check_catalog
 reports both-raise as agreement, printing both messages so a
 mismatched reason would stay visible.
 
@@ -158,7 +164,21 @@ UNICODE_PAYLOADS = [
 # catalog (sum/avg/product/compare) — safe to push to 1e15 magnitudes.
 # l_quantity is EXCLUDED: transit_sweepline/tpch_q18 cast it to INT,
 # where 1e15 overflows and both engines raise per ANSI.
-EXTREME_COLS = {"l_extendedprice", "l_discount", "l_tax", "o_totalprice"}
+EXTREME_COLS = {"o_totalprice"}
+
+# lineitem money columns feed the EXACT-INTEGER e4/e6 forms (q1/q5/q7/
+# j1/rollup — see catalog's _rev_e4 note).  Planted at ±1e4, not ±1e15
+# (r11 verdict #5): 1e4 is still ~100x any realistic price/discount,
+# but the worst per-row product — q1's three-term e6 charge,
+# (1e6)^3 = 1e18 — stays below int64, so BOTH engines COMPUTE the
+# planted rows exactly and the sweep VALUE-compares them.  At ±1e15
+# the rows adjudicated as both-raise-ARITHMETIC_OVERFLOW instead — a
+# weaker check that also forced q5/q7's oracles to mirror the
+# engine's pre-join plan shape (AS MATERIALIZED) just so the raise
+# was symmetric; bounded planting restores plan-shape-independent
+# oracles AND upgrades the adjudication to value equality.
+EXTREME_MONEY_EXACT_COLS = {"l_extendedprice", "l_discount", "l_tax"}
+EXTREME_MONEY_EXACT_MAG = 1.0e4
 
 
 def mutate_empty(src: str, out_dir: str) -> None:
@@ -211,8 +231,10 @@ def mutate_unicode(src: str, out_dir: str) -> None:
 
 
 def mutate_extremes(src: str, out_dir: str) -> None:
-    """±1e15 planted at deterministic positions in EXTREME_COLS; every
-    other column byte-identical to the source."""
+    """±1e15 planted at deterministic positions in EXTREME_COLS, ±1e4
+    in EXTREME_MONEY_EXACT_COLS (bounded below every int64 product so
+    the exact-integer money forms VALUE-compare — see the constant's
+    note); every other column byte-identical to the source."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     for t in TABLES:
@@ -222,17 +244,24 @@ def mutate_extremes(src: str, out_dir: str) -> None:
         planted = 0
         for i, f in enumerate(tbl.schema):
             col = tbl.column(i)
-            if f.name not in EXTREME_COLS or n == 0:
+            if f.name in EXTREME_COLS:
+                mag = 1.0e15
+            elif f.name in EXTREME_MONEY_EXACT_COLS:
+                mag = EXTREME_MONEY_EXACT_MAG
+            else:
+                cols[f.name] = col
+                continue
+            if n == 0:
                 cols[f.name] = col
                 continue
             vals = col.to_pylist()
             for j in range(n):
                 r = (j * 48271) % 103
                 if r == 0:
-                    vals[j] = 1.0e15
+                    vals[j] = mag
                     planted += 1
                 elif r == 50:
-                    vals[j] = -1.0e15
+                    vals[j] = -mag
                     planted += 1
             cols[f.name] = pa.array(vals, type=f.type)
         pq.write_table(pa.table(cols), out / f"{t}.parquet")
