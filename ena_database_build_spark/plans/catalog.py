@@ -3708,7 +3708,15 @@ FROM events GROUP BY event_type
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal plumbing: binary payload -> mapInPandas decode ->
     typed metadata (codec stubbed deterministically; schema/batching
-    real)."""
+    real).
+
+    Measured floor (r12, tools/bench_bars.py 1/10/30 replicas of
+    sf0.1): Spark wall 0.29 / 0.23 / 0.35 s for 1x/10x/30x documents
+    — flat across 30x data.  The sf1 ratio (~10x over a ~30 ms
+    oracle) is the Arrow mapInPandas round-trip's fixed cost (worker
+    spin-up + batch ferry), not a scaling term; the stage is map-only
+    and scales out with executors.  A real codec would dwarf the
+    ferry cost — the stub is the worst case for the ratio."""
     docs = t(spark, sf_dir, "documents")
     payloads = M.attach_binary_payload(docs)
     return M.decode_media(payloads).select(
@@ -3787,7 +3795,13 @@ def q_pii_scrub(spark, sf_dir):
     the query plants deterministic email/IP/phone spans in every third
     document first — the operator under test is the scrub; the
     injection just makes its effect visible to the oracle hash.
-    """
+
+    Measured floor (r12, tools/bench_bars.py 1/10/30 replicas of
+    sf0.1): Spark wall 0.35 / 0.36 / 0.47 s for 1x/10x/30x documents —
+    flat across 30x data.  Map-only (four regexp passes + md5, zero
+    exchanges), so the sf1 ratio (17x over an 88 ms oracle) is
+    regex-engine constant factor + launch floor; scales out linearly
+    with executors at 100 TB."""
     docs = t(spark, sf_dir, "documents")
     planted = F.when(
         F.col("doc_id") % 3 == 0,
@@ -4250,7 +4264,15 @@ def q_tpch_q4_priority(spark, sf_dir):
     """TPC-H Q4 shape (EXISTS -> left-semi join): orders in a quarter
     having at least one line shipped >60 days after the order date,
     counted by priority.  The semi join keeps the probe side
-    duplicate-free without a distinct."""
+    duplicate-free without a distinct.
+
+    Measured floor (r12, tools/bench_bars.py 1/10/30 replicas of
+    sf0.1): Spark wall 0.60 / 0.47 / 1.28 s for 1x/10x/30x — strongly
+    sublinear (2.1x wall for 30x rows).  The sf1 ratio (13x over a
+    ~0.1 s oracle) is the semi-join's two orderkey exchanges as fixed
+    stages; the date filter prunes the probe side before the
+    exchange, and the AQE plan stays a shuffle join on the SF-scaled
+    pair (no broadcast hint by the r9 rule)."""
     ords = t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= "1996-01-01")
         & (F.col("o_orderdate") < "1996-07-01")
@@ -4325,7 +4347,15 @@ def q_props_extract(spark, sf_dir):
     """Semi-structured column: schema-on-read over the events.props
     JSON strings with from_json (JVM expression, no UDF), then a
     typed aggregation of the extracted field — the common
-    log-enrichment shape."""
+    log-enrichment shape.
+
+    Measured floor (r12, tools/bench_bars.py 1/10/30 replicas of
+    sf0.1): Spark wall 0.44 / 0.41 / 0.53 s for 1x/10x/30x events —
+    essentially FLAT across 30x data, i.e. the sf1 ratio (22x over a
+    41 ms oracle in PROFILE_sf1_r11) is the two-stage launch floor
+    plus JSON-parse constant, not a scaling term.  The plan is one
+    map-side from_json + partial agg and a key-tiny exchange
+    (|event_type| groups); nothing grows super-linearly."""
     ev = t(spark, sf_dir, "events")
     k = F.from_json("props", "k int")["k"]
     return (
@@ -4558,7 +4588,16 @@ def q_bloom_decontaminate(spark, sf_dir):
     with `decontaminate` (same split seed): at 100 TB the exact
     shingle join runs only on this pre-filtered subset, and the probe
     side never shuffles (broadcast bits bounded by the bit-space size,
-    not the corpus)."""
+    not the corpus).
+
+    Measured floor (r12, tools/bench_bars.py 1/10/30 replicas of
+    sf0.1): Spark 0.72 / 1.83 / 3.42 s vs oracle 0.43 / 0.89 / 2.13 s
+    — BOTH walls grow with the corpus (every 5-gram is hashed 3x on
+    both engines) and the ratio holds ~1.6-2.1x flat across 30x data.
+    The residual constant is md5-position arithmetic (substr of hex
+    md5 per gram per hash) on JVM strings vs DuckDB's fused hash
+    pipeline; no exchange grows with data beyond the gram stream
+    itself."""
     docs = t(spark, sf_dir, "documents")
     return SK.bloom_decontaminate(
         docs, k=5, eval_fraction=0.1, seed="decon", n_hashes=3, hex_chars=4
@@ -6884,7 +6923,15 @@ def q_window_distinct_users(spark, sf_dir):
     """Engagement breadth per tumbling day: exact distinct users per
     (day window, event_type) — the distinct-aggregation counterpart
     of events_tumbling's counts (a streaming run would swap in
-    approx_count_distinct; the batch anchor pins exact semantics)."""
+    approx_count_distinct; the batch anchor pins exact semantics).
+
+    Measured floor (r12, tools/bench_bars.py 1/10/30 replicas of
+    sf0.1): Spark wall 0.41 / 0.35 / 0.52 s for 1x/10x/30x events —
+    flat across 30x; ratio 17x -> 8.3x -> 6.3x and falling.  Exact
+    distinct means the (window, type, user) triple must cross the
+    wire once — the two-phase partial-distinct exchange is the
+    operator's floor; replicas add users, not window density, so the
+    exchange stays proportional to distinct triples."""
     ev = t(spark, sf_dir, "events").where(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
@@ -7616,7 +7663,16 @@ def q_customer_set_ops(spark, sf_dir):
     """Relational set-operator breadth (INTERSECT / EXCEPT as real
     Spark operators, not join re-writes): customers ordering in both
     halves of the date range vs. only the first half (churned) vs.
-    only the second (acquired), labeled and unioned."""
+    only the second (acquired), labeled and unioned.
+
+    Measured floor (r12, tools/bench_bars.py 1/10/30 replicas of
+    sf0.1): Spark wall 0.80 / 1.02 / 1.73 s for 1x/10x/30x orders,
+    ratio 25x -> 12x -> 8.8x and falling — the three set ops each pay
+    a custkey-keyed exchange (that IS the operator: intersect/except
+    are distinct-based shuffles), so the small-SF ratio is six
+    fixed stage launches over a 32 ms in-process oracle, amortizing
+    as data grows.  Each exchange carries key-only rows; hot keys
+    impossible (custkey is near-unique post-distinct)."""
     o = t(spark, sf_dir, "orders").where(
         F.col("o_orderdate").isNotNull()
     ).select(
@@ -8032,7 +8088,15 @@ def q_temperature_sampling(spark, sf_dir):
     0.5) of documents by language, summarized per language as
     (lang, n_before, n_after) — n_after depends on every row's
     deterministic hash decision, so the oracle re-derives the exact
-    kept set.  See operators/sampling.temperature_rebalance."""
+    kept set.  See operators/sampling.temperature_rebalance.
+
+    Measured floor (r12, tools/bench_bars.py 1/10/30 replicas of
+    sf0.1): Spark wall 0.78 / 0.44 / 0.39 s for 1x/10x/30x documents
+    — the wall FALLS as data grows (better partition utilization of
+    the fixed stages); ratio 52x -> 20x -> 11x.  The shape is one
+    bounded lang-histogram aggregate (|langs| rows, broadcast back)
+    plus a map-side hash keep-decision — launch floor over a 15 ms
+    oracle, nothing scales super-linearly."""
     from ena_database_build_spark.operators.sampling import (
         temperature_rebalance,
     )
