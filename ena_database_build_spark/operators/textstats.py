@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 
 from ena_database_build_spark.operators.dedup import (
     normalized_text,
-    spread_by_id,
     tokens,
 )
 

@@ -8699,6 +8699,15 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #     1 + 32 + 17 = 50; registry is 183 entries after r11.  Steady
 #     state is a ~3.7-round rotation at 50 checked entries per round —
 #     hold net-new additions near zero so the cycle stays tight.
+#   round-12 robustness battery (run AFTER the rotation, the k-gram
+#     re-platform, the streaming-replay hardening and the
+#     bounded-extremes change): 8/8 axes green at 183/183 each
+#     (nulls 216s, extremes 227s, unicode 219s, empty 111s, scramble
+#     229s, skew 222s, conf 218s, scramble+conf 208s).  The extremes
+#     axis now plants exact-money columns at ±1e4 (below every int64
+#     product), so ALL 183 rows VALUE-compare — no both-raise
+#     adjudications remain, and q5/q7's oracles are plain
+#     filter-first joins again (see the asymmetric-overflow note).
 #   round-8 adversarial-value sweep (tools/adversarial_corpus.py —
 #     NULLs in every non-key column, empty/control-char strings,
 #     zeros, empty arrays; both engines read the same mutated bytes):

@@ -11,7 +11,10 @@ Axes (every catalog query each; the pass bar derives from
 len(CATALOG)):
 
   1. nulls      — ~10% NULLs + empty/tab/newline/quote strings, zeros
-  2. extremes   — ±1e15 in money columns, --rtol 1e-9 tolerant compare
+  2. extremes   — ±1e15 in float-only money columns, ±1e4 in the
+                  exact-integer money columns (bounded below int64
+                  products so the exact forms VALUE-compare — r12),
+                  --rtol 1e-9 tolerant compare
   3. unicode    — exotic-but-cross-engine-agreeing payloads
   4. empty      — zero-row tables, real schemas
   5. scramble   — row-permuted multi-file layout (layout invariance)
