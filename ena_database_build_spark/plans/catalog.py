@@ -2022,7 +2022,10 @@ SELECT doc_id, {_simhash_sql()} AS simhash FROM toks
 
 def q_jaccard_pairs(spark, sf_dir):
     """Exact 2-shingle Jaccard on the LSH candidate pairs (verify step
-    of near-dedup).  16x4 banding — see q_lsh_candidate_pairs (r11)."""
+    of near-dedup).  16x4 banding — see q_lsh_candidate_pairs (r11).
+    Multi-second at sf1 on BOTH engines (the shingle streams dominate);
+    Spark runs it sub-1x vs the oracle — scale posture in
+    operators/dedup.py (banding sizes the candidate set)."""
     docs = t(spark, sf_dir, "documents")
     pairs = D.lsh_candidate_pairs(docs, num_hashes=16, band_size=4, k=2)
     return D.jaccard_pairs(docs, pairs, k=2).select(
@@ -2309,7 +2312,14 @@ FROM reach GROUP BY n
 def q_cosine_topk(spark, sf_dir):
     """Brute-force ANN baseline: cosine top-20 to the vec_id=0 vector.
     The query vector joins in as a broadcast 1-row relation — no driver
-    collect, one job."""
+    collect, one job.
+
+    Ratio posture: ~0.27 s at sf1 over a ~17 ms vectorized-fold
+    oracle — one broadcast + one top-k exchange as launch floor.  The
+    r11 bench drift (+27% with no code change) was adjudicated
+    environmental in r12: a quiet-host rerun (0.169 s) overlaps the
+    r10 spread, and an isolated-process A/B of the tz-pin/pbshim
+    changes showed no effect (README round-12 notes)."""
     emb = t(spark, sf_dir, "embeddings")
     q = F.broadcast(
         emb.where(F.col("vec_id") == 0).select(
@@ -3691,7 +3701,12 @@ FROM events GROUP BY event_type
 
 
 def q_exact_distinct(spark, sf_dir):
-    """Exact-distinct companion to the HLL sketch (oracle-checkable)."""
+    """Exact-distinct companion to the HLL sketch (oracle-checkable).
+
+    Ratio posture: the two-phase partial-distinct exchange is the
+    whole plan; at sf1 the Spark wall is ~0.26 s over a ~16 ms
+    in-process hash — stage-launch floor, the same regime as
+    window_distinct_users (whose 1/10/30x curve is flat)."""
     return (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -4396,7 +4411,11 @@ def q_events_pivot(spark, sf_dir):
     pivot values EXPLICITLY matters at scale — without them Spark runs
     a separate distinct-scan job over the full input before it can
     even plan; with them the pivot compiles to one hash aggregation
-    with map-side partials, same cost as a plain groupBy."""
+    with map-side partials, same cost as a plain groupBy.
+
+    Ratio posture: ~0.3 s flat at sf1 over an 18 ms oracle — the one
+    user-keyed exchange as launch floor; the aggregation itself is
+    map-side-combined, nothing grows super-linearly."""
     wide = (
         t(spark, sf_dir, "events", spread=True)
         .groupBy("user_id")
@@ -4797,7 +4816,11 @@ def q_incremental_stats(spark, sf_dir):
     proves stats(base ∪ delta) == merge of partials, i.e. a new crawl
     updates 100 TB corpus stats from the delta alone.  Derived
     mean/variance are single float expressions over exact integer
-    partials, hence engine-portable."""
+    partials, hence engine-portable.
+
+    Ratio posture: ~0.16 s flat at sf1 over an 8 ms oracle — two
+    key-tiny partial aggregates + a |sources|-row merge; pure launch
+    floor, the deliberately-cheap shape of the operator."""
     docs = t(spark, sf_dir, "documents")
     base = docs.where(F.col("doc_id") % 10 != 0)
     delta = docs.where(F.col("doc_id") % 10 == 0)
