@@ -8731,6 +8731,12 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #     1 + 32 + 17 = 50; registry is 183 entries after r11.  Steady
 #     state is a ~3.7-round rotation at 50 checked entries per round —
 #     hold net-new additions near zero so the cycle stays tight.
+#   round 13 (script pre-written in r12: tools/rotate_catalog_r13.py,
+#     dry-run default, run with --apply at r13 start AFTER verifying
+#     CORRECTNESS_r12 is 50/50 green): the remaining 33 r9-window
+#     rows (bpe_compression .. near_dedup_keep_longest) + the first
+#     17 of the r10-window set (phash_buckets .. customer_set_ops).
+#     33 + 17 = 50; registry stays at 183, zero net-new additions.
 #   round-12 closing verification (final tree): FULL 183-query
 #     catalog re-verified against the oracle at BOTH sf0.01 and
 #     sf0.1 (183/183 each), plan_audit 183/183 clean, pytest 375
