@@ -7822,7 +7822,21 @@ def q_session_aggregates_bucketed_stream(spark, sf_dir):
     anchored against the batch gaps-and-islands oracle.  Rows with
     NULL ts are dropped upfront on both sides (a watermark can never
     process them — the one documented batch/stream difference).  See
-    replay_session_aggregates_bucketed for the replay protocol."""
+    replay_session_aggregates_bucketed for the replay protocol.
+
+    TIMING DISCLOSURE (ratio hygiene, r12): this row grades
+    CORRECTNESS of the real streaming path; its bench/profile timing
+    is NOT a throughput signal.  The streaming query executes EAGERLY
+    inside this function (a memory sink must be filled before the
+    returned DataFrame exists), so the noop-write protocol times only
+    the sink scan (~0.17 s at sf0.1).  The honest end-to-end wall —
+    replay file split + 9 micro-batches + RocksDB TWS + sink read —
+    measured 85 s at sf0.1 (~10 s/micro-batch: Python-worker state
+    server spin-up per batch dominates, amortized away on a
+    long-running production stream where batches arrive continuously).
+    Streaming-vs-batch THROUGHPUT comparisons belong to the batch
+    twins (events_sessions, session_aggregates_bucketed), which are
+    priced normally."""
     from ena_database_build_spark.streaming.events import (
         replay_session_aggregates_bucketed,
     )
