@@ -258,7 +258,13 @@ def rolling_fingerprints(df, text_col: str = "text", id_col: str = "doc_id"):
     projection over the scan.  Docs with fewer than ``RH_K``
     normalized chars (or NULL text) have no k-grams and are absent
     from the output, exactly as the exploded form's empty groups
-    were."""
+    were.
+
+    Measured curve (r12, tools/bench_bars.py 1/10/30/100 replicas of
+    sf0.1, i.e. up to ~sf10): Spark 1.01 / 1.09 / 1.23 / 6.39 s vs
+    oracle 2.01 / 2.26 / 2.55 / 9.83 s — ratio 0.50/0.48/0.48/0.65,
+    Spark ahead at every point.  (The r11 char-explode + window form
+    was 6.0x at sf1.)"""
     staged = _with_kgram_codes(df, text_col, id_col)
     # distinct computed ONCE: explode(array(..)) is a one-element
     # Generate BARRIER — the optimizer inlines a multiply-referenced
@@ -302,6 +308,11 @@ def boilerplate_kgrams(
     distinct-aggregate machinery.  One shuffle keyed on the hash,
     map-side partial aggregation, no joins; the output is only the
     shared tail of the hash distribution, tiny next to the corpus.
+
+    Measured curve (r12, tools/bench_bars.py 1/10/30/100 replicas of
+    sf0.1, i.e. up to ~sf10): Spark 1.36 / 1.40 / 1.72 / 7.32 s vs
+    oracle 2.04 / 2.16 / 2.79 / 9.18 s — ratio 0.67/0.65/0.62/0.80,
+    Spark ahead at every point.  (The r11 form was 4.3x at sf1.)
     """
     staged = _with_kgram_codes(df, text_col, id_col)
     dedup = staged.select(
