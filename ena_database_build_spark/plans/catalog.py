@@ -1517,6 +1517,9 @@ def q_tpch_q5_volume(spark, sf_dir):
       forced broadcast is always honored — AQE decides from runtime
       sizes.
 
+    - n_name (a string) is attached by a 5-row broadcast at the very
+      end, after the final groupBy, so no shuffle ever carries it.
+
     Measured floor (r12, tools/bench_bars.py 1/10/30 replicas of
     sf0.1): Spark wall 1.03 / 1.03 / 1.69 s — flat to x10, 1.6x for
     30x rows; ratio 16x -> 8.6x -> 8.3x.  The plateau is the price of
@@ -1525,8 +1528,6 @@ def q_tpch_q5_volume(spark, sf_dir):
     hash-join oracle — the same multi-join class as
     tpch_q7_nation_volume's documented 4.9x floor; every exchange
     carries key-pruned rows and scales out with executors.
-    - n_name (a string) is attached by a 5-row broadcast at the very
-      end, after the final groupBy, so no shuffle ever carries it.
     """
     region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = t(spark, sf_dir, "nation")
