@@ -502,16 +502,23 @@ def simhash_candidates(
         F.posexplode(band_arr).alias("band_idx", "band_key"),
     )
     if max_bucket is not None:
-        # keep only information-carrying buckets (see docstring); the
-        # bucket-size relation is bucket-cardinality-bounded and joins
-        # on the same (band_idx, band_key) the candidate join uses
-        kept = (
-            rows.groupBy("band_idx", "band_key")
-            .agg(F.count("*").alias("_bn"))
+        # keep only information-carrying buckets (see docstring).  The
+        # bucket census is a WINDOW count over the same
+        # (band_idx, band_key) exchange the candidate self-join needs —
+        # NOT a separate aggregate joined back: that form re-executed
+        # the whole scan+simhash subtree for the census branch (caught
+        # by tools/scan_audit.py in r12: 2 scans vs the manifest's 1),
+        # recomputing every signature twice.  The window's exchange is
+        # the join's exchange, so signatures are computed once and the
+        # self-join sides collapse to one ReusedExchange.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_key")
+        rows = (
+            rows.withColumn("_bn", F.count("*").over(w))
             .where(F.col("_bn") <= max_bucket)
-            .select("band_idx", "band_key")
+            .drop("_bn")
         )
-        rows = rows.join(kept, ["band_idx", "band_key"])
         left = rows.select(
             F.col(id_col).alias("left_id"),
             F.col("_sig").alias("_sl"),

@@ -8855,6 +8855,17 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #       re-greened locally via check_catalog at sf0.01 and sf0.1.
 #       dedup_embedding / semantic_dedup gained a salt escape hatch
 #       DEFAULTED OFF (salt=1 keeps the banked plans byte-identical).
+#   r12: simhash_candidates bucket census re-platformed from a
+#       groupBy-count + join-back (which RE-EXECUTED the whole
+#       scan+simhash subtree for the census branch — caught by
+#       tools/scan_audit.py, 2 scans vs the manifest's 1; the r11 cap
+#       introduced it and r11 never ran the scan audit) to a WINDOW
+#       count over the same (band_idx, band_key) exchange the
+#       candidate self-join consumes: signatures computed once, one
+#       scan again, sf1 9.5 s (r11) -> 1.8 s (0.26x vs oracle).  Same
+#       rows/values; re-greened via check_catalog at sf0.01 + sf0.1
+#       and on all six adversarial corpora + the conf axis; the row
+#       re-earns a driver row in its r13 slot.
 #   r8: dedup_embedding / semantic_dedup flipped to salt='auto' (r7
 #       verdict #4) — both rows are IN the r8 window, so the driver
 #       grades them on the salted configuration; salt-vs-unsalted
