@@ -8754,12 +8754,16 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #     33 + 17 = 50; registry stays at 183, zero net-new additions.
 #   round-12 closing verification (final tree): FULL 183-query
 #     catalog re-verified against the oracle at BOTH sf0.01 and
-#     sf0.1 (183/183 each), plan_audit 183/183 clean, pytest 375
-#     passed / 1 env-gated skip (MySQL wire), bench.py 5.853 s vs
-#     4.264 s oracle = 1.373x (best round yet; cosine_topk 0.137 s,
-#     back inside the r10 spread — the r11 drift adjudicated as
-#     ambient load), full-catalog profiles at BOTH SFs with zero
-#     skips: sf0.1 83.9/103.6 s = 0.81x, sf1 166.2/444.0 s = 0.37x.
+#     sf0.1 (183/183 each), plan_audit 183/183 clean, scan_audit
+#     183/183 within budget (after it caught and r12 fixed the
+#     simhash_candidates census re-execution — see the r12 swap note
+#     below), pytest 375 passed / 1 env-gated skip (MySQL wire),
+#     bench.py 5.853 s vs 4.264 s oracle = 1.373x (best round yet;
+#     cosine_topk 0.137 s, back inside the r10 spread — the r11 drift
+#     adjudicated as ambient load), full-catalog profiles at BOTH SFs
+#     with zero skips: sf0.1 83.9/103.6 s = 0.81x, sf1
+#     166.2/444.0 s = 0.37x.  Reference differential byte-identical
+#     at 64x500 and 192x1000 (2.04x faster at scale).
 #   round-12 robustness battery (run AFTER the rotation, the k-gram
 #     re-platform, the streaming-replay hardening and the
 #     bounded-extremes change): 8/8 axes green at 183/183 each
