@@ -3674,16 +3674,31 @@ def q_approx_distinct(spark, sf_dir):
     Measured floor (r11 bench_bars, x1/x10/x30/x100 sf0.1 events
     replicas, local[32]): ratio 42.7 / 45.4 / 35.1 / 34.3 — FALLING,
     wall 0.98 -> 2.5 s over a 100x corpus (2.6x for 100x data): the
-    sf1 ~58x headline is the fixed Expand+HLL stage floor over a
+    sf1 ~58x headline was the fixed Expand+HLL stage floor over a
     ~20 ms oracle, not a growth term.  The sketch payload is
     register-count-bounded per group, so the shuffle term is constant
-    in corpus size; only the scan grows."""
-    return (
+    in corpus size; only the scan grows.
+
+    r12 Expand removal: mixing countDistinct with the HLL in ONE agg
+    made Spark Expand-duplicate every input row (one copy per
+    aggregate path).  HLL is DUPLICATE-INSENSITIVE — the same distinct
+    set produces the same registers, hence the same estimate — so both
+    aggregates now run over the pre-deduped (event_type, user_id)
+    pairs: a map-side-combinable distinct, then count(*) + the sketch
+    on rows that are each one distinct user.  Output bit-identical
+    (verified by collect-compare at sf1); wall 1.32 -> 0.39 s at sf1
+    (3.2x).  NULL user_ids drop from both aggregates exactly as
+    countDistinct dropped them."""
+    pairs = (
         t(spark, sf_dir, "events")
-        .groupBy("event_type")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
-            F.countDistinct("user_id").alias("exact_users"),
+            F.count("user_id").alias("exact_users"),
         )
         .select(
             "event_type",
