@@ -8776,9 +8776,12 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #     bench.py 5.853 s vs 4.264 s oracle = 1.373x (best round yet;
 #     cosine_topk 0.137 s, back inside the r10 spread — the r11 drift
 #     adjudicated as ambient load), full-catalog profiles at BOTH SFs
-#     with zero skips: sf0.1 83.9/103.6 s = 0.81x, sf1
-#     166.2/444.0 s = 0.37x.  Reference differential byte-identical
-#     at 64x500 and 192x1000 (2.04x faster at scale).
+#     with zero skips, REGENERATED on the final tree after the
+#     simhash_candidates and approx_distinct swaps: sf0.1
+#     85.9/106.8 s = 0.80x, sf1 185.2/413.9 s = 0.45x (a quieter
+#     mid-round run measured 166.2/444.0 = 0.37x — host swing; both
+#     runs Spark-ahead overall).  Reference differential
+#     byte-identical at 64x500 and 192x1000 (2.04x faster at scale).
 #   round-12 robustness battery (run AFTER the rotation, the k-gram
 #     re-platform, the streaming-replay hardening and the
 #     bounded-extremes change): 8/8 axes green at 183/183 each
