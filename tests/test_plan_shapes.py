@@ -455,3 +455,57 @@ def test_p3_extraction_single_regex_evaluation(spark):
     # and the values are right (incl. the >-marker strip)
     rows = {(r["id"], r["range_start"], r["range_end"]) for r in out.collect()}
     assert rows == {(1, 10, 20), (1, 300, 350)}
+
+def test_rolling_fingerprints_is_map_only(spark):
+    """r12 k-gram re-platform contract: the winnowing fingerprint is
+    ONE projection over the scan — zero exchanges (the r11 form paid a
+    doc-keyed window exchange plus a groupBy)."""
+    from ena_database_build_spark.operators import textstats as T
+
+    plan = _executed_plan(T.rolling_fingerprints(_docs(spark)))
+    assert not _exchanges(plan), plan
+
+
+def test_simhash_capped_census_shares_the_join_exchange(spark):
+    """r12 scan-audit regression pin: the max_bucket census must ride
+    the candidate join's own (band_idx, band_key) exchange, not
+    re-execute the scan+simhash subtree as a separate aggregate
+    branch.  In the AQE FINAL plan (collect first — the noop-write
+    protocol explains a copy) the whole right join side collapses to
+    one ReusedExchange and at most 3 real exchanges remain: the
+    doc-spread repartition, the band exchange, and the final pair
+    distinct."""
+    from ena_database_build_spark.operators import dedup as D
+
+    df = D.simhash_candidates(_docs(spark), max_bucket=64)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    real = [
+        ln
+        for ln in final.splitlines()
+        if re.search(r"\bExchange\b", ln)
+        and "ReusedExchange" not in ln
+        and "BroadcastExchange" not in ln
+    ]
+    reused = [ln for ln in final.splitlines() if "ReusedExchange" in ln]
+    assert len(reused) >= 1, final
+    assert len(real) <= 3, final
+
+
+def test_approx_distinct_has_no_expand(spark, tmp_path):
+    """r12 Expand removal pin: mixing countDistinct with the HLL in
+    one aggregate made Spark Expand-duplicate every input row; the
+    pre-deduped-pairs form must plan without any Expand node."""
+    from ena_database_build_spark.plans.catalog import CATALOG
+
+    src = spark.createDataFrame(
+        [(i, i % 7, f"t{i % 3}") for i in range(100)],
+        "event_id long, user_id long, event_type string",
+    )
+    d = str(tmp_path / "events.parquet")
+    src.write.mode("overwrite").parquet(d)
+    # the catalog row reads <sf_dir>/events.parquet
+    df = CATALOG["approx_distinct"].spark(spark, str(tmp_path))
+    plan = _executed_plan(df)
+    assert "Expand" not in plan, plan
