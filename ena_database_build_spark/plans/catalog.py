@@ -8772,7 +8772,10 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #     sf0.1 (183/183 each), plan_audit 183/183 clean, scan_audit
 #     183/183 within budget (after it caught and r12 fixed the
 #     simhash_candidates census re-execution — see the r12 swap note
-#     below), pytest 375 passed / 1 env-gated skip (MySQL wire),
+#     below), pytest 378 passed / 1 env-gated skip (MySQL wire;
+#     includes the new sentinel-collision replay test and three
+#     plan-shape pins: rolling map-only, simhash census
+#     exchange-reuse, approx_distinct Expand-free),
 #     bench.py 5.853 s vs 4.264 s oracle = 1.373x (best round yet;
 #     cosine_topk 0.137 s, back inside the r10 spread — the r11 drift
 #     adjudicated as ambient load), full-catalog profiles at BOTH SFs
