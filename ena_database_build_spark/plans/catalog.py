@@ -1682,7 +1682,13 @@ def q_quantiles_exact(spark, sf_dir):
     window over DISTINCT values -> broadcast rank bracket + interpolate)
     — percentile_cont semantics with bounded state, unlike Spark's
     built-in exact `percentile` whose aggregation buffer holds every
-    group value in memory.  Matches DuckDB `quantile_cont` exactly."""
+    group value in memory.  Matches DuckDB `quantile_cont` exactly.
+
+    Measured floor (r8 bench_bars 1/10/30/100 replicas, pinned since):
+    ratio 19.3x -> 4.2x -> 4.1x -> 1.96x — l_extendedprice's distinct
+    set saturates (~583k values), so the distinct-value exchange is
+    constant above sf1 while the buffering oracle grows linearly;
+    curves cross around sf5-10."""
     li = t(spark, sf_dir, "lineitem")
     # bucket_width=None: at sf0.1 the single ordered window (2.2 s)
     # beats the range-bucketed prefix sum (3.0 s) — the extra offset
@@ -5999,7 +6005,13 @@ def q_skew_salted_join(spark, sf_dir):
     the replication overhead under the skew it buys at this dim size;
     8 measured ~1.7x slower at sf1 for the same result), then a
     revenue rollup per order priority.  The oracle is the PLAIN join
-    + rollup — replication must be exactly invisible in the result."""
+    + rollup — replication must be exactly invisible in the result.
+
+    Ratio posture: the sf1 ratio (~5x over the plain-join oracle) IS
+    the deliberate price of the 4x salt-and-replicate insurance being
+    demonstrated against an unsalted baseline — not a plan defect;
+    the unsalted form is the catalog's ordinary join path, and this
+    row exists to prove the hot-key escape hatch is result-identical."""
     li = t(spark, sf_dir, "lineitem", spread=True).select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
