@@ -302,10 +302,14 @@ def boilerplate_kgrams(
     documents — the shared-boilerplate index a C4/CCNet-style template
     stripper subtracts from every document.
 
-    Shape: per-doc ``array_distinct`` BEFORE the explode, so each
-    (doc, hash) pair reaches the aggregate at most once and the
-    distinct-doc count degrades to a plain ``count(*)`` — no Expand /
-    distinct-aggregate machinery.  One shuffle keyed on the hash,
+    Precondition: ``id_col`` must be a unique, non-NULL key — the
+    count below is over deduped-per-ROW hashes, so a duplicated or
+    NULL doc_id would inflate ``n_docs`` relative to a
+    count(DISTINCT doc_id) oracle.  Under that invariant, the per-doc
+    ``array_distinct`` BEFORE the explode means each (doc, hash) pair
+    reaches the aggregate at most once and the distinct-doc count
+    degrades to a plain ``count(*)`` — no Expand / distinct-aggregate
+    machinery.  One shuffle keyed on the hash,
     map-side partial aggregation, no joins; the output is only the
     shared tail of the hash distribution, tiny next to the corpus.
 

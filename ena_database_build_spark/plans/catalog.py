@@ -215,9 +215,11 @@ _REV_E4_SQL = (
 # AS MATERIALIZED pre-join CTEs so the raise was symmetric — which
 # made the oracles plan-shape-DEPENDENT (r11 verdict #5 flagged the
 # drift).  r12 resolves it at the SOURCE: the extremes sweep plants
-# the exact-money columns at ±1e4 (tools/adversarial_corpus.py,
-# EXTREME_MONEY_EXACT_COLS), bounded so the worst per-row product —
-# q1's three-term e6 charge, (1e6)^3 = 1e18 — fits int64.  Both
+# the exact-money columns at ±1e3 (tools/adversarial_corpus.py,
+# EXTREME_MONEY_EXACT_COLS; tightened from ±1e4 per r12 ADVICE so
+# even same-sign partial-sum runs stay bounded under the scramble
+# axis), bounded so the worst per-row product — q1's three-term e6
+# charge, (1e5)^3 = 1e15 — fits int64 with ~9000x headroom.  Both
 # engines then COMPUTE every planted row exactly, plan shape is
 # irrelevant, and the oracles are back to plain filter-first joins.
 # The engine keeps the cheap long product; true garbage input beyond

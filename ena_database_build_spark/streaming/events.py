@@ -904,6 +904,16 @@ def replay_session_aggregates_bucketed(
     # would otherwise merge into the never-closing sentinel chain and
     # vanish from the output)
     min_uid = bounds["min_uid"]
+    if min_uid is not None and int(min_uid) == -(2**63):
+        # min_uid - 1 would underflow the long domain and wrap back
+        # into real keys, recreating the collision this derivation
+        # prevents; no key below the domain exists, so refuse loudly
+        # rather than silently merge a real user into the sentinel.
+        raise ValueError(
+            "replay sentinel cannot be derived: corpus contains "
+            "user_id == -2^63 (long-domain floor); no strictly "
+            "smaller sentinel key exists"
+        )
     sentinel_uid = -1 if min_uid is None else min(-1, int(min_uid) - 1)
     dump(
         spark.createDataFrame(

@@ -751,7 +751,14 @@ def test_replay_harness_survives_real_user_minus_one(spark, event_dir):
     derived below the real key domain), so its sessions appear in the
     output exactly like the batch twin's."""
     batch = _batch_events(spark, event_dir).where(F.col("ts").isNotNull())
-    neg = batch.limit(7).withColumn("user_id", F.lit(-1).cast("long"))
+    # orderBy before limit: corpus is evaluated independently by the
+    # replay harness and the batch twin, and an UNORDERED limit is
+    # not guaranteed to pick the same 7 rows on re-evaluation
+    neg = (
+        batch.orderBy("event_id")
+        .limit(7)
+        .withColumn("user_id", F.lit(-1).cast("long"))
+    )
     corpus = batch.unionByName(neg)
     cols = [
         "user_id", "session_start", "session_end", "n_events", "sum_value",

@@ -3,17 +3,22 @@
 Generates all six adversarial corpora from a pristine source
 (``tools/adversarial_corpus.py`` modes) and runs the full catalog
 Spark-vs-DuckDB check over each, plus the two conf-perturbation axes
-on the pristine corpus.  Prints one summary line per axis and exits
-non-zero if ANY axis fails — the round-close robustness gate as a
-single command instead of eight hand-typed ones.
+on the pristine corpus, then the executed-plan scan audit
+(``tools/scan_audit.py`` — the r12 standing gate: it catches silent
+subtree re-execution no correctness axis can see).  Prints one
+summary line per gate and exits non-zero if ANY fails — the
+round-close robustness gate as a single command instead of ten
+hand-typed ones.
 
 Axes (every catalog query each; the pass bar derives from
 len(CATALOG)):
 
   1. nulls      — ~10% NULLs + empty/tab/newline/quote strings, zeros
-  2. extremes   — ±1e15 in float-only money columns, ±1e4 in the
-                  exact-integer money columns (bounded below int64
-                  products so the exact forms VALUE-compare — r12),
+  2. extremes   — ±1e15 in float-only money columns, ±1e3 in the
+                  exact-integer money columns (bounded so even
+                  same-sign partial-sum runs stay inside int64 and
+                  the exact forms VALUE-compare under ANY row order /
+                  partitioning — r12, tightened r13),
                   --rtol 1e-9 tolerant compare
   3. unicode    — exotic-but-cross-engine-agreeing payloads
   4. empty      — zero-row tables, real schemas
@@ -21,6 +26,9 @@ len(CATALOG)):
   6. skew       — ~50% of rows on one hot FK key
   7. conf       — pristine corpus, shuffle.partitions=5 + AQE off
   8. scramble+conf — axes 5 and 7 combined
+  9. extremes+scramble — chained corpus mutation (axis 2's planted
+                  extremes, then axis 5's row permutation): proves the
+                  exact-money planting is order/partitioning-safe
 
 Usage: python tools/sweep_all.py [src_sf_dir] [work_dir]
 """
@@ -58,6 +66,12 @@ AXES = [
         "--spark-conf", "spark.sql.shuffle.partitions=5",
         "--spark-conf", "spark.sql.adaptive.enabled=false",
     ]),
+    # r13 (from r12 ADVICE): the exact-money extremes are planted at
+    # ±1e3 precisely so correctness cannot depend on planted +/- rows
+    # alternating in row order — this chained axis (extremes corpus,
+    # then row-permuted multi-file layout) PROVES that instead of
+    # assuming it.
+    ("extremes+scramble", ["extremes", "scramble"], ["--rtol", "1e-9"]),
 ]
 
 
@@ -70,14 +84,26 @@ def main() -> None:
         if mode is None:
             corpus = src
         else:
-            corpus = str(work / f"sf_{mode}")
-            gen = subprocess.run(
-                [PY, str(TOOLS / "adversarial_corpus.py"), src, corpus, mode],
-                capture_output=True, text=True,
-            )
-            if gen.returncode != 0:
-                results.append((label, False, 0.0, "corpus generation failed"))
-                print(f"FAIL  {label}: generator\n{gen.stderr[-500:]}")
+            # a list of modes chains generators: each stage mutates the
+            # previous stage's output (e.g. extremes -> scramble)
+            modes = [mode] if isinstance(mode, str) else list(mode)
+            stage_src, gen_failed = src, False
+            for i, m in enumerate(modes):
+                corpus = str(work / ("sf_" + "_".join(modes[: i + 1])))
+                gen = subprocess.run(
+                    [PY, str(TOOLS / "adversarial_corpus.py"),
+                     stage_src, corpus, m],
+                    capture_output=True, text=True,
+                )
+                if gen.returncode != 0:
+                    results.append(
+                        (label, False, 0.0, "corpus generation failed")
+                    )
+                    print(f"FAIL  {label}: generator\n{gen.stderr[-500:]}")
+                    gen_failed = True
+                    break
+                stage_src = corpus
+            if gen_failed:
                 continue
         t0 = time.perf_counter()
         chk = subprocess.run(
@@ -100,8 +126,30 @@ def main() -> None:
             ]
             for ln in fails[:20]:
                 print(f"      {ln}")
+    # standing gate (r12 lesson): the executed-plan scan audit caught a
+    # silent subtree re-execution that no correctness axis can see —
+    # run it every time the battery runs, against the pristine corpus
+    t0 = time.perf_counter()
+    audit = subprocess.run(
+        [PY, str(TOOLS / "scan_audit.py"), src],
+        capture_output=True, text=True,
+    )
+    dt = time.perf_counter() - t0
+    a_ok = audit.returncode == 0
+    a_tail = [ln for ln in audit.stdout.splitlines() if ln.strip()]
+    results.append((
+        "scan-audit", a_ok, dt, a_tail[-1] if a_tail else "(no output)"
+    ))
+    print(
+        f"{'ok  ' if a_ok else 'FAIL'}  {'scan-audit':15s} {dt:6.0f}s  "
+        f"{a_tail[-1] if a_tail else '(no output)'}"
+    )
+    if not a_ok:
+        for ln in a_tail[-20:]:
+            print(f"      {ln}")
+
     bad = [r for r in results if not r[1]]
-    print(f"\n{len(results) - len(bad)}/{len(results)} axes green")
+    print(f"\n{len(results) - len(bad)}/{len(results)} gates green")
     sys.exit(1 if bad else 0)
 
 
