@@ -8912,75 +8912,9 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #       counts the exploded PROBE projection (r7 ADVICE: the left
 #       task is keyed on probe, up to (bits+1)x a raw bucket).
 CATALOG: dict[str, QueryDef] = {
-    # ================== r12 window (positions 1-50) ==================
-    # -- the one r11 addition (streaming replay of the TWS
-    # sessionize twin; never-driver-checked outranks banked)
-    "session_aggregates_bucketed_stream": QueryDef(
-        q_session_aggregates_bucketed_stream, SQL_SESSIONS_BUCKETED_STREAM
-    ),
-    # -- the 32 remaining round-8-window rows (green in round 8;
+    # ================== r13 window (positions 1-50) ==================
+    # -- the 33 remaining round-9-window rows (green in round 9;
     # last checked there)
-    "boilerplate_kgrams": QueryDef(q_boilerplate_kgrams, SQL_BOILERPLATE),
-    "top_ngrams": QueryDef(q_top_ngrams, SQL_TOP_NGRAMS),
-    "events_tumbling": QueryDef(q_events_tumbling, SQL_TUMBLING),
-    "events_sliding": QueryDef(q_events_sliding, SQL_SLIDING),
-    "events_sessions": QueryDef(q_events_sessions, SQL_SESSIONS),
-    "approx_distinct": QueryDef(q_approx_distinct, SQL_APPROX_DISTINCT),
-    "exact_distinct": QueryDef(q_exact_distinct, SQL_EXACT_DISTINCT),
-    "multimodal_decode": QueryDef(q_multimodal_decode, SQL_MULTIMODAL),
-    "multimodal_frames": QueryDef(q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "events_pivot": QueryDef(q_events_pivot, SQL_EVENTS_PIVOT),
-    "props_extract": QueryDef(q_props_extract, SQL_PROPS_EXTRACT),
-    "stream_totals": QueryDef(q_stream_totals, SQL_STREAM_TOTALS),
-    "stream_dedup": QueryDef(q_stream_dedup, SQL_STREAM_DEDUP),
-    "heavy_hitters": QueryDef(q_heavy_hitters, SQL_HEAVY_HITTERS),
-    "semantic_dedup": QueryDef(q_semantic_dedup, SQL_SEMANTIC_DEDUP),
-    "scd2_user_state": QueryDef(q_scd2_user_state, SQL_SCD2),
-    "pagerank_suppliers": QueryDef(q_pagerank_suppliers, SQL_PAGERANK),
-    "zorder_values": QueryDef(q_zorder_values, SQL_ZORDER),
-    "embedding_project": QueryDef(q_embedding_project, SQL_JL_PROJECT),
-    "embedding_meanpool": QueryDef(q_embedding_meanpool, SQL_MEANPOOL),
-    "table_profile": QueryDef(q_table_profile, SQL_TABLE_PROFILE),
-    "source_cap": QueryDef(q_source_cap, SQL_SOURCE_CAP),
-    "snapshot_diff": QueryDef(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
-    "cdc_latest_state": QueryDef(q_cdc_latest_state, SQL_CDC_LATEST),
-    "bloom_decontaminate": QueryDef(q_bloom_decontaminate, SQL_BLOOM_DECON),
-    "bpe_pair_counts": QueryDef(q_bpe_pair_counts, SQL_BPE_PAIRS),
-    "bpe_merges": QueryDef(q_bpe_merges, SQL_BPE_MERGES),
-    "incremental_stats": QueryDef(q_incremental_stats, SQL_INCREMENTAL_STATS),
-    "orc_roundtrip": QueryDef(q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
-    "stream_enrichment": QueryDef(q_stream_enrichment, SQL_STREAM_ENRICH),
-    "dq_report": QueryDef(q_dq_report, SQL_DQ_REPORT),
-    "asof_join_bucketed": QueryDef(q_asof_join_bucketed, SQL_ASOF_BUCKETED),
-    # -- first 17 of the round-9 window (green in round 9)
-    "hash_sample_weighted": QueryDef(
-        q_hash_sample_weighted, SQL_HASH_SAMPLE_WEIGHTED
-    ),
-    "near_dedup_incremental": QueryDef(
-        q_near_dedup_incremental, SQL_NEAR_DEDUP_INCREMENTAL
-    ),
-    "tpch_q7_nation_volume": QueryDef(q_tpch_q7_nation_volume, SQL_TPCH_Q7),
-    "tpch_q13_order_distribution": QueryDef(
-        q_tpch_q13_order_distribution, SQL_TPCH_Q13
-    ),
-    "user_retention": QueryDef(q_user_retention, SQL_USER_RETENTION),
-    "compaction_plan": QueryDef(q_compaction_plan, SQL_COMPACTION_PLAN),
-    "funnel_conversion": QueryDef(q_funnel_conversion, SQL_FUNNEL),
-    "replica_diff": QueryDef(q_replica_diff, SQL_REPLICA_DIFF),
-    "line_dedup": QueryDef(q_line_dedup, SQL_LINE_DEDUP),
-    "activity_streaks": QueryDef(q_activity_streaks, SQL_ACTIVITY_STREAKS),
-    "batch_cosine_topk": QueryDef(q_batch_cosine_topk, SQL_BATCH_COSINE),
-    "event_transitions": QueryDef(q_event_transitions, SQL_EVENT_TRANSITIONS),
-    "top_purchases": QueryDef(q_top_purchases, SQL_TOP_PURCHASES),
-    "schema_evolution": QueryDef(q_schema_evolution, SQL_SCHEMA_EVOLUTION),
-    "span_corruption": QueryDef(q_span_corruption, SQL_SPAN_CORRUPTION),
-    "mixture_upsample": QueryDef(q_mixture_upsample, SQL_MIXTURE_UPSAMPLE),
-    "script_composition": QueryDef(
-        q_script_composition, SQL_SCRIPT_COMPOSITION
-    ),
-    # ============== below the fold (not checked in r12) =============
-    # -- remaining round-9 window (rotate back in round 13 with
-    # the first 17 of the round-10 window)
     "bpe_compression": QueryDef(q_bpe_compression, SQL_BPE_COMPRESSION),
     "skew_salted_agg": QueryDef(q_skew_salted_agg, SQL_SKEW_SALTED_AGG),
     "skew_salted_join": QueryDef(q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
@@ -9032,7 +8966,7 @@ CATALOG: dict[str, QueryDef] = {
     "near_dedup_keep_longest": QueryDef(
         q_near_dedup_keep_longest, SQL_NEAR_DEDUP_KEEP_LONGEST
     ),
-    # -- round-10 window (banked green in round 10, CORRECTNESS_r10)
+    # -- first 17 of the round-10 window (green in round 10)
     "phash_buckets": QueryDef(q_phash_buckets, SQL_PHASH_BUCKETS),
     "merge_upserts": QueryDef(q_merge_upserts, SQL_MERGE_UPSERTS),
     "rate_anomalies": QueryDef(q_rate_anomalies, SQL_RATE_ANOMALIES),
@@ -9066,6 +9000,9 @@ CATALOG: dict[str, QueryDef] = {
     "customer_set_ops": QueryDef(
         q_customer_set_ops, SQL_CUSTOMER_SET_OPS
     ),
+    # ============== below the fold (not checked in r13) =============
+    # -- remaining round-10 window (rotate back in round 14 with
+    # the first 17 of the round-11 window)
     "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),
     "f1_division_filter": QueryDef(q_f1_division_filter, SQL_F1),
     "f2_prefix_filter": QueryDef(q_f2_prefix_filter, SQL_F2),
@@ -9154,4 +9091,65 @@ CATALOG: dict[str, QueryDef] = {
     "token_counts": QueryDef(q_token_counts, SQL_TOKEN_COUNTS),
     "doc_fingerprints": QueryDef(q_doc_fingerprints, SQL_FINGERPRINTS),
     "rolling_fingerprints": QueryDef(q_rolling_fingerprints, SQL_ROLLING),
+    # -- round-12 window (banked green in round 12, CORRECTNESS_r12)
+    "session_aggregates_bucketed_stream": QueryDef(
+        q_session_aggregates_bucketed_stream, SQL_SESSIONS_BUCKETED_STREAM
+    ),
+    "boilerplate_kgrams": QueryDef(q_boilerplate_kgrams, SQL_BOILERPLATE),
+    "top_ngrams": QueryDef(q_top_ngrams, SQL_TOP_NGRAMS),
+    "events_tumbling": QueryDef(q_events_tumbling, SQL_TUMBLING),
+    "events_sliding": QueryDef(q_events_sliding, SQL_SLIDING),
+    "events_sessions": QueryDef(q_events_sessions, SQL_SESSIONS),
+    "approx_distinct": QueryDef(q_approx_distinct, SQL_APPROX_DISTINCT),
+    "exact_distinct": QueryDef(q_exact_distinct, SQL_EXACT_DISTINCT),
+    "multimodal_decode": QueryDef(q_multimodal_decode, SQL_MULTIMODAL),
+    "multimodal_frames": QueryDef(q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "events_pivot": QueryDef(q_events_pivot, SQL_EVENTS_PIVOT),
+    "props_extract": QueryDef(q_props_extract, SQL_PROPS_EXTRACT),
+    "stream_totals": QueryDef(q_stream_totals, SQL_STREAM_TOTALS),
+    "stream_dedup": QueryDef(q_stream_dedup, SQL_STREAM_DEDUP),
+    "heavy_hitters": QueryDef(q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "semantic_dedup": QueryDef(q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "scd2_user_state": QueryDef(q_scd2_user_state, SQL_SCD2),
+    "pagerank_suppliers": QueryDef(q_pagerank_suppliers, SQL_PAGERANK),
+    "zorder_values": QueryDef(q_zorder_values, SQL_ZORDER),
+    "embedding_project": QueryDef(q_embedding_project, SQL_JL_PROJECT),
+    "embedding_meanpool": QueryDef(q_embedding_meanpool, SQL_MEANPOOL),
+    "table_profile": QueryDef(q_table_profile, SQL_TABLE_PROFILE),
+    "source_cap": QueryDef(q_source_cap, SQL_SOURCE_CAP),
+    "snapshot_diff": QueryDef(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "cdc_latest_state": QueryDef(q_cdc_latest_state, SQL_CDC_LATEST),
+    "bloom_decontaminate": QueryDef(q_bloom_decontaminate, SQL_BLOOM_DECON),
+    "bpe_pair_counts": QueryDef(q_bpe_pair_counts, SQL_BPE_PAIRS),
+    "bpe_merges": QueryDef(q_bpe_merges, SQL_BPE_MERGES),
+    "incremental_stats": QueryDef(q_incremental_stats, SQL_INCREMENTAL_STATS),
+    "orc_roundtrip": QueryDef(q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
+    "stream_enrichment": QueryDef(q_stream_enrichment, SQL_STREAM_ENRICH),
+    "dq_report": QueryDef(q_dq_report, SQL_DQ_REPORT),
+    "asof_join_bucketed": QueryDef(q_asof_join_bucketed, SQL_ASOF_BUCKETED),
+    "hash_sample_weighted": QueryDef(
+        q_hash_sample_weighted, SQL_HASH_SAMPLE_WEIGHTED
+    ),
+    "near_dedup_incremental": QueryDef(
+        q_near_dedup_incremental, SQL_NEAR_DEDUP_INCREMENTAL
+    ),
+    "tpch_q7_nation_volume": QueryDef(q_tpch_q7_nation_volume, SQL_TPCH_Q7),
+    "tpch_q13_order_distribution": QueryDef(
+        q_tpch_q13_order_distribution, SQL_TPCH_Q13
+    ),
+    "user_retention": QueryDef(q_user_retention, SQL_USER_RETENTION),
+    "compaction_plan": QueryDef(q_compaction_plan, SQL_COMPACTION_PLAN),
+    "funnel_conversion": QueryDef(q_funnel_conversion, SQL_FUNNEL),
+    "replica_diff": QueryDef(q_replica_diff, SQL_REPLICA_DIFF),
+    "line_dedup": QueryDef(q_line_dedup, SQL_LINE_DEDUP),
+    "activity_streaks": QueryDef(q_activity_streaks, SQL_ACTIVITY_STREAKS),
+    "batch_cosine_topk": QueryDef(q_batch_cosine_topk, SQL_BATCH_COSINE),
+    "event_transitions": QueryDef(q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "top_purchases": QueryDef(q_top_purchases, SQL_TOP_PURCHASES),
+    "schema_evolution": QueryDef(q_schema_evolution, SQL_SCHEMA_EVOLUTION),
+    "span_corruption": QueryDef(q_span_corruption, SQL_SPAN_CORRUPTION),
+    "mixture_upsample": QueryDef(q_mixture_upsample, SQL_MIXTURE_UPSAMPLE),
+    "script_composition": QueryDef(
+        q_script_composition, SQL_SCRIPT_COMPOSITION
+    ),
 }

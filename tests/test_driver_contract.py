@@ -78,33 +78,30 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_check_window_ordering_pinned():
     """The driver grades the FIRST 50 registry entries; this pins the
-    round-12 check window (the never-driver-checked streaming replay
-    row session_aggregates_bucketed_stream in slot 1 + the 32
-    remaining r8-window rows + the first 17 r9-window rows — see the
-    registry header ledger) so a refactor cannot silently reorder the
-    dict and destroy the graded window.  UPDATE THIS LIST ONLY when a
-    rotation is deliberately applied
-    (tools/rotate_catalog_r12.py --apply)."""
+    round-13 check window (the 33 remaining r9-window rows + the first
+    17 r10-window rows, `bpe_compression` first — see the registry
+    header ledger) so a refactor cannot silently reorder the dict and
+    destroy the graded window.  UPDATE THIS LIST ONLY when a rotation
+    is deliberately applied (tools/rotate_catalog_r13.py --apply)."""
     from ena_database_build_spark.plans.catalog import CATALOG
 
     expected = [
-        "session_aggregates_bucketed_stream", "boilerplate_kgrams",
-        "top_ngrams", "events_tumbling", "events_sliding",
-        "events_sessions", "approx_distinct", "exact_distinct",
-        "multimodal_decode", "multimodal_frames", "events_pivot",
-        "props_extract", "stream_totals", "stream_dedup",
-        "heavy_hitters", "semantic_dedup", "scd2_user_state",
-        "pagerank_suppliers", "zorder_values", "embedding_project",
-        "embedding_meanpool", "table_profile", "source_cap",
-        "snapshot_diff", "cdc_latest_state", "bloom_decontaminate",
-        "bpe_pair_counts", "bpe_merges", "incremental_stats",
-        "orc_roundtrip", "stream_enrichment", "dq_report",
-        "asof_join_bucketed", "hash_sample_weighted",
-        "near_dedup_incremental", "tpch_q7_nation_volume",
-        "tpch_q13_order_distribution", "user_retention",
-        "compaction_plan", "funnel_conversion", "replica_diff",
-        "line_dedup", "activity_streaks", "batch_cosine_topk",
-        "event_transitions", "top_purchases", "schema_evolution",
-        "span_corruption", "mixture_upsample", "script_composition",
+        "bpe_compression", "skew_salted_agg", "skew_salted_join",
+        "weighted_sample_n", "rolling_user_value", "scd2_enrichment",
+        "weighted_sample_by_source", "cube_revenue", "time_to_convert",
+        "winsorize_counts", "contrastive_triples", "supervised_pairs",
+        "cms_frequencies", "kmv_distinct", "daily_spine",
+        "session_bounce", "trending_types", "length_histogram",
+        "revenue_share", "session_duration_quartiles", "purchase_gaps",
+        "lang_source_matrix", "grouping_sets_revenue",
+        "window_distinct_users", "p456_detectors", "f68_guards",
+        "s67_sinks", "span_dedup", "embedding_standardize",
+        "sft_transcripts", "psi_drift", "temperature_sampling",
+        "near_dedup_keep_longest", "phash_buckets", "merge_upserts",
+        "rate_anomalies", "stream_rate_flags", "grouped_split",
+        "tokenizer_fertility", "bigram_logprob", "quantile_normalize",
+        "simhash_candidates", "edit1_pairs", "funnel_conversion_bounded",
+        "quality_ensemble", "plan_batches", "supplier_triangles",
+        "session_paths", "mixture_card", "customer_set_ops",
     ]
     assert list(CATALOG)[:50] == expected
