@@ -1540,8 +1540,16 @@ def q_tpch_q5_volume(spark, sf_dir):
     asia_nations = nation.join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
     ).select("n_nationkey", "n_name")
+    # all three asia_nations consumers broadcast the IDENTICAL
+    # (n_nationkey, n_name) subtree — same projection, same join key —
+    # so AQE plans ONE BroadcastExchange and two ReusedExchange nodes
+    # (r13; the r12 shape projected n_nationkey alone at two sites,
+    # which made the subtrees distinct and built the 5-row broadcast
+    # three times: 3 extra jobs of pure launch floor at small SF, and
+    # duplicate build work at any SF).  n_name rides along unused in
+    # two of the joins: 5 rows either way.
     dims = supp.join(
-        F.broadcast(asia_nations.select("n_nationkey")),
+        F.broadcast(asia_nations),
         supp.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", "n_nationkey")
     li_agg = (
@@ -1557,7 +1565,7 @@ def q_tpch_q5_volume(spark, sf_dir):
         .agg(F.sum(_rev_e4()).alias("rev_e4"))
     )
     cust_asia = cust.join(
-        F.broadcast(asia_nations.select("n_nationkey")),
+        F.broadcast(asia_nations),
         cust.c_nationkey == F.col("n_nationkey"),
         "left_semi",
     ).select("c_custkey", "c_nationkey")
