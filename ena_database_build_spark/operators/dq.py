@@ -111,6 +111,69 @@ def metrics_report(
     )
 
 
+def uniqueness_report(
+    df: DataFrame,
+    col: str,
+    check_name: str,
+    min_required: float = 1.0,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Key uniqueness as a standalone report row (same metric and
+    verdict as ``uniqueness`` inside :func:`metrics_report`, same
+    fail-closed NULL posture) computed from a column-PRUNED
+    aggregation.
+
+    Folding ``count_distinct`` into the shared metrics agg makes Spark
+    key the WHOLE aggregation by the distinct column: on a unique key
+    the "partial" aggregation reduces nothing, so the exchange
+    re-ships every input row widened by one partial-count state per
+    sibling metric.  Standalone, the plan dedups and shuffles the key
+    column alone while the sibling metrics stay a map-side one-row
+    agg — shuffle bytes drop by the full metric-state width.  Returns
+    a ``(check_name, metric, passed)`` row that unions with
+    :func:`metrics_report` output."""
+    metric = F.round(uniqueness(col), ndigits)
+    return (
+        df.select(col)
+        .agg(metric.alias("metric"))
+        .select(
+            F.lit(check_name).alias("check_name"),
+            "metric",
+            F.coalesce(
+                F.col("metric") >= F.lit(float(min_required)), F.lit(False)
+            ).alias("passed"),
+        )
+    )
+
+
+def ri_attach(fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> DataFrame:
+    """Broadcast-attach the referential-integrity match marker
+    (``_hit = 1`` where ``fk`` has a dimension match) without changing
+    the fact row count — the dim collapses to distinct keys first, so
+    the left join can never duplicate.  Lets an RI fraction ride the
+    SAME scan and one-row agg as the row-local metrics (see
+    :func:`ri_fraction`) instead of paying a second pass over the
+    fact table per RI check."""
+    marked = F.broadcast(
+        dim.select(F.col(pk).alias(fk)).distinct().withColumn(
+            "_hit", F.lit(1)
+        )
+    )
+    return fact.join(marked, fk, "left")
+
+
+def ri_fraction(fk: str) -> Column:
+    """RI coverage metric over a :func:`ri_attach`-ed relation:
+    fraction of non-NULL foreign keys with a dimension match, 1.0
+    (vacuously intact) when there are none — digit-identical to
+    :func:`ri_coverage`'s metric, usable inside
+    :func:`metrics_report`'s shared aggregation."""
+    return F.coalesce(
+        F.try_divide(F.count("_hit").cast("double"), F.count(F.col(fk))),
+        F.lit(1.0),
+    )
+
+
 def ri_coverage(
     fact: DataFrame,
     fk: str,

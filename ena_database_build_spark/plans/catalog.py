@@ -5002,14 +5002,16 @@ def q_dq_report(spark, sf_dir):
             )
         )
     )
+    # the customer RI check rides the SAME scan and one-row agg as the
+    # row-local metrics (r13): ri_attach's broadcast marker join is
+    # map-side and row-preserving, so completeness/range/domain read
+    # identical inputs while orders_custkey_ri saves its own full pass
+    # over dirty.  Metric + verdict digit-identical to ri_coverage
+    # (vacuous-1.0 on no non-NULL fks included).
     local = DQ.metrics_report(
-        dirty,
+        DQ.ri_attach(dirty, "o_custkey", cust, "c_custkey"),
         {
             "orders_custkey_complete": (DQ.completeness("o_custkey"), 1.0),
-            "orders_orderkey_unique": (
-                DQ.uniqueness("o_orderkey"),
-                0.999,
-            ),
             "orders_totalprice_range": (
                 DQ.in_range("o_totalprice", 0.0, 600000.0),
                 1.0,
@@ -5018,10 +5020,17 @@ def q_dq_report(spark, sf_dir):
                 DQ.member_of("o_orderstatus", ["O", "F", "P"]),
                 0.999,
             ),
+            "orders_custkey_ri": (DQ.ri_fraction("o_custkey"), 1.0),
         },
     )
-    ri1 = DQ.ri_coverage(
-        dirty, "o_custkey", cust, "c_custkey", "orders_custkey_ri", 1.0
+    # uniqueness rides its own column-pruned subplan (r13): inside the
+    # shared agg the count_distinct keys the WHOLE metrics aggregation
+    # by o_orderkey — a near-unique key, so the exchange re-shipped
+    # every dirty row widened by 7 partial-agg states.  Standalone,
+    # the dedup shuffle carries the bare key and the three metrics
+    # above collapse to a map-side one-row agg.  Identical rows.
+    uniq = DQ.uniqueness_report(
+        dirty, "o_orderkey", "orders_orderkey_unique", 0.999
     )
     ri2 = DQ.ri_coverage(
         dirty_li,
@@ -5031,7 +5040,7 @@ def q_dq_report(spark, sf_dir):
         "lineitem_orderkey_ri",
         0.999,
     )
-    return local.unionByName(ri1).unionByName(ri2)
+    return local.unionByName(uniq).unionByName(ri2)
 
 
 SQL_DQ_REPORT = """

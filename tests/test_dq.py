@@ -78,6 +78,67 @@ def test_metrics_report_hostile_names_and_empty_input(spark, df):
     assert rep[hostile].passed is False  # False, not NULL
 
 
+def test_uniqueness_report_matches_metrics_report(spark, df):
+    """The standalone column-pruned uniqueness row (r13 split: the
+    shared-agg count_distinct keyed the WHOLE metrics aggregation by
+    the distinct column) is digit- and verdict-identical to the
+    metrics_report form, including the fail-closed NULL posture."""
+    via_shared = DQ.metrics_report(
+        df, {"u": (DQ.uniqueness("key"), 1.0)}
+    ).head()
+    via_split = DQ.uniqueness_report(df, "key", "u", 1.0).head()
+    assert via_split.metric == via_shared.metric == 0.75
+    assert via_split.passed == via_shared.passed is False
+    empty = DQ.uniqueness_report(
+        df.where(F.lit(False)), "key", "u", 1.0
+    ).head()
+    assert empty.metric is None and empty.passed is False
+
+
+def test_uniqueness_report_shuffles_only_the_key(spark, df):
+    """The distinct's dedup exchange must carry the bare key column —
+    no sibling-metric partial states (the r13 dq_report win)."""
+    plan = (
+        DQ.uniqueness_report(df, "key", "u", 1.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # everything above the source scan (aggregates + exchanges) must
+    # reference the key column alone; the scan line itself lists the
+    # source's full schema, so cut there
+    above_scan = plan.split("Scan")[0]
+    assert "key#" in above_scan
+    for other in ("price#", "status#", "id#"):
+        assert other not in above_scan
+
+
+def test_ri_attach_fraction_matches_ri_coverage(spark, df):
+    """ri_fraction over an ri_attach-ed relation reproduces
+    ri_coverage's metric exactly — matched fraction, vacuous 1.0 on
+    empty/all-NULL fk — while riding metrics_report's single agg."""
+    dim = spark.createDataFrame([(10,), (11,)], "pk long")
+    legacy = DQ.ri_coverage(df, "key", dim, "pk", "ri").head()
+    folded = DQ.metrics_report(
+        DQ.ri_attach(df, "key", dim, "pk"),
+        {"ri": (DQ.ri_fraction("key"), 1.0)},
+    ).head()
+    assert folded.metric == legacy.metric == 0.75
+    assert folded.passed == legacy.passed is False
+    vacuous = DQ.metrics_report(
+        DQ.ri_attach(df.where(F.lit(False)), "key", dim, "pk"),
+        {"ri": (DQ.ri_fraction("key"), 1.0)},
+    ).head()
+    assert vacuous.metric == 1.0 and vacuous.passed
+
+
+def test_ri_attach_preserves_rowcount_on_duplicate_dim_keys(spark, df):
+    dim = spark.createDataFrame(
+        [(10,), (10,), (11,)], "pk long"
+    )  # duplicated pk must not fan out fact rows
+    assert DQ.ri_attach(df, "key", dim, "pk").count() == df.count()
+
+
 def test_ri_coverage(spark, df):
     dim = spark.createDataFrame([(10,), (11,)], "pk long")
     row = DQ.ri_coverage(df, "key", dim, "pk", "key_ri").head()
