@@ -7877,10 +7877,19 @@ def q_session_aggregates_bucketed_stream(spark, sf_dir):
     inside this function (a memory sink must be filled before the
     returned DataFrame exists), so the noop-write protocol times only
     the sink scan (~0.17 s at sf0.1).  The honest end-to-end wall —
-    replay file split + 9 micro-batches + RocksDB TWS + sink read —
-    measured 85 s at sf0.1 (~10 s/micro-batch: Python-worker state
-    server spin-up per batch dominates, amortized away on a
-    long-running production stream where batches arrive continuously).
+    replay file split + micro-batches + RocksDB TWS + sink read — is
+    dominated by per-micro-batch Python state-server spin-up; r13
+    measured the wall-vs-batch-count curve (maxFilesPerTrigger
+    1/2/3/9 over the 9 replay files): 64.9/45.8/41.1/42.0 s at sf0.1,
+    30.4/17.2/13.5 s at sf0.01 (mftp 1/3/9), output IDENTICAL at
+    every setting (the in-order-range no-drop argument holds for any
+    batching — see the replay docstring).  The default is now mftp=3
+    (~41 s at sf0.1): past ~3 data batches the spin-up is amortized
+    and real processing dominates, and keeping >=3 batches preserves
+    the multi-batch merger-state/timer exercise this row exists to
+    grade.  The residual ~5-7 s/batch spin-up is the documented floor
+    of the TWS Python path on a cold query; a long-running production
+    stream pays it once, not per batch.
     Streaming-vs-batch THROUGHPUT comparisons belong to the batch
     twins (events_sessions, session_aggregates_bucketed), which are
     priced normally."""

@@ -812,6 +812,7 @@ def replay_session_aggregates_bucketed(
     bucket: str = "1 hour",
     watermark: str = "10 minutes",
     n_files: int = 8,
+    max_files_per_trigger: int = 3,
 ) -> DataFrame:
     """Run :func:`session_aggregates_bucketed_stream` as a REAL
     Structured Streaming query over a deterministic file replay of a
@@ -831,11 +832,24 @@ def replay_session_aggregates_bucketed(
       TIME (ms granularity), not name, so the writer pins strictly
       increasing ``os.utime`` stamps in range order (r11 ADVICE: an
       mtime tie between adjacent range files could otherwise replay a
-      later range first and watermark-drop the earlier file).  One
-      file per micro-batch means the watermark (which only advances
-      after a batch) can never drop an in-order event — ties share a
-      file, making the replay row-order- and layout-invariant
-      (scramble sweep);
+      later range first and watermark-drop the earlier file).  Ties
+      share a file, making the replay row-order- and layout-invariant
+      (scramble sweep).  ``max_files_per_trigger`` groups ADJACENT
+      range files into one micro-batch; the no-drop argument is
+      unchanged for any value (r13, re-made from the r11
+      one-file-per-batch form): the watermark used while processing
+      batch N is derived from batches < N, whose files all hold
+      strictly earlier ranges, so no event in batch N can sit below
+      it — grouping in-order files only makes the watermark advance
+      LESS often.  Output is batching-invariant (measured identical
+      at mftp 1/2/3/9 on sf0.01 AND sf0.1).  The default 3 amortizes
+      the ~5-7 s/micro-batch transformWithState Python state-server
+      spin-up while still exercising multi-batch merger state and
+      timers (3 data batches + the no-data flush): measured replay
+      wall sf0.1 64.9/45.8/41.1/42.0 s and sf0.01 30.4/17.2/13.5 s
+      at mftp 1/2/3(/9) — past ~3 the per-batch spin-up is amortized
+      and real processing dominates, so larger values buy nothing
+      while degrading the multi-batch exercise;
     * one far-future SENTINEL event (key ``min(-1, min(user_id) - 1)``
       — derived below the real key domain so a corpus containing a
       genuine user -1 cannot be merged into it (r11 ADVICE), ts =
@@ -941,7 +955,9 @@ def replay_session_aggregates_bucketed(
     _REPLAY_SEQ[0] += 1
     name = f"bsess_replay_{_REPLAY_SEQ[0]}"
     try:
-        stream = read_event_stream(spark, in_dir, max_files_per_trigger=1)
+        stream = read_event_stream(
+            spark, in_dir, max_files_per_trigger=max_files_per_trigger
+        )
         q = run_stream_to_memory(
             session_aggregates_bucketed_stream(
                 stream, gap=gap, bucket=bucket, watermark=watermark

@@ -768,3 +768,28 @@ def test_replay_harness_survives_real_user_minus_one(spark, event_dir):
     got_rows = _rows(got, cols)
     assert any(r[0] == -1 for r in got_rows)  # the planted user survives
     assert got_rows == _rows(want, cols)
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs the protobuf package "
+    "(Spark's Python state-server protocol), not installed in this "
+    "environment; the batch bucketed twin is fully parity-tested",
+)
+def test_replay_harness_is_batching_invariant(spark, event_dir):
+    """r13: max_files_per_trigger groups adjacent in-order range files
+    into one micro-batch to amortize the per-batch TWS spin-up; the
+    watermark no-drop argument holds for any batching (batch N's
+    watermark derives from strictly earlier ranges), so the emitted
+    sessions must be identical at every setting."""
+    batch = _batch_events(spark, event_dir).where(F.col("ts").isNotNull())
+    cols = [
+        "user_id", "session_start", "session_end", "n_events", "sum_value",
+    ]
+    one = STR.replay_session_aggregates_bucketed(
+        spark, batch, max_files_per_trigger=1
+    )
+    grouped = STR.replay_session_aggregates_bucketed(
+        spark, batch, max_files_per_trigger=9
+    )
+    assert _rows(one, cols) == _rows(grouped, cols)
