@@ -804,8 +804,10 @@ def bigram_logprob(
     number of bigrams starting at ``w1`` (not the unigram count), so
     probabilities per context sum to 1 over the smoothed vocabulary.
 
-    Scale shape: the bigram stream (one explode + one per-doc lead)
-    aggregates to (doc, w1, w2, n) first; the corpus bigram map is an
+    Scale shape: bigrams are composed MAP-SIDE from each document's
+    token array (zipped shifted slices — no tokens-by-doc exchange or
+    window sort, r13) and aggregate to (doc, w1, w2, n) before any
+    shuffle; the corpus bigram map is an
     aggregate READING THE SAME exchange (``sum(n)`` references the n
     column intrinsically, so the subtree aligns and resolves as
     ReusedExchange — the bm25/tf-idf discipline), the context map
@@ -821,20 +823,55 @@ def bigram_logprob(
 
     Returns ``(doc_id, n_bigrams, mean_logprob)``.
     """
-    toks = df.select(
+    # bigram composition is MAP-ONLY (r13): adjacent pairs come from
+    # zipping two shifted slices of the per-doc token array, so the
+    # token relation never shuffles by doc for a lead-window pass (the
+    # r11 form paid a full tokens-by-doc exchange + sort before any
+    # aggregation could reduce it).  arrays_zip over slices, NOT a
+    # positional get inside transform — the latter re-walks the array
+    # per element under Catalyst lambda inlining (the r12 quadratic
+    # trap pinned in test_plan_shapes).  Pair order within a doc is
+    # array order, identical to the lead-window's _pos order.
+    # array_remove, not a filter() lambda: NamedLambdaVariable ids
+    # defeat plan canonicalization, so a lambda here broke the
+    # ReusedExchange alignment between the three bi-map consumers
+    # (observed r13: the c1 chain re-ran the whole scan+explode+agg)
+    base = df.select(
         F.col(id_col),
-        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_w"),
-    ).where(F.col("_w") != "")
-    w = Window.partitionBy(id_col).orderBy("_pos")
+        F.array_remove(tokens(F.col(text_col)), "").alias("_arr"),
+    )
+    npairs = F.greatest(F.size("_arr") - F.lit(1), F.lit(0))
     bi = (
-        toks.select(
+        base.select(
             F.col(id_col),
-            F.col("_w").alias("w1"),
-            F.lead("_w").over(w).alias("w2"),
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_arr", 1, npairs).alias("w1"),
+                    F.slice("_arr", 2, npairs).alias("w2"),
+                )
+            ).alias("_bi"),
         )
-        .where(F.col("w2").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("_bi.w1").alias("w1"),
+            F.col("_bi.w2").alias("w2"),
+        )
+        # semantically a no-op (zipped equal-length slices of a
+        # non-null token array), but load-bearing for the plan: the
+        # downstream joins push IsNotNull(w1)/IsNotNull(w2) into their
+        # copies of this subtree, and the c1 consumer (joined on w1
+        # alone) would get a DIFFERENT pushed-filter set than the
+        # others, breaking sameResult and re-executing the whole
+        # scan+explode+agg chain instead of a ReusedExchange (observed
+        # r13; the r11 lead-window form was immune only because its
+        # where(w2.isNotNull()) subsumed every pushed variant the same
+        # way this guard does)
+        .where(F.col("w1").isNotNull() & F.col("w2").isNotNull())
         .groupBy(id_col, "w1", "w2")
         .agg(F.count("*").alias("n"))
+    )
+    toks = base.select(
+        F.col(id_col), F.explode("_arr").alias("_w")
     )
     c12_map = bi.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
     c1_map = c12_map.groupBy("w1").agg(F.sum("c12").alias("c1"))

@@ -404,6 +404,24 @@ def test_logprob_scoring_scan_budget(spark):
     assert _final_scan_count(CATALOG["bigram_logprob"].spark(spark, sf)) <= 2
 
 
+def test_bigram_logprob_pairs_compose_map_side(spark):
+    """r13: bigram pairs come from zipped shifted slices of the
+    per-doc token array — the token relation must NOT shuffle by doc
+    for a lead window before the (doc, w1, w2) aggregation can reduce
+    it.  The plan may keep its aggregate/join exchanges, but no
+    Window node survives anywhere."""
+    from ena_database_build_spark.plans.catalog import CATALOG
+
+    plan = (
+        CATALOG["bigram_logprob"]
+        .spark(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+
+
 def test_span_dedup_skew_safe_gram_verdict(spark):
     """Contract from the docstring: k-grams compose map-side (no
     pre-shuffle lead window), the gram verdict is an AGGREGATE (its
