@@ -527,3 +527,23 @@ def test_approx_distinct_has_no_expand(spark, tmp_path):
     df = CATALOG["approx_distinct"].spark(spark, str(tmp_path))
     plan = _executed_plan(df)
     assert "Expand" not in plan, plan
+
+
+def test_phrase_search_match_phase_is_map_only(spark):
+    """r13: phrase occurrence counts come from zipping shifted slices
+    of the raw token array against the broadcast top bigram — the
+    posting-list (doc, pos) shuffle equi-join and its TWO extra
+    posexplode passes are gone.  Only shingle_rows' top-1 subplan may
+    posexplode (one Generate) and the only join is the broadcast of
+    the 1-row top bigram."""
+    from ena_database_build_spark.plans.catalog import CATALOG
+
+    plan = (
+        CATALOG["phrase_search"]
+        .spark(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Generate") == 1, plan

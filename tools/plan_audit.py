@@ -38,6 +38,8 @@ ALLOW_NESTED = {
     "unigram_logprob",
     "bm25_top_terms",
     "decontaminate",
+    # 1-row top-bigram broadcast (r13 map-only match phase)
+    "phrase_search",
     # range-join fallback on a bounded date dimension
     "range_join_transit",
     # 4-row quantile-target table joined to the cumulative counts
