@@ -177,22 +177,36 @@ def cms_build(
     value_col: str = "value",
     n_hashes: int = 3,
     hex_chars: int = 3,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """The sketch as a relation: ``(row_idx, pos, cnt)`` — at most
     ``n_hashes * 16**hex_chars`` rows regardless of input size (the
     count-min matrix in long form).  One posexplode + one
     map-side-combinable count; the aggregate's shuffle carries
-    matrix-sized, not corpus-sized, data."""
-    return (
-        df.where(F.col(value_col).isNotNull())
-        .select(
-            F.posexplode(
-                cms_positions(F.col(value_col), n_hashes, hex_chars)
-            ).alias("row_idx", "pos")
-        )
-        .groupBy("row_idx", "pos")
-        .agg(F.count("*").alias("cnt"))
+    matrix-sized, not corpus-sized, data.
+
+    ``weight_col`` (r13): build from pre-aggregated ``(value, n)``
+    rows — each value contributes ``n`` instead of 1 to its counters.
+    Because positions depend only on the VALUE, the weighted build
+    over per-value counts is cell-identical to the unweighted build
+    over the raw stream (``sum_over_values n[v] == count of
+    occurrences`` per cell), while hashing each distinct value once
+    instead of once per occurrence."""
+    exploded = df.where(F.col(value_col).isNotNull()).select(
+        F.posexplode(
+            cms_positions(F.col(value_col), n_hashes, hex_chars)
+        ).alias("row_idx", "pos"),
+        *([F.col(weight_col)] if weight_col else []),
     )
+    # coalesce(…, 0): keeps cnt non-nullable like count(*), so the
+    # weighted sketch's schema (not just its cells) matches the
+    # stream-built one
+    agg = (
+        F.coalesce(F.sum(weight_col).cast("long"), F.lit(0).cast("long"))
+        if weight_col
+        else F.count("*")
+    )
+    return exploded.groupBy("row_idx", "pos").agg(agg.alias("cnt"))
 
 
 def cms_estimate(

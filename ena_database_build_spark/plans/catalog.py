@@ -6495,13 +6495,17 @@ def q_cms_frequencies(spark, sf_dir):
     toks = docs.select(
         F.explode(D.tokens(F.col("text"))).alias("value")
     ).where(F.col("value") != "")
-    sketch = SK.cms_build(toks, "value", n_hashes=3, hex_chars=3)
-    exact = (
-        toks.groupBy("value")
-        .agg(F.count("*").alias("exact_n"))
-        .orderBy(F.desc("exact_n"), "value")
-        .limit(20)
+    # r13 scale shape: one tokenize pass, not two.  Counter positions
+    # depend only on the VALUE, so the sketch is built WEIGHTED from
+    # the per-value count aggregation (cell-identical to hashing every
+    # occurrence — see cms_build), and the top-20 exact branch reads
+    # the SAME aggregation exchange (ReusedExchange).  md5 work drops
+    # from 3x token occurrences to 3x distinct values.
+    counts = toks.groupBy("value").agg(F.count("*").alias("exact_n"))
+    sketch = SK.cms_build(
+        counts, "value", n_hashes=3, hex_chars=3, weight_col="exact_n"
     )
+    exact = counts.orderBy(F.desc("exact_n"), "value").limit(20)
     est = SK.cms_estimate(
         exact.select("value"), sketch, "value", n_hashes=3, hex_chars=3
     )

@@ -113,6 +113,35 @@ def test_cms_deterministic(spark):
     assert a == b
 
 
+def test_cms_weighted_build_matches_stream_build(spark):
+    """r13: a weighted build over per-value counts must be
+    cell-identical to the unweighted build over the raw stream —
+    positions depend only on the value, so per-cell sums agree."""
+    from pyspark.sql import functions as F
+
+    from ena_database_build_spark.operators import sketch as SK
+
+    df = spark.createDataFrame(
+        [(f"v{i % 9}",) for i in range(200)] + [(None,)], ["value"]
+    )
+    stream = sorted(map(tuple, SK.cms_build(df, "value").collect()))
+    counts = df.where(F.col("value").isNotNull()).groupBy("value").agg(
+        F.count("*").alias("n")
+    )
+    weighted = sorted(
+        map(
+            tuple,
+            SK.cms_build(counts, "value", weight_col="n").collect(),
+        )
+    )
+    assert stream == weighted
+    # same column types (cnt stays long)
+    assert (
+        SK.cms_build(counts, "value", weight_col="n").schema
+        == SK.cms_build(df, "value").schema
+    )
+
+
 def test_kmv_estimate_accuracy_and_exact_small_groups(spark):
     from ena_database_build_spark.operators import sketch as SK
 
