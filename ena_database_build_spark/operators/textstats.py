@@ -153,7 +153,17 @@ def quality_score(text: Column) -> Column:
     filter+aggregate plan carried 6 inlined folds per evaluation;
     measured r13: corpus_curation 0.81 -> 0.53 s at sf0.1).  The
     arithmetic graph — term order, association, rounding — is
-    unchanged, so scores are bit-identical."""
+    unchanged, so scores are bit-identical.
+
+    NULL text is scored explicitly (r13, caught by the nulls sweep
+    axis): ``aggregate`` over a NULL array short-circuits to NULL
+    WITHOUT running ``finish``, but the pre-fold composition — and the
+    DuckDB oracle, whose ``least``/``greatest`` skip NULL operands the
+    same way Spark's do — evaluates the NULL-text terms to constants:
+    length_term = least(NULL, 1.0) = 1.0, punct_term = 1.0 -
+    least(NULL, 1.0) = 0.0, sw_term = 1.0 - least(NULL, 1.0) = 0.0,
+    mwl_term = otherwise-branch 0.5 ⇒ (1.0+0.0+0.0+0.5)/4 = 0.375
+    exactly."""
     sw = LANG_MARKERS["en"]
     n = F.length(text)
     length_term = F.least(n / F.lit(500.0), F.lit(1.0))
@@ -171,15 +181,19 @@ def quality_score(text: Column) -> Column:
         )
         return (length_term + punct_term + sw_term + mwl_term) / 4
 
-    return F.aggregate(
-        tokens(text),
-        F.array(F.lit(0), F.lit(0), F.lit(0)),
-        lambda acc, tok: F.array(
-            acc[0] + F.when(tok.isin(*sw), 1).otherwise(0),
-            acc[1] + F.length(tok),
-            acc[2] + 1,
-        ),
-        finish,
+    return F.when(
+        text.isNull(), F.lit(0.375)  # derivation in the docstring
+    ).otherwise(
+        F.aggregate(
+            tokens(text),
+            F.array(F.lit(0), F.lit(0), F.lit(0)),
+            lambda acc, tok: F.array(
+                acc[0] + F.when(tok.isin(*sw), 1).otherwise(0),
+                acc[1] + F.length(tok),
+                acc[2] + 1,
+            ),
+            finish,
+        )
     )
 
 

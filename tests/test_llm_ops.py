@@ -149,6 +149,26 @@ def test_token_counts_and_quality(spark):
     assert 0.0 <= row["q"] <= 1.0
 
 
+def test_quality_score_null_text_is_0375(spark):
+    """r13 regression (caught by the nulls sweep axis): `aggregate`
+    over a NULL token array short-circuits WITHOUT running the finish
+    lambda, but the pre-fold composition — and the DuckDB oracle —
+    score NULL text as (1.0 + 0.0 + 0.0 + 0.5)/4 = 0.375 because
+    least/greatest skip NULL operands.  The explicit NULL branch must
+    keep that value."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "some ordinary text")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["q"]
+        for r in df.select(
+            "doc_id", T.quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    assert out[1] == 0.375
+    assert out[2] is not None and 0.0 <= out[2] <= 1.0
+
+
 def test_multimodal_decode_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, "")], "doc_id long, text string"
