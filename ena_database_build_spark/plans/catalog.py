@@ -8957,97 +8957,9 @@ FROM db JOIN lr USING (b) GROUP BY doc_id
 #       counts the exploded PROBE projection (r7 ADVICE: the left
 #       task is keyed on probe, up to (bits+1)x a raw bucket).
 CATALOG: dict[str, QueryDef] = {
-    # ================== r13 window (positions 1-50) ==================
-    # -- the 33 remaining round-9-window rows (green in round 9;
+    # ================== r14 window (positions 1-50) ==================
+    # -- the 33 remaining round-10-window rows (green in round 10;
     # last checked there)
-    "bpe_compression": QueryDef(q_bpe_compression, SQL_BPE_COMPRESSION),
-    "skew_salted_agg": QueryDef(q_skew_salted_agg, SQL_SKEW_SALTED_AGG),
-    "skew_salted_join": QueryDef(q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
-    "weighted_sample_n": QueryDef(q_weighted_sample_n, SQL_WEIGHTED_SAMPLE_N),
-    "rolling_user_value": QueryDef(
-        q_rolling_user_value, SQL_ROLLING_USER_VALUE
-    ),
-    "scd2_enrichment": QueryDef(q_scd2_enrichment, SQL_SCD2_ENRICHMENT),
-    "weighted_sample_by_source": QueryDef(
-        q_weighted_sample_by_source, SQL_WEIGHTED_SAMPLE_BY
-    ),
-    "cube_revenue": QueryDef(q_cube_revenue, SQL_CUBE_REVENUE),
-    "time_to_convert": QueryDef(q_time_to_convert, SQL_TIME_TO_CONVERT),
-    "winsorize_counts": QueryDef(q_winsorize_counts, SQL_WINSORIZE),
-    "contrastive_triples": QueryDef(q_contrastive_triples, SQL_CONTRASTIVE),
-    "supervised_pairs": QueryDef(q_supervised_pairs, SQL_SUPERVISED_PAIRS),
-    "cms_frequencies": QueryDef(q_cms_frequencies, SQL_CMS_FREQUENCIES),
-    "kmv_distinct": QueryDef(q_kmv_distinct, SQL_KMV_DISTINCT),
-    "daily_spine": QueryDef(q_daily_spine, SQL_DAILY_SPINE),
-    "session_bounce": QueryDef(q_session_bounce, SQL_SESSION_BOUNCE),
-    "trending_types": QueryDef(q_trending_types, SQL_TRENDING),
-    "length_histogram": QueryDef(q_length_histogram, SQL_LENGTH_HISTOGRAM),
-    "revenue_share": QueryDef(q_revenue_share, SQL_REVENUE_SHARE),
-    "session_duration_quartiles": QueryDef(
-        q_session_duration_quartiles, SQL_SESSION_DURATION_QUARTILES
-    ),
-    "purchase_gaps": QueryDef(q_purchase_gaps, SQL_PURCHASE_GAPS),
-    "lang_source_matrix": QueryDef(
-        q_lang_source_matrix, SQL_LANG_SOURCE_MATRIX
-    ),
-    "grouping_sets_revenue": QueryDef(
-        q_grouping_sets_revenue, SQL_GROUPING_SETS
-    ),
-    "window_distinct_users": QueryDef(
-        q_window_distinct_users, SQL_WINDOW_DISTINCT_USERS
-    ),
-    "p456_detectors": QueryDef(q_p456_detectors, SQL_P456),
-    "f68_guards": QueryDef(q_f68_guards, SQL_F68),
-    "s67_sinks": QueryDef(q_s67_sinks, SQL_S67),
-    "span_dedup": QueryDef(q_span_dedup, SQL_SPAN_DEDUP),
-    "embedding_standardize": QueryDef(
-        q_embedding_standardize, SQL_EMBEDDING_STANDARDIZE
-    ),
-    "sft_transcripts": QueryDef(q_sft_transcripts, SQL_SFT_TRANSCRIPTS),
-    "psi_drift": QueryDef(q_psi_drift, SQL_PSI_DRIFT),
-    "temperature_sampling": QueryDef(
-        q_temperature_sampling, SQL_TEMPERATURE_SAMPLING
-    ),
-    "near_dedup_keep_longest": QueryDef(
-        q_near_dedup_keep_longest, SQL_NEAR_DEDUP_KEEP_LONGEST
-    ),
-    # -- first 17 of the round-10 window (green in round 10)
-    "phash_buckets": QueryDef(q_phash_buckets, SQL_PHASH_BUCKETS),
-    "merge_upserts": QueryDef(q_merge_upserts, SQL_MERGE_UPSERTS),
-    "rate_anomalies": QueryDef(q_rate_anomalies, SQL_RATE_ANOMALIES),
-    "stream_rate_flags": QueryDef(
-        q_stream_rate_flags, SQL_STREAM_RATE_FLAGS
-    ),
-    "grouped_split": QueryDef(q_grouped_split, SQL_GROUPED_SPLIT),
-    "tokenizer_fertility": QueryDef(
-        q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY
-    ),
-    "bigram_logprob": QueryDef(q_bigram_logprob, SQL_BIGRAM_LOGPROB),
-    "quantile_normalize": QueryDef(
-        q_quantile_normalize, SQL_QUANTILE_NORMALIZE
-    ),
-    "simhash_candidates": QueryDef(
-        q_simhash_candidates, SQL_SIMHASH_CANDIDATES
-    ),
-    "edit1_pairs": QueryDef(q_edit1_pairs, SQL_EDIT1_PAIRS),
-    "funnel_conversion_bounded": QueryDef(
-        q_funnel_conversion_bounded, SQL_FUNNEL
-    ),
-    "quality_ensemble": QueryDef(
-        q_quality_ensemble, SQL_QUALITY_ENSEMBLE
-    ),
-    "plan_batches": QueryDef(q_plan_batches, SQL_PLAN_BATCHES),
-    "supplier_triangles": QueryDef(
-        q_supplier_triangles, SQL_SUPPLIER_TRIANGLES
-    ),
-    "session_paths": QueryDef(q_session_paths, SQL_SESSION_PATHS),
-    "mixture_card": QueryDef(q_mixture_card, SQL_MIXTURE_CARD),
-    "customer_set_ops": QueryDef(
-        q_customer_set_ops, SQL_CUSTOMER_SET_OPS
-    ),
-    # ============== below the fold (not checked in r13) =============
-    # -- remaining round-10 window (rotate back in round 14 with
-    # the first 17 of the round-11 window)
     "s3_scan_projection": QueryDef(q_s3_scan_projection, SQL_S3),
     "f1_division_filter": QueryDef(q_f1_division_filter, SQL_F1),
     "f2_prefix_filter": QueryDef(q_f2_prefix_filter, SQL_F2),
@@ -9081,7 +8993,7 @@ CATALOG: dict[str, QueryDef] = {
     "s5_tsv_roundtrip": QueryDef(q_s5_tsv_roundtrip, SQL_S5),
     "ena_context_analog": QueryDef(q_ena_context_analog, SQL_ENA_CONTEXT),
     "tpch_q1_pricing": QueryDef(q_tpch_q1_pricing, SQL_TPCH_Q1),
-    # -- round-11 window (banked green in round 11, CORRECTNESS_r11)
+    # -- first 17 of the round-11 window (green in round 11)
     "lsh_candidate_pairs_prod": QueryDef(
         q_lsh_candidate_pairs_prod, SQL_LSH_PAIRS_PROD
     ),
@@ -9101,6 +9013,9 @@ CATALOG: dict[str, QueryDef] = {
     "quantiles_exact": QueryDef(q_quantiles_exact, SQL_QUANTILES),
     "approx_quantiles": QueryDef(q_approx_quantiles, SQL_APPROX_QUANTILES),
     "kmeans_clusters": QueryDef(q_kmeans_clusters, SQL_KMEANS),
+    # ============== below the fold (not checked in r14) =============
+    # -- remaining round-11 window (rotate back in round 15 with
+    # the first 17 of the round-12 window)
     "embedding_quantize": QueryDef(q_embedding_quantize, SQL_EMBED_QUANT),
     "corpus_curation": QueryDef(q_corpus_curation, SQL_CURATION),
     "repetition_stats": QueryDef(q_repetition_stats, SQL_REPETITION),
@@ -9196,5 +9111,90 @@ CATALOG: dict[str, QueryDef] = {
     "mixture_upsample": QueryDef(q_mixture_upsample, SQL_MIXTURE_UPSAMPLE),
     "script_composition": QueryDef(
         q_script_composition, SQL_SCRIPT_COMPOSITION
+    ),
+    # -- round-13 window (banked green in round 13, CORRECTNESS_r13)
+    "bpe_compression": QueryDef(q_bpe_compression, SQL_BPE_COMPRESSION),
+    "skew_salted_agg": QueryDef(q_skew_salted_agg, SQL_SKEW_SALTED_AGG),
+    "skew_salted_join": QueryDef(q_skew_salted_join, SQL_SKEW_SALTED_JOIN),
+    "weighted_sample_n": QueryDef(q_weighted_sample_n, SQL_WEIGHTED_SAMPLE_N),
+    "rolling_user_value": QueryDef(
+        q_rolling_user_value, SQL_ROLLING_USER_VALUE
+    ),
+    "scd2_enrichment": QueryDef(q_scd2_enrichment, SQL_SCD2_ENRICHMENT),
+    "weighted_sample_by_source": QueryDef(
+        q_weighted_sample_by_source, SQL_WEIGHTED_SAMPLE_BY
+    ),
+    "cube_revenue": QueryDef(q_cube_revenue, SQL_CUBE_REVENUE),
+    "time_to_convert": QueryDef(q_time_to_convert, SQL_TIME_TO_CONVERT),
+    "winsorize_counts": QueryDef(q_winsorize_counts, SQL_WINSORIZE),
+    "contrastive_triples": QueryDef(q_contrastive_triples, SQL_CONTRASTIVE),
+    "supervised_pairs": QueryDef(q_supervised_pairs, SQL_SUPERVISED_PAIRS),
+    "cms_frequencies": QueryDef(q_cms_frequencies, SQL_CMS_FREQUENCIES),
+    "kmv_distinct": QueryDef(q_kmv_distinct, SQL_KMV_DISTINCT),
+    "daily_spine": QueryDef(q_daily_spine, SQL_DAILY_SPINE),
+    "session_bounce": QueryDef(q_session_bounce, SQL_SESSION_BOUNCE),
+    "trending_types": QueryDef(q_trending_types, SQL_TRENDING),
+    "length_histogram": QueryDef(q_length_histogram, SQL_LENGTH_HISTOGRAM),
+    "revenue_share": QueryDef(q_revenue_share, SQL_REVENUE_SHARE),
+    "session_duration_quartiles": QueryDef(
+        q_session_duration_quartiles, SQL_SESSION_DURATION_QUARTILES
+    ),
+    "purchase_gaps": QueryDef(q_purchase_gaps, SQL_PURCHASE_GAPS),
+    "lang_source_matrix": QueryDef(
+        q_lang_source_matrix, SQL_LANG_SOURCE_MATRIX
+    ),
+    "grouping_sets_revenue": QueryDef(
+        q_grouping_sets_revenue, SQL_GROUPING_SETS
+    ),
+    "window_distinct_users": QueryDef(
+        q_window_distinct_users, SQL_WINDOW_DISTINCT_USERS
+    ),
+    "p456_detectors": QueryDef(q_p456_detectors, SQL_P456),
+    "f68_guards": QueryDef(q_f68_guards, SQL_F68),
+    "s67_sinks": QueryDef(q_s67_sinks, SQL_S67),
+    "span_dedup": QueryDef(q_span_dedup, SQL_SPAN_DEDUP),
+    "embedding_standardize": QueryDef(
+        q_embedding_standardize, SQL_EMBEDDING_STANDARDIZE
+    ),
+    "sft_transcripts": QueryDef(q_sft_transcripts, SQL_SFT_TRANSCRIPTS),
+    "psi_drift": QueryDef(q_psi_drift, SQL_PSI_DRIFT),
+    "temperature_sampling": QueryDef(
+        q_temperature_sampling, SQL_TEMPERATURE_SAMPLING
+    ),
+    "near_dedup_keep_longest": QueryDef(
+        q_near_dedup_keep_longest, SQL_NEAR_DEDUP_KEEP_LONGEST
+    ),
+    "phash_buckets": QueryDef(q_phash_buckets, SQL_PHASH_BUCKETS),
+    "merge_upserts": QueryDef(q_merge_upserts, SQL_MERGE_UPSERTS),
+    "rate_anomalies": QueryDef(q_rate_anomalies, SQL_RATE_ANOMALIES),
+    "stream_rate_flags": QueryDef(
+        q_stream_rate_flags, SQL_STREAM_RATE_FLAGS
+    ),
+    "grouped_split": QueryDef(q_grouped_split, SQL_GROUPED_SPLIT),
+    "tokenizer_fertility": QueryDef(
+        q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY
+    ),
+    "bigram_logprob": QueryDef(q_bigram_logprob, SQL_BIGRAM_LOGPROB),
+    "quantile_normalize": QueryDef(
+        q_quantile_normalize, SQL_QUANTILE_NORMALIZE
+    ),
+    "simhash_candidates": QueryDef(
+        q_simhash_candidates, SQL_SIMHASH_CANDIDATES
+    ),
+    "edit1_pairs": QueryDef(q_edit1_pairs, SQL_EDIT1_PAIRS),
+    "funnel_conversion_bounded": QueryDef(
+        q_funnel_conversion_bounded, SQL_FUNNEL
+    ),
+    "quality_ensemble": QueryDef(
+        q_quality_ensemble, SQL_QUALITY_ENSEMBLE
+    ),
+    "plan_batches": QueryDef(q_plan_batches, SQL_PLAN_BATCHES),
+    "supplier_triangles": QueryDef(
+        q_supplier_triangles, SQL_SUPPLIER_TRIANGLES
+    ),
+    "session_paths": QueryDef(q_session_paths, SQL_SESSION_PATHS),
+    "mixture_card": QueryDef(q_mixture_card, SQL_MIXTURE_CARD),
+    "customer_set_ops": QueryDef(
+        q_customer_set_ops, SQL_CUSTOMER_SET_OPS
     ),
 }

@@ -78,30 +78,31 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_check_window_ordering_pinned():
     """The driver grades the FIRST 50 registry entries; this pins the
-    round-13 check window (the 33 remaining r9-window rows + the first
-    17 r10-window rows, `bpe_compression` first — see the registry
+    round-14 check window (the 33 remaining r10-window rows + the first
+    17 r11-window rows, `s3_scan_projection` first — see the registry
     header ledger) so a refactor cannot silently reorder the dict and
     destroy the graded window.  UPDATE THIS LIST ONLY when a rotation
-    is deliberately applied (tools/rotate_catalog_r13.py --apply)."""
+    is deliberately applied (tools/rotate_catalog_r14.py --apply)."""
     from ena_database_build_spark.plans.catalog import CATALOG
 
     expected = [
-        "bpe_compression", "skew_salted_agg", "skew_salted_join",
-        "weighted_sample_n", "rolling_user_value", "scd2_enrichment",
-        "weighted_sample_by_source", "cube_revenue", "time_to_convert",
-        "winsorize_counts", "contrastive_triples", "supervised_pairs",
-        "cms_frequencies", "kmv_distinct", "daily_spine",
-        "session_bounce", "trending_types", "length_histogram",
-        "revenue_share", "session_duration_quartiles", "purchase_gaps",
-        "lang_source_matrix", "grouping_sets_revenue",
-        "window_distinct_users", "p456_detectors", "f68_guards",
-        "s67_sinks", "span_dedup", "embedding_standardize",
-        "sft_transcripts", "psi_drift", "temperature_sampling",
-        "near_dedup_keep_longest", "phash_buckets", "merge_upserts",
-        "rate_anomalies", "stream_rate_flags", "grouped_split",
-        "tokenizer_fertility", "bigram_logprob", "quantile_normalize",
-        "simhash_candidates", "edit1_pairs", "funnel_conversion_bounded",
-        "quality_ensemble", "plan_batches", "supplier_triangles",
-        "session_paths", "mixture_card", "customer_set_ops",
+        "s3_scan_projection", "f1_division_filter", "f2_prefix_filter",
+        "f3_fungi_gate", "f4_whitelist_deadletter",
+        "f5_malformed_id_drop", "f7_unparseable_cds_drop",
+        "p1_regex_extract", "p2_alternation_extract", "p3_range_extract",
+        "p7_location_normalizer", "p8_strand_detector",
+        "p9_path_components", "g1_sessionize", "dsir_weights",
+        "g2_nested_sessionize", "g3_final_flush", "g4_ordinals",
+        "a1_collect_set", "a2_record_set_union", "a3_flat_minmax",
+        "a4_circular_resolution", "j1_lookup_join", "j2_anti_join",
+        "j3_fallback_coalesce", "o1_explode", "o2_seven_col_projection",
+        "o3_union", "o4_topk", "o5_stable_range_sort",
+        "s5_tsv_roundtrip", "ena_context_analog", "tpch_q1_pricing",
+        "lsh_candidate_pairs_prod", "tpch_q3_shipping", "tpch_q5_volume",
+        "dedup_exact", "minhash_signatures", "lsh_candidate_pairs",
+        "simhash", "jaccard_pairs", "dedup_clusters", "asof_join",
+        "range_join_transit", "transit_sweepline", "rollup_revenue",
+        "order_analytics", "quantiles_exact", "approx_quantiles",
+        "kmeans_clusters",
     ]
     assert list(CATALOG)[:50] == expected
