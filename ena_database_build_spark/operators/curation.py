@@ -702,6 +702,19 @@ def span_dedup(
     Tokens are RAW whitespace splits (no case folding): removal
     rebuilds the user-visible text, so the match key must be the text
     itself, byte-for-byte.
+
+    The gram-construction kernel is evaluated on BOTH the probe and
+    the dup-map build side (the r12/r13 documented floor).  The r14
+    shared-exchange alternative (key the gram relation once by ``_g``,
+    aggregate and equi-join over one ReusedExchange — kernel planned
+    ONCE) was built, plan-verified and measured in
+    ``tools/probe_span_shared.py``: it wins only in the launch-floor
+    regime (x1) and loses 12-15% at x30 where data dominates, because
+    the corpus-sized (id, pos, tok, gram) exchange outweighs the saved
+    kernel pass — and it forfeits map-side combine on the gram
+    aggregate, re-creating the hot-gram straggler this shape exists to
+    avoid.  The duplicate kernel is the cheaper side of that trade at
+    every scale that matters.
     """
     base = df.where(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
