@@ -148,15 +148,17 @@ def uniqueness_report(
 
 def ri_attach(fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> DataFrame:
     """Broadcast-attach the referential-integrity match marker
-    (``_hit = 1`` where ``fk`` has a dimension match) without changing
-    the fact row count — the dim collapses to distinct keys first, so
-    the left join can never duplicate.  Lets an RI fraction ride the
-    SAME scan and one-row agg as the row-local metrics (see
+    (``_hit_<fk> = 1`` where ``fk`` has a dimension match) without
+    changing the fact row count — the dim collapses to distinct keys
+    first, so the left join can never duplicate.  Lets an RI fraction
+    ride the SAME scan and one-row agg as the row-local metrics (see
     :func:`ri_fraction`) instead of paying a second pass over the
-    fact table per RI check."""
+    fact table per RI check.  The marker is named per foreign key so
+    chained attaches for different fks never clash (round-13 ADVICE
+    item #3)."""
     marked = F.broadcast(
         dim.select(F.col(pk).alias(fk)).distinct().withColumn(
-            "_hit", F.lit(1)
+            f"_hit_{fk}", F.lit(1)
         )
     )
     return fact.join(marked, fk, "left")
@@ -167,9 +169,12 @@ def ri_fraction(fk: str) -> Column:
     fraction of non-NULL foreign keys with a dimension match, 1.0
     (vacuously intact) when there are none — digit-identical to
     :func:`ri_coverage`'s metric, usable inside
-    :func:`metrics_report`'s shared aggregation."""
+    :func:`metrics_report`'s shared aggregation.  Reads the per-fk
+    marker :func:`ri_attach` wrote for the same ``fk``."""
     return F.coalesce(
-        F.try_divide(F.count("_hit").cast("double"), F.count(F.col(fk))),
+        F.try_divide(
+            F.count(f"_hit_{fk}").cast("double"), F.count(F.col(fk))
+        ),
         F.lit(1.0),
     )
 

@@ -191,7 +191,16 @@ def cms_build(
     over per-value counts is cell-identical to the unweighted build
     over the raw stream (``sum_over_values n[v] == count of
     occurrences`` per cell), while hashing each distinct value once
-    instead of once per occurrence."""
+    instead of once per occurrence.
+
+    CONTRACT (round-13 ADVICE #2): ``weight_col`` must hold exact
+    non-negative integer COUNTS (a ``count(*)``-style aggregate of the
+    stream this sketch stands in for).  NULL weights contribute 0 to
+    their cells (the sum skips them) and fractional weights are
+    truncated by the ``cast('long')`` — passing scores, rates or other
+    non-count weights silently builds a sketch of something else.
+    Callers that cannot guarantee the contract should aggregate to
+    counts first (the cms_frequencies catalog row's shape)."""
     exploded = df.where(F.col(value_col).isNotNull()).select(
         F.posexplode(
             cms_positions(F.col(value_col), n_hashes, hex_chars)

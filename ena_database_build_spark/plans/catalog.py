@@ -4988,26 +4988,43 @@ def q_dq_report(spark, sf_dir):
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
 
-    # one planted defect per check, derived from a SINGLE extra scan
-    # (keys 0-4, each mutated by a CASE on its key) rather than five
+    # one planted defect per check, fused into the SAME scan as the
+    # clean rows (r14): each row explodes to [original] — or, for
+    # keys 0-4, [original, mutated] — so every `dirty` consumer pays
+    # ONE orders scan where the r13 union's planted branch re-scanned
+    # orders per pass (5 scans across the report's three subplans,
+    # guide §6 / §1.2).  The when(k < 5) guard is NULL-safe: a NULL
+    # key yields the single-element branch, exactly as the old
+    # where(k < 5) excluded it from the planted rows.  Struct fields
+    # are pruned BY HAND per consumer (nested-column pruning does not
+    # reach through the CASE-over-array-of-structs Generate, measured:
+    # the unpruned form read all 6 orders columns on every branch);
+    # the key stays readable for the branch condition either way.
     k = F.col("o_orderkey")
-    planted = orders.where(k < 5).select(
+    mut = {
         # key 1 keeps its id (duplicate orderkey); the rest re-key
-        F.when(k == 1, k).otherwise(k + 10000000).alias("o_orderkey"),
-        F.when(k == 0, F.lit(None).cast("long"))
+        "o_orderkey": F.when(k == 1, k).otherwise(k + 10000000),
+        "o_custkey": F.when(k == 0, F.lit(None).cast("long"))
         .when(k == 4, F.lit(99999999))
-        .otherwise(F.col("o_custkey"))
-        .alias("o_custkey"),
-        F.when(k == 3, F.lit("X"))
-        .otherwise(F.col("o_orderstatus"))
-        .alias("o_orderstatus"),
-        F.when(k == 2, F.lit(9999999.0))
-        .otherwise(F.col("o_totalprice"))
-        .alias("o_totalprice"),
-        "o_orderdate",
-        "o_orderpriority",
-    )
-    dirty = orders.unionByName(planted)
+        .otherwise(F.col("o_custkey")),
+        "o_orderstatus": F.when(k == 3, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+        "o_totalprice": F.when(k == 2, F.lit(9999999.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    }
+
+    def dirty(cols: list) -> DataFrame:
+        orig = F.struct(*[F.col(c).alias(c) for c in cols])
+        mutated = F.struct(*[mut[c].alias(c) for c in cols])
+        return orders.select(
+            F.explode(
+                F.when(k < 5, F.array(orig, mutated)).otherwise(
+                    F.array(orig)
+                )
+            ).alias("_r")
+        ).select("_r.*")
     dirty_li = (
         t(spark, sf_dir, "lineitem", spread=True)
         .select("l_orderkey")
@@ -5024,7 +5041,12 @@ def q_dq_report(spark, sf_dir):
     # over dirty.  Metric + verdict digit-identical to ri_coverage
     # (vacuous-1.0 on no non-NULL fks included).
     local = DQ.metrics_report(
-        DQ.ri_attach(dirty, "o_custkey", cust, "c_custkey"),
+        DQ.ri_attach(
+            dirty(["o_custkey", "o_orderstatus", "o_totalprice"]),
+            "o_custkey",
+            cust,
+            "c_custkey",
+        ),
         {
             "orders_custkey_complete": (DQ.completeness("o_custkey"), 1.0),
             "orders_totalprice_range": (
@@ -5045,7 +5067,7 @@ def q_dq_report(spark, sf_dir):
     # the dedup shuffle carries the bare key and the three metrics
     # above collapse to a map-side one-row agg.  Identical rows.
     uniq = DQ.uniqueness_report(
-        dirty, "o_orderkey", "orders_orderkey_unique", 0.999
+        dirty(["o_orderkey"]), "o_orderkey", "orders_orderkey_unique", 0.999
     )
     ri2 = DQ.ri_coverage(
         dirty_li,

@@ -132,6 +132,31 @@ def test_ri_attach_fraction_matches_ri_coverage(spark, df):
     assert vacuous.metric == 1.0 and vacuous.passed
 
 
+def test_ri_attach_chains_for_multiple_fks(spark, df):
+    """Two chained attaches for DIFFERENT fks coexist (per-fk marker
+    names — round-13 ADVICE #3: a shared `_hit` name made the second
+    join clash with the first's output) and each ri_fraction reads
+    its own fk's marker."""
+    dim_key = spark.createDataFrame([(10,), (11,)], "pk long")
+    dim_id = spark.createDataFrame([(0,), (1,), (2,)], "pk long")
+    chained = DQ.ri_attach(
+        DQ.ri_attach(df, "key", dim_key, "pk"), "id", dim_id, "pk"
+    )
+    rep = {
+        r.check_name: r
+        for r in DQ.metrics_report(
+            chained,
+            {
+                "key_ri": (DQ.ri_fraction("key"), 1.0),
+                "id_ri": (DQ.ri_fraction("id"), 1.0),
+            },
+        ).collect()
+    }
+    # keys 10, 11, 11, 13 -> 3/4 matched; ids 0..4 -> 3/5 matched
+    assert rep["key_ri"].metric == 0.75
+    assert rep["id_ri"].metric == 0.6
+
+
 def test_ri_attach_preserves_rowcount_on_duplicate_dim_keys(spark, df):
     dim = spark.createDataFrame(
         [(10,), (10,), (11,)], "pk long"

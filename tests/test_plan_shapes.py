@@ -529,6 +529,39 @@ def test_approx_distinct_has_no_expand(spark, tmp_path):
     assert "Expand" not in plan, plan
 
 
+def test_dq_report_three_orders_scans(spark):
+    """r14: the planted-defect rows explode out of the SAME scan as
+    the clean rows (1-or-2-element struct array per row), so the
+    report's subplans scan orders exactly 3x — metrics+customer-RI,
+    uniqueness, and the lineitem-RI key side — where the r13 union
+    form re-scanned orders for the planted branch of every pass (5
+    scans).  Struct fields are hand-pruned per consumer: the
+    uniqueness branch must read o_orderkey ALONE (nested-column
+    pruning does not reach through the CASE-over-array-of-structs
+    Generate, so an unpruned regression would re-widen every scan to
+    all 6 columns)."""
+    from ena_database_build_spark.plans.catalog import CATALOG
+
+    df = CATALOG["dq_report"].spark(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("orders.parquet") == 3, plan
+    import re as _re
+
+    schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    orders_schemas = sorted(
+        s for s in schemas if "o_orderkey" in s or "o_custkey" in s
+    )
+    # one 4-column metrics scan, two key-only scans
+    assert orders_schemas == [
+        "o_orderkey:bigint",
+        "o_orderkey:bigint",
+        "o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,"
+        "o_totalprice:double",
+    ], orders_schemas
+
+
 def test_phrase_search_match_phase_is_map_only(spark):
     """r13: phrase occurrence counts come from zipping shifted slices
     of the raw token array against the broadcast top bigram — the

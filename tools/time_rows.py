@@ -1,6 +1,7 @@
 """Isolated noop-sink timing for individual catalog rows.
 
-Usage: python tools/time_rows.py <sf_dir> <name> [name ...] [--reps N]
+Usage: python tools/time_rows.py <sf_dir> <name> [name ...]
+       [--reps N | --reps=N]
 
 Median of N (default 3) timed noop saves after one warm-up, one
 Spark session for the whole run — the same methodology as bench.py,
@@ -20,11 +21,28 @@ from ena_database_build_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # both --reps N and --reps=N (round-13 ADVICE #1: the
+    # space-separated form left N in the names list and bare --reps
+    # raised IndexError)
+    args: list[str] = []
     reps = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--reps"):
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--reps":
+            if i + 1 >= len(argv):
+                raise SystemExit("--reps takes a count")
+            reps = int(argv[i + 1])
+            i += 2
+        elif a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
+            i += 1
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown option {a!r}")
+        else:
+            args.append(a)
+            i += 1
     sf_dir, names = args[0], args[1:]
     import os
 
