@@ -1537,19 +1537,23 @@ def q_tpch_q5_volume(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    asia_nations = nation.join(
+    # the ASIA key set, projected to the KEY ALONE: its two consumers
+    # (the supplier inner join and the customer left-semi) broadcast
+    # the IDENTICAL subtree, so AQE plans ONE BroadcastExchange plus a
+    # ReusedExchange (r13/r14).  r13 projected (n_nationkey, n_name)
+    # at all three sites expecting three-way reuse, but column pruning
+    # strips n_name below the supplier/customer broadcasts regardless
+    # (a semi-join build side can carry only its key), so the executed
+    # plan rebuilt the n_name variant anyway — the name attach now
+    # reads a bare nation scan instead (see per_nation below), which
+    # is the minimal-work shape: key-only asia subtree built once and
+    # reused, no second nation-join-region chain.  Pinned by
+    # tests/test_plan_shapes.py::test_tpch_q5_asia_subtree_reuse.
+    asia_keys = nation.join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
-    ).select("n_nationkey", "n_name")
-    # all three asia_nations consumers broadcast the IDENTICAL
-    # (n_nationkey, n_name) subtree — same projection, same join key —
-    # so AQE plans ONE BroadcastExchange and two ReusedExchange nodes
-    # (r13; the r12 shape projected n_nationkey alone at two sites,
-    # which made the subtrees distinct and built the 5-row broadcast
-    # three times: 3 extra jobs of pure launch floor at small SF, and
-    # duplicate build work at any SF).  n_name rides along unused in
-    # two of the joins: 5 rows either way.
+    ).select("n_nationkey")
     dims = supp.join(
-        F.broadcast(asia_nations),
+        F.broadcast(asia_keys),
         supp.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", "n_nationkey")
     li_agg = (
@@ -1565,7 +1569,7 @@ def q_tpch_q5_volume(spark, sf_dir):
         .agg(F.sum(_rev_e4()).alias("rev_e4"))
     )
     cust_asia = cust.join(
-        F.broadcast(asia_nations),
+        F.broadcast(asia_keys),
         cust.c_nationkey == F.col("n_nationkey"),
         "left_semi",
     ).select("c_custkey", "c_nationkey")
@@ -1587,9 +1591,14 @@ def q_tpch_q5_volume(spark, sf_dir):
             )
         )
     )
-    return per_nation.join(F.broadcast(asia_nations), "n_nationkey").select(
-        "n_name", "revenue"
-    )
+    # name attach: per_nation's keys are already ASIA-restricted (both
+    # join inputs passed through asia_keys), so an inner join with the
+    # PLAIN nation dim returns identical rows — and its broadcast
+    # build is a bare 2-column scan, not a rebuilt nation-join-region
+    # chain
+    return per_nation.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")), "n_nationkey"
+    ).select("n_name", "revenue")
 
 
 SQL_TPCH_Q5 = f"""

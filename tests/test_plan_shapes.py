@@ -529,6 +529,38 @@ def test_approx_distinct_has_no_expand(spark, tmp_path):
     assert "Expand" not in plan, plan
 
 
+def test_tpch_q5_asia_subtree_reuse(spark):
+    """r14 pin of the r13 exchange-reuse claim (verdict item 4), at
+    the shape that actually executes: the key-only ASIA subtree
+    (nation joined to the ASIA region row) is BUILT ONCE and its
+    second consumer resolves as ReusedExchange — while the final
+    name attach reads a bare nation scan, NOT a rebuilt
+    nation-join-region chain (column pruning strips n_name below the
+    supplier/customer broadcasts regardless of how the subtree is
+    projected — a semi-join build side carries only its key — so the
+    r13 three-way (n_nationkey, n_name) reuse could never fire; the
+    executed plan rebuilt the n_name variant anyway).  A regression
+    re-triples the broadcast build: this asserts exactly 2 nation
+    scans, 1 region scan, and a ReusedExchange keyed on
+    n_nationkey."""
+    from ena_database_build_spark.plans.catalog import CATALOG
+
+    df = CATALOG["tpch_q5_volume"].spark(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    nation_scans = [
+        ln for ln in final.splitlines() if "FileScan parquet [n_" in ln
+    ]
+    region_scans = [
+        ln for ln in final.splitlines() if "FileScan parquet [r_" in ln
+    ]
+    reused = [ln for ln in final.splitlines() if "ReusedExchange" in ln]
+    assert len(nation_scans) == 2, final
+    assert len(region_scans) == 1, final
+    assert any("n_nationkey" in ln for ln in reused), final
+
+
 def test_dq_report_three_orders_scans(spark):
     """r14: the planted-defect rows explode out of the SAME scan as
     the clean rows (1-or-2-element struct array per row), so the
