@@ -7939,7 +7939,13 @@ def q_session_aggregates_bucketed_stream(spark, sf_dir):
     the multi-batch merger-state/timer exercise this row exists to
     grade.  The residual ~5-7 s/batch spin-up is the documented floor
     of the TWS Python path on a cold query; a long-running production
-    stream pays it once, not per batch.
+    stream pays it once, not per batch.  r14 probed the floor's
+    composition (tools/probe_tws_batch.py, per-batch durationMs +
+    worker-reuse A/B): Python-worker reuse across batches is ALREADY
+    active (disabling it costs +78% wall), so the residual is the
+    per-batch RocksDB store open/commit per state partition plus the
+    TWS state-server handshake per task — not reclaimable worker
+    spin-up.
     Streaming-vs-batch THROUGHPUT comparisons belong to the batch
     twins (events_sessions, session_aggregates_bucketed), which are
     priced normally."""
