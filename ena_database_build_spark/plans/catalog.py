@@ -3486,7 +3486,11 @@ def q_heavy_hitters(spark, sf_dir):
     vocabulary CONSTANT while rows grow, the exact worst case for
     this operator (the sketch pass re-scans Nx rows for the same
     candidate set, while the naive oracle's map-side combine already
-    collapses to a constant-size shuffle).  The two-pass form's
+    collapses to a constant-size shuffle).  r14 quiet-host re-cite
+    (launch loadavg 1.5; the r13 refresh ran at 13.9): Spark wall
+    1.47 / 1.92 / 4.57 s at x1/x10/x30 — the wall-growth shape
+    reproduces (3.1x wall on 30x rows; the oracle side swings with
+    the host, so the wall is the stable signal).  The two-pass form's
     payoff condition is a vocabulary that SCALES with the corpus —
     shuffle stays partitions x k where the naive form's shuffle is
     vocabulary-sized (the 100 TB web-text regime: 1e9+ distinct
@@ -5172,7 +5176,10 @@ def q_asof_join_bucketed(spark, sf_dir):
     0.70 -> 1.17 s on 30x data — the (key, bucket) window shape's
     fixed stages amortize; the falling curve is the floor thinning,
     and the hot-key bound (O(densest bucket) per task) is what the
-    flat-window native form cannot offer at scale."""
+    flat-window native form cannot offer at scale.  r14 quiet-host
+    re-cite (launch loadavg 1.5; the r13 refresh ran at 13.9): wall
+    1.02 -> 1.89 s at x1/x30 (sub-linear), ratio 15.0 / 2.3 / 1.6 —
+    the falling shape reproduces, steeper than r10's."""
     ev = t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -7449,7 +7456,11 @@ def q_funnel_conversion_bounded(spark, sf_dir):
     r10): ratio 26.5x / 20.0x / 13.9x at x1/x10/x30 with the Spark
     wall near-flat (0.77 -> 1.17 s on 30x data) — the tiny oracle
     wall (29 ms at x1) makes the ratio look dramatic, but it is
-    almost entirely fixed stage floor amortizing as data grows."""
+    almost entirely fixed stage floor amortizing as data grows.
+    r14 quiet-host re-cite (launch loadavg 1.5; the r13 refresh ran
+    at 13.9): wall 0.76 -> 1.33 s at x1/x30, near-flat again (the
+    ms-scale oracle's own readings swung non-monotonically with the
+    host, so the wall is the stable signal)."""
     ev = t(spark, sf_dir, "events")
     return FUN.funnel_counts(
         ev, ["view", "click", "purchase"], bounded=True
